@@ -1,13 +1,345 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.graph.Edges
+import graft.kernels.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.{Dedup, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * each with a DuckDB-equivalent oracle where SQL can express it.
+  *
+  * The graph queries derive a co-occurrence graph from `lineitem` (two
+  * parts are linked iff they share an order — the same shape as the
+  * corpus derivation "two paths share a commit", SURVEY §1.3) so the
+  * DuckDB oracle can check the full pipeline end-to-end. The iterative
+  * kernels (CC / PageRank / LP) are checked against recursive-CTE
+  * fixpoints; TC against a three-way self-join.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** parts sharing an order, weight = #distinct shared orders */
+  private def cooc(s: SparkSession, dir: String): DataFrame =
+    Edges.coOccurrence(T(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+
+  /** thresholded graph (weight >= 2) — sparse, multi-component */
+  private def e2(s: SparkSession, dir: String): DataFrame =
+    cooc(s, dir).filter(col("weight") >= 2).select(col("src"), col("dst"))
+
+  // ---- shared oracle CTE prefixes (DuckDB) ----
+  private val CTE =
+    """li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+      |cooc AS (SELECT a.item AS src, b.item AS dst, count(*) AS weight
+      |         FROM li a JOIN li b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2),
+      |e AS (SELECT src AS s, dst AS d FROM cooc WHERE weight >= 2),
+      |sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+      |deg AS (SELECT s AS vid, count(*) AS degree FROM sym GROUP BY 1)""".stripMargin
+
+  private val FULL =
+    """fsym AS (SELECT src AS s, dst AS d FROM cooc UNION ALL SELECT dst, src FROM cooc),
+      |fdeg AS (SELECT s AS vid, count(*) AS odeg FROM fsym GROUP BY 1),
+      |nv AS (SELECT count(*) AS n FROM fdeg)""".stripMargin
+
+  /** Flagship: connected components of the sf0.001 co-occurrence graph. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    ConnectedComponents.run(spark,
+      Edges.symmetrize(e2(spark, dir))).components
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- derivation / scans / joins / aggregation (S1, J3/J6, A-family) --
+    "q01_cooccur_edges" -> ((s, d) => cooc(s, d)),
+    "q02_degrees" -> ((s, d) =>
+      Edges.degrees(Edges.symmetrize(e2(s, d)))),
+    // seed filter (P1: reference spawns tasks only where degree > 1)
+    "q03_seed_filter" -> ((s, d) =>
+      Edges.degrees(Edges.symmetrize(e2(s, d))).filter(col("degree") > 1)),
+    // degree orientation (P2/P3 + skew bound, SURVEY §4.3)
+    "q04_orient_bydeg" -> ((s, d) => Edges.orientByDegree(e2(s, d))),
+    // sorted adjacency arrays (O1 / VertexTable analog)
+    "q05_adj" -> ((s, d) => Edges.adjacency(Edges.symmetrize(e2(s, d)))),
+    // triangle counting (J3 oriented intersection; A2 count agg)
+    "q06_tc_total" -> ((s, d) => TriangleCount.total(e2(s, d))),
+    "q07_tc_pervertex" -> ((s, d) => TriangleCount.perVertex(e2(s, d))),
+    // hash-min connected components to fixpoint (B4)
+    "q08_cc" -> ((s, d) =>
+      ConnectedComponents.run(s, Edges.symmetrize(e2(s, d))).components),
+    "q09_cc_sizes" -> ((s, d) =>
+      ConnectedComponents.run(s, Edges.symmetrize(e2(s, d))).components
+        .groupBy(col("component")).agg(count(lit(1)).as("n"))),
+    // PageRank, 10 fixed supersteps (B1/B2 substrate)
+    "q10_pagerank" -> ((s, d) =>
+      PageRank.run(s, Edges.symmetrize(cooc(s, d).select(col("src"), col("dst"))),
+        fixedIter = Some(10)).ranks
+        .select(col("vid"), round(col("rank"), 8).as("rank"))),
+    // synchronous label propagation, 5 supersteps, mode w/ min tie-break
+    "q11_lp" -> ((s, d) =>
+      LabelPropagation.run(s, Edges.symmetrize(e2(s, d)), 5).labels),
+    // argmax-with-ties aggregate (A3 shape: max + count at max + witness)
+    "q12_argmax_degree" -> ((s, d) => {
+      val deg = Edges.degrees(Edges.symmetrize(e2(s, d)))
+      val mx = deg.agg(max(col("degree")).as("mx"))
+      deg.join(broadcast(mx), col("degree") === col("mx"))
+        .agg(max(col("degree")).as("max_degree"),
+          count(lit(1)).as("n_at_max"), min(col("vid")).as("min_vid"))
+    }),
+    // top-k pruning (O5): top-3 neighbors by weight per vertex
+    "q13_topk_nbrs" -> ((s, d) => {
+      val c = cooc(s, d)
+      val w = c.select(col("src"), col("dst"), col("weight"))
+        .union(c.select(col("dst"), col("src"), col("weight")))
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("src"))
+        .orderBy(col("weight").desc, col("dst"))
+      w.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 3).select(col("src"), col("dst"), col("weight"))
+    }),
+    // pattern join over labeled vertices (J5) with broadcast dim (J7)
+    "q14_pattern_brand" -> ((s, d) => {
+      val p = T(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      cooc(s, d)
+        .join(broadcast(p.withColumnRenamed("p_partkey", "src")
+          .withColumnRenamed("p_brand", "brand_a")), "src")
+        .join(broadcast(p.withColumnRenamed("p_partkey", "dst")
+          .withColumnRenamed("p_brand", "brand_c")), "dst")
+        .groupBy(col("brand_a"), col("brand_c"))
+        .agg(count(lit(1)).as("pairs"))
+    }),
+
+    // -- documents: text analysis / dedup (training-data ops) --
+    "q15_sha_invariant" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        sha2(col("text"), 256).as("sha"))),
+    "q16_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(T(s, d, "documents"), "doc_id", "text")),
+    "q17_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text", 3, 0.65)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))),
+    "q18_tokens" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"))),
+    "q19_quality" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        round(TF.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"))),
+    "q20_langid" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TF.langId(col("text")).as("lang_pred"))),
+    "q21_fingerprint" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"))),
+
+    // -- embeddings: similarity search --
+    "q22_embed_norm" -> ((s, d) =>
+      T(s, d, "embeddings").select(col("vec_id"),
+        round(Ann.l2(col("embedding")), 4).as("l2"))),
+    "q23_ann_top1" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Ann.bruteTopK(emb, "vec_id", "embedding", 1)
+        .join(emb.select(col("vec_id").as("nn_id"),
+          col("label").as("nn_label")), "nn_id")
+        .select(col("vec_id"), col("nn_id"), col("nn_label"))
+    }),
+
+    // -- events: time-bucketed aggregation --
+    "q24_events_hourly" -> ((s, d) =>
+      T(s, d, "events").groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))),
+
+    // -- multimodal: binary column + stubbed per-partition decode --
+    "q25_mm_decode" -> ((s, d) =>
+      Multimodal.decodeFrames(s,
+          Multimodal.asBinary(T(s, d, "documents"), "doc_id", "text"),
+          "id", "media")
+        .toDF().select(col("id").as("doc_id"), col("width"),
+          col("height"), col("first_byte"))),
+
+    // -- no SQL oracle (rows-only check; exactness covered in ScalaTest) --
+    "q26_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(T(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("d1"), col("d2"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))),
+    "q27_simhash" -> ((s, d) =>
+      Dedup.simHash(T(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))),
+    "q28_ann_topk" -> ((s, d) =>
+      Ann.bruteTopK(T(s, d, "embeddings"), "vec_id", "embedding", 5)
+        .select(col("vec_id"), col("nn_id"), col("rnk"),
+          round(col("cosine"), 4).as("cosine"))),
+    "q29_ann_lsh" -> ((s, d) =>
+      Ann.lshTopK(T(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64)
+        .select(col("vec_id"), col("nn_id"), col("rnk"),
+          round(col("cosine"), 4).as("cosine")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_cooccur_edges" ->
+      s"""WITH $CTE SELECT src, dst, weight FROM cooc""",
+    "q02_degrees" ->
+      s"""WITH $CTE SELECT vid, degree FROM deg""",
+    "q03_seed_filter" ->
+      s"""WITH $CTE SELECT vid, degree FROM deg WHERE degree > 1""",
+    "q04_orient_bydeg" ->
+      s"""WITH $CTE
+         |SELECT CASE WHEN x.degree < y.degree OR (x.degree = y.degree AND e.s < e.d) THEN e.s ELSE e.d END AS src,
+         |       CASE WHEN x.degree < y.degree OR (x.degree = y.degree AND e.s < e.d) THEN e.d ELSE e.s END AS dst
+         |FROM e JOIN deg x ON e.s = x.vid JOIN deg y ON e.d = y.vid""".stripMargin,
+    "q05_adj" ->
+      s"""WITH $CTE SELECT s AS src, list(d ORDER BY d) AS adj FROM sym GROUP BY 1""",
+    "q06_tc_total" ->
+      s"""WITH $CTE
+         |SELECT count(*) AS triangles
+         |FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d""".stripMargin,
+    "q07_tc_pervertex" ->
+      s"""WITH $CTE,
+         |tri AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |        FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |SELECT v AS vid, count(*) AS tc FROM corners GROUP BY 1""".stripMargin,
+    "q08_cc" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |)
+         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin,
+    "q09_cc_sizes" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |),
+         |cc AS (SELECT vid, min(lbl) AS component FROM reach GROUP BY vid)
+         |SELECT component, count(*) AS n FROM cc GROUP BY 1""".stripMargin,
+    "q10_pagerank" ->
+      s"""WITH RECURSIVE $CTE, $FULL,
+         |pr(iter, vid, rank) AS (
+         |  SELECT 0, vid, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) FROM fdeg
+         |  UNION ALL
+         |  SELECT p.iter + 1, s.d,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+         |         + CAST(0.85 AS DOUBLE) * sum(p.rank / g.odeg)
+         |  FROM pr p JOIN fdeg g ON p.vid = g.vid JOIN fsym s ON p.vid = s.s
+         |  WHERE p.iter < 10
+         |  GROUP BY 1, 2
+         |)
+         |SELECT vid, round(rank, 8) AS rank FROM pr WHERE iter = 10""".stripMargin,
+    "q11_lp" ->
+      s"""WITH RECURSIVE $CTE,
+         |lp(iter, vid, lbl) AS (
+         |  SELECT 0, vid, vid FROM deg
+         |  UNION ALL
+         |  SELECT iter + 1, vid, arg_min(nlbl, cnt * (-1000000000) + nlbl) FROM (
+         |    SELECT l.iter AS iter, s.d AS vid, l.lbl AS nlbl, count(*) AS cnt
+         |    FROM lp l JOIN sym s ON l.vid = s.s
+         |    WHERE l.iter < 5
+         |    GROUP BY 1, 2, 3
+         |  ) GROUP BY 1, 2
+         |)
+         |SELECT vid, lbl AS label FROM lp WHERE iter = 5""".stripMargin,
+    "q12_argmax_degree" ->
+      s"""WITH $CTE
+         |SELECT max(degree) AS max_degree, count(*) AS n_at_max, min(vid) AS min_vid
+         |FROM deg WHERE degree = (SELECT max(degree) FROM deg)""".stripMargin,
+    "q13_topk_nbrs" ->
+      s"""WITH $CTE,
+         |w AS (SELECT src AS s, dst AS d, weight FROM cooc
+         |      UNION ALL SELECT dst, src, weight FROM cooc),
+         |r AS (SELECT s, d, weight,
+         |             row_number() OVER (PARTITION BY s ORDER BY weight DESC, d) AS rn
+         |      FROM w)
+         |SELECT s AS src, d AS dst, weight FROM r WHERE rn <= 3""".stripMargin,
+    "q14_pattern_brand" ->
+      s"""WITH $CTE
+         |SELECT x.p_brand AS brand_a, y.p_brand AS brand_c, count(*) AS pairs
+         |FROM cooc JOIN part x ON cooc.src = x.p_partkey
+         |          JOIN part y ON cooc.dst = y.p_partkey
+         |GROUP BY 1, 2""".stripMargin,
+    "q15_sha_invariant" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents",
+    "q16_dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q17_ngram_jaccard" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+        |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.65""".stripMargin,
+    "q18_tokens" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q19_quality" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |       / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
+        | round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |       / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio,
+        | round(CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+        |       / length(text), 6) AS alpha_ratio
+        |FROM documents""".stripMargin,
+    "q20_langid" ->
+      """SELECT doc_id,
+        | CASE WHEN e >= d AND e >= f AND e > 0 THEN 'en'
+        |      WHEN d >= f AND d > 0 THEN 'de'
+        |      WHEN f > 0 THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS e,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht'))) AS d,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','est','que'))) AS f
+        |FROM documents)""".stripMargin,
+    "q21_fingerprint" ->
+      """SELECT doc_id, sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q22_embed_norm" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+        |FROM embeddings""".stripMargin,
+    "q23_ann_top1" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, b.label AS lb,
+        |         list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS dot
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT va, vb, lb,
+        |             row_number() OVER (PARTITION BY va ORDER BY dot DESC, vb) AS rn
+        |      FROM p)
+        |SELECT va AS vec_id, vb AS nn_id, lb AS nn_label FROM r WHERE rn = 1""".stripMargin,
+    "q24_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_mm_decode" ->
+      """SELECT doc_id,
+        | 16 + octet_length(encode(text)) % 48 AS width,
+        | 16 + (CAST(ascii(substr(text, 1, 1)) AS BIGINT) + octet_length(encode(text))) % 48 AS height,
+        | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edge-table derivation and canonical graph shapes.
+  *
+  * The reference's graph lives as per-worker sorted adjacency lists
+  * (`core/vertex.hpp:59-81`, sort at `apps/trianglecount.cpp:360`); here the
+  * graph is a columnar edge table `(src: long, dst: long, weight: long)` with
+  * canonical `src < dst`, plus derived symmetric/oriented/adjacency views.
+  * All shapes are plain Catalyst plans — filters and projections push to the
+  * parquet scan, joins shuffle on the vertex key.
+  */
+object Edges {
+
+  /** Weighted co-occurrence edges: two items are linked iff they share a
+    * group key (the corpus analog: two paths share a commit — SURVEY §1.3).
+    *
+    * Scale notes (SURVEY §4.3): `capPerGroup` bounds the quadratic pair
+    * expansion of hub groups (a giant monorepo commit) by keeping a
+    * deterministic top-K of items per group, ordered by `xxhash64` — the
+    * same pruning idea as the reference's `CAND_MAX_TIME`
+    * (`apps/focusCO.cpp:266-276`). The self-join shuffles once on the group
+    * key; AQE skew-join splits any remaining hot groups.
+    *
+    * @param df        input rows
+    * @param groupCol  group key column name (e.g. commit / order key)
+    * @param itemCol   item id column name (long-castable vertex id)
+    * @param minWeight keep edges with at least this many shared groups
+    * @param capPerGroup max items per group entering pair expansion
+    */
+  def coOccurrence(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minWeight: Long = 1L,
+      capPerGroup: Int = Int.MaxValue): DataFrame = {
+    val items0 = df
+      .select(col(groupCol).as("g"), col(itemCol).cast("long").as("item"))
+      .distinct()
+    val items =
+      if (capPerGroup == Int.MaxValue) items0
+      else {
+        val w = Window.partitionBy(col("g"))
+          .orderBy(xxhash64(col("item")), col("item"))
+        items0.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= capPerGroup)
+          .drop("rn")
+      }
+    items.as("a")
+      .join(items.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
+  /** Both directions of a canonical (src<dst) edge table — the message
+    * fabric for undirected gather-scatter (B2 in SURVEY §2.8). */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Per-vertex degree from a symmetric edge table. */
+  def degrees(sym: DataFrame): DataFrame =
+    sym.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+
+  /** Orient each undirected edge from the lower (degree, id) endpoint to the
+    * higher — bounds triangle-intersection work by O(E^1.5) on power-law
+    * graphs (same result set as the reference's id-orientation at
+    * `apps/trianglecount.cpp:303-331`, better hub behavior). */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = degrees(symmetrize(edges))
+    val e = edges.select(col("src"), col("dst"))
+      .join(deg.withColumnRenamed("vid", "src").withColumnRenamed("degree", "ds"), "src")
+      .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("degree", "dd"), "dst")
+    val srcFirst = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    e.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("dst"))
+  }
+
+  /** Sorted adjacency arrays — the Spark analog of the reference's
+    * `VertexTable` of sorted adjlists (`core/vertex_table.hpp:18-39`). One
+    * shuffle on src; arrays sorted for merge-intersection semantics. */
+  def adjacency(sym: DataFrame): DataFrame =
+    sym.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj"))
+
+  /** Distinct vertex ids of a symmetric edge table. */
+  def vertexIds(sym: DataFrame): DataFrame =
+    sym.select(col("src").as("vid")).distinct()
+
+  /** Salt expression for two-phase hub aggregation (SURVEY §4.3). */
+  def saltOf(c: Column, salts: Int): Column = pmod(xxhash64(c), lit(salts))
+}

@@ -1,0 +1,60 @@
+package graft.kernels
+
+import graft.engine.{Checkpointer, IterationMetric, Superstep}
+import graft.graph.Edges
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation: every vertex starts with its own id as
+  * label; each superstep it adopts the MODE of its neighbors' labels, ties
+  * broken by the smallest label. Deterministic by construction (SURVEY
+  * §7.4.3) — the reference's hash-min pass (`partition/BPartitioner.tpp:
+  * 90-165`) is the min-label special case of this kernel.
+  *
+  * The mode-with-min-tiebreak is pure builtin aggregation (two-phase, per
+  * SURVEY §7.3's preferred fallback): count labels per (vid, label), then
+  * per vid take max of struct(count, -label) — lexicographic struct
+  * ordering gives greatest count, then smallest label. Both aggregations
+  * get map-side partial combine from Catalyst.
+  */
+object LabelPropagation {
+
+  final case class Result(labels: DataFrame,
+                          metrics: Seq[IterationMetric],
+                          iterations: Int,
+                          converged: Boolean)
+
+  /** @param sym symmetric edge table (src, dst)
+    * @param iterations fixed superstep count (synchronous LP need not
+    *        converge — fixed budget keeps results well-defined); stops
+    *        early at a fixpoint */
+  def run(spark: SparkSession, sym: DataFrame,
+          iterations: Int,
+          ckpt: Option[Checkpointer] = None,
+          resume: Boolean = false): Result = {
+    val edges = sym.select(col("src"), col("dst")).persist()
+
+    def init: DataFrame =
+      Edges.vertexIds(edges).select(col("vid"), col("vid").as("label"))
+
+    def step(labels: DataFrame): DataFrame = {
+      val msgs = edges
+        .join(labels, edges("src") === labels("vid"))
+        .select(edges("dst").as("vid"), col("label"))
+      val hist = msgs.groupBy(col("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      hist.groupBy("vid")
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vid"), (-col("m.nl")).as("label"))
+    }
+
+    def delta(prev: DataFrame, next: DataFrame): Double =
+      next.as("n").join(prev.as("p"), "vid")
+        .filter(col("n.label") =!= col("p.label")).count().toDouble
+
+    val (state, metrics, iters, done) = Superstep.run(
+      spark, "lp", init, step, delta, _ == 0.0, iterations, ckpt, resume)
+    edges.unpersist()
+    Result(state, metrics, iters, done)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.kernels
+
+import graft.engine.{Checkpointer, IterationMetric, Superstep}
+import graft.graph.Edges
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank as SpMV-style gather-scatter on the reference's BSP substrate
+  * (SURVEY §2.8: B1 superstep loop + B2 message passing with combiner;
+  * PageRank itself is not in the reference — README.md:5 cites it as the
+  * canonical Pregel workload; standard public semantics used here):
+  *
+  *   rank'(v) = teleport/N + damping * ( Σ_{u→v} rank(u)/outdeg(u)
+  *                                       + danglingMass/N )
+  *
+  * Scale design (SURVEY §4.3-4.4): the link table (src, dst, odeg) is built
+  * once, hash-partitioned on src and persisted; each superstep is one
+  * co-partitioned join + a two-phase SALTED aggregation — contributions to a
+  * hub vertex are first combined within (dst, salt) buckets, bounding any
+  * single reducer's fan-in, then reduced per dst. Dangling mass is a scalar
+  * aggregate collected per superstep (the reference's two-phase
+  * `Aggregator` shape, `util/aggregator.hpp:12-30`). State is checkpointed
+  * per superstep; convergence is max |Δrank| ≤ tol.
+  */
+object PageRank {
+
+  final case class Result(ranks: DataFrame,
+                          metrics: Seq[IterationMetric],
+                          iterations: Int,
+                          converged: Boolean)
+
+  /** @param edgesDirected directed edge table (src, dst); symmetrize
+    *                      upstream for undirected graphs
+    * @param fixedIter     if set, run exactly this many supersteps (no
+    *                      convergence test) — used by the DuckDB-oracle
+    *                      parity queries
+    * @param salts         >1 enables two-phase salted aggregation
+    */
+  def run(spark: SparkSession, edgesDirected: DataFrame,
+          tol: Double = 1e-6,
+          maxIter: Int = 100,
+          fixedIter: Option[Int] = None,
+          teleport: Double = 0.15,
+          damping: Double = 0.85,
+          salts: Int = 1,
+          ckpt: Option[Checkpointer] = None,
+          resume: Boolean = false): Result = {
+
+    val e = edgesDirected.select(col("src"), col("dst"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val links = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("odeg"))
+      .repartition(col("src"))
+      .persist()
+    val verts = e.select(col("src").as("vid"))
+      .union(e.select(col("dst").as("vid"))).distinct().persist()
+    val n = verts.count()
+    val hasDangling = outDeg.count() < n
+    val base = teleport / n
+
+    def init: DataFrame =
+      verts.select(col("vid"), (lit(1.0) / n).as("rank"))
+
+    def step(ranks: DataFrame): DataFrame = {
+      val danglingMass =
+        if (!hasDangling) 0.0
+        else ranks.join(links.select("src").distinct(),
+            ranks("vid") === col("src"), "left_anti")
+          .agg(sum("rank")).first() match {
+            case r if r.isNullAt(0) => 0.0
+            case r                  => r.getDouble(0)
+          }
+      val contribs = links
+        .join(ranks, links("src") === ranks("vid"))
+        .select(links("dst").as("vid"),
+          (col("rank") / col("odeg")).as("c"))
+      val summed =
+        if (salts > 1)
+          contribs.withColumn("salt", Edges.saltOf(col("vid"), salts))
+            .groupBy("vid", "salt").agg(sum("c").as("c"))
+            .groupBy("vid").agg(sum("c").as("s"))
+        else contribs.groupBy("vid").agg(sum("c").as("s"))
+      val add = base + damping * danglingMass / n
+      // vertices receiving no contribution still get teleport + dangling share
+      verts.join(summed, Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(add) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+
+    def delta(prev: DataFrame, next: DataFrame): Double =
+      next.as("n").join(prev.as("p"), "vid")
+        .agg(max(abs(col("n.rank") - col("p.rank")))).first().getDouble(0)
+
+    val (iters, conv): (Int, Double => Boolean) = fixedIter match {
+      case Some(k) => (k, _ => false)
+      case None    => (maxIter, _ <= tol)
+    }
+    // with fixedIter the delta job is skipped entirely (oracle-parity mode)
+    val deltaFn: (DataFrame, DataFrame) => Double =
+      if (fixedIter.isDefined) (_, _) => Double.MaxValue else delta
+
+    val (state, metrics, it, done) = Superstep.run(
+      spark, "pagerank", init, step, deltaFn, conv, iters, ckpt, resume)
+    links.unpersist(); verts.unpersist()
+    Result(state, metrics, it, done || fixedIter.isDefined)
+  }
+}

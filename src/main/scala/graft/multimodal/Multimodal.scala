@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded per-partition in batches.
+  *
+  * The decode itself is STUBBED (no image/audio codecs in this
+  * environment): [[StubCodec.decode]] derives a deterministic fake frame
+  * from the raw bytes (dimensions and first byte — see the marked stub).
+  * Everything around it — schema, binary column handling, typed
+  * mapPartitions batching, partition sizing — is the real Spark-side
+  * pipeline a codec would drop into.
+  */
+object Multimodal {
+
+  /** A decoded media frame (fake contents, real shape). */
+  final case class Frame(id: Long, width: Long, height: Long,
+                         channels: Long, first_byte: Long)
+
+  object StubCodec {
+    /** STUB: a real implementation would decode the container format
+      * (JPEG/PNG/WAV...) here. The fake is a pure function of the bytes so
+      * tests and oracles stay deterministic. */
+    def decode(id: Long, bytes: Array[Byte]): Frame = {
+      val len = bytes.length.toLong
+      val first = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong
+      Frame(id, 16 + len % 48, 16 + (first + len) % 48, 3, first)
+    }
+  }
+
+  /** Decode a binary column per-partition (the Scala analog of
+    * `mapInPandas` batch decode): input (id: long, media: binary) →
+    * Dataset[Frame]. Iterator-to-iterator, so the codec amortizes any
+    * per-batch setup and spills never buffer a whole partition. */
+  def decodeFrames(spark: SparkSession, df: DataFrame,
+                   idCol: String, binCol: String): Dataset[Frame] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here (real codecs are costly
+        // to construct; one instance per partition, reused per row)
+        it.map { case (id, bytes) => StubCodec.decode(id, bytes) }
+      }
+  }
+
+  /** documents(text) → (doc_id, media binary) — turns any string column
+    * into the opaque-binary shape real image/audio tables have. */
+  def asBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), encode(col(textCol), "UTF-8").as("media"))
+}

@@ -1,0 +1,87 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * `bruteTopK` is the exact O(n²) baseline (all-pairs join + window);
+  * `lshTopK` is the scale path: sign-random-projection bucketing so the
+  * pair join only touches vectors sharing a hyperplane-sign band, then
+  * exact re-ranking of candidates. Dot products are sequential
+  * `aggregate` folds over `zip_with` products in double precision —
+  * codegen'd, deterministic, no UDFs.
+  */
+object Ann {
+
+  /** Double-precision dot product of two array columns (sequential fold —
+    * deterministic across partitionings). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array column. */
+  def l2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity of two array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Exact top-k neighbors per vector by cosine, ties broken by neighbor
+    * id: (vec_id, nn_id, rnk, cosine). Quadratic — the correctness
+    * baseline and the per-bucket kernel of [[lshTopK]]. */
+  def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    val a = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
+    val pairs = a.join(b, col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("va"), col("vb")).as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes (seeded driver-side; tiny, shipped
+    * as literals into the plan — the reference's broadcast-small-map
+    * pattern, `partition/BDGPartitioner.tpp:131-135`). */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Approximate top-k via sign-random-projection LSH: `bands` bucket keys
+    * of `bitsPerBand` hyperplane signs each; vectors sharing any band
+    * bucket become candidates, re-ranked exactly. Recall rises with bands;
+    * cost is bounded by bucket sizes instead of n². */
+  def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+              dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    def bandKey(b: Int): Column =
+      (0 until bitsPerBand).map { j =>
+        val p = typedlit(planes(b * bitsPerBand + j))
+        when(dot(col(vecCol), p) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    val keyed = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      posexplode(array((0 until bands).map(bandKey): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("vec_id"), col("b.vid").as("nn_id"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_id", "nn_id")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    cands.withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))
+  }
+}

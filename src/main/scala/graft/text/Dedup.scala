@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora.
+  *
+  * All variants are pure builtin-function plans (no UDFs, ANSI-safe: hashing
+  * uses `xxhash64(value, seed)` rather than hand-rolled long arithmetic so
+  * nothing can overflow), designed so the heavy step is one shuffle:
+  *  - exact: hash-groupBy on content sha256
+  *  - ngramJaccard: exact all-pairs Jaccard via a shingle equi-join
+  *    (quadratic in bucket size — the correctness baseline)
+  *  - minHashLsh: MinHash signatures (k column-wise min-aggregations with
+  *    map-side combine) + banded LSH bucketing join — the 100 TB scale path:
+  *    candidate generation touches only colliding buckets
+  *  - simHash: 64-bit sign-of-sum fingerprint per doc; near-dups = equal
+  *    fingerprints (or small Hamming distance via multi-probe)
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (text_sha, n_docs, keeper). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** Distinct (id, shingle) relation of character k-shingles.
+    * Docs shorter than k characters yield no rows. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame =
+    docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.charShingles(col(textCol), k)).as("g"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for all pairs with j >= threshold:
+    * (d1, d2, jaccard). |A∩B| from the shingle self-join, |A∪B| by
+    * inclusion-exclusion — set-at-a-time, no per-pair set objects. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k).persist()
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))
+    inter
+      .join(sz.as("x"), col("d1") === col("x.id"))
+      .join(sz.as("y"), col("d2") === col("y.id"))
+      .filter(j >= threshold)
+      .select(col("d1"), col("d2"), j.as("jaccard"))
+  }
+
+  /** MinHash signature columns: (id, sig array<long> of length k).
+    * Permutation i is `xxhash64(shingle, i)`; the signature is k builtin
+    * min-aggregations (partial+final, map-side combined). */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH near-duplicate candidates, with signature-level
+    * similarity estimate: (d1, d2, est_jaccard). Pairs collide if any band
+    * of r signature rows matches exactly; est_jaccard = fraction of equal
+    * signature components. At scale the bucket join replaces the quadratic
+    * all-pairs scan; skewed buckets (boilerplate shingle sets) are bounded
+    * by `maxBucket`. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7,
+                 maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(shingles(docs, idCol, textCol, k), numHashes)
+      .persist()
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // guard hot buckets (near-universal boilerplate) before the pair join
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+    val inBucket = banded.join(counts, Seq("band", "bucket"), "left_semi")
+    val cands = inBucket.as("a")
+      .join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .dropDuplicates("d1", "d2")
+    val est = size(filter(zip_with(col("s1"), col("s2"),
+        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+      .cast("double") / numHashes
+    cands.select(col("d1"), col("d2"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens:
+    * bit j = sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1).
+    * Pure builtin: 64 sum-aggregations then a bitwise-OR fold. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until 64).map(j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"s$j"))
+    val bits = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    toks.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+  }
+}
