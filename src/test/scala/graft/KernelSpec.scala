@@ -1,0 +1,153 @@
+package graft
+
+import graft.graph.Edges
+import graft.kernels._
+import org.apache.spark.sql.functions._
+
+/** Engine kernels vs single-threaded oracles on golden micro-graphs
+  * (FIXTURES.md §3), the reference's 15-vertex sample, and seeded random
+  * graphs (FIXTURES.md §4). CC/LP/TC exact; PR allclose (north rule).
+  */
+class KernelSpec extends SparkSpec {
+
+  private val golden: Map[String, Seq[(Long, Long)]] = Map(
+    "triangle" -> Seq((1L, 2L), (2L, 3L), (1L, 3L)),
+    "path4" -> Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+    "star5" -> (2L to 5L).map(k => (1L, k)),
+    "twoComp" -> Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L)),
+    "bowtie" -> Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)),
+    "k4" -> Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+    "sample15" -> Oracles.sample15)
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(spark, Edges.symmetrize(edgeDF(edges)))
+      .components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components match union-find on golden graphs") {
+    golden.foreach { case (name, es) =>
+      assert(ccOf(es) === Oracles.connectedComponents(es), s"graph=$name")
+    }
+  }
+
+  test("triangle totals match enumeration (both orientations)") {
+    golden.foreach { case (name, es) =>
+      val expect = Oracles.triangleCount(es)
+      val byDeg = TriangleCount.total(edgeDF(es)).head().getLong(0)
+      val byId = TriangleCount.total(edgeDF(es), byDegree = false)
+        .head().getLong(0)
+      assert(byDeg === expect, s"graph=$name byDegree")
+      assert(byId === expect, s"graph=$name byId")
+    }
+  }
+
+  test("per-vertex triangle counts match enumeration on sample15") {
+    val got = TriangleCount.perVertex(edgeDF(Oracles.sample15))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Oracles.trianglesPerVertex(Oracles.sample15))
+  }
+
+  test("label propagation matches synchronous min-tie-break oracle") {
+    Seq("triangle", "twoComp", "sample15").foreach { name =>
+      val es = golden(name)
+      val got = LabelPropagation.run(spark, Edges.symmetrize(edgeDF(es)), 5)
+        .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Oracles.labelPropagation(es, 5), s"graph=$name")
+    }
+  }
+
+  test("pagerank (10 supersteps, undirected) allclose 1e-9 vs oracle; sums to 1") {
+    Seq("star5", "sample15").foreach { name =>
+      val es = golden(name)
+      val sym = es ++ es.map(_.swap)
+      val expect = Oracles.pageRank(sym, 10)
+      val got = PageRank.run(spark, Edges.symmetrize(edgeDF(es)),
+        fixedIter = Some(10)).ranks
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === expect.keySet, s"graph=$name")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - expect(v)) < 1e-9, s"graph=$name vid=$v")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"graph=$name mass")
+    }
+  }
+
+  test("pagerank handles dangling vertices and directed edges") {
+    // 1→2, 2→3, 3→1 cycle plus 1→4 where 4 is a sink (dangling)
+    import spark.implicits._
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val df = directed.toDF("src", "dst")
+    val expect = Oracles.pageRank(directed, 15)
+    val got = PageRank.run(spark, df, fixedIter = Some(15)).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - expect(v)) < 1e-12, s"vid=$v")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pagerank converges at 1e-6 and matches oracle at the same step count") {
+    val res = PageRank.run(spark,
+      Edges.symmetrize(edgeDF(Oracles.sample15)), tol = 1e-6, maxIter = 100)
+    assert(res.converged)
+    val sym = Oracles.sample15 ++ Oracles.sample15.map(_.swap)
+    val expect = Oracles.pageRank(sym, res.iterations)
+    res.ranks.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - expect(r.getLong(0))) < 1e-6)
+    }
+  }
+
+  test("pagerank salted aggregation is equivalent (allclose 1e-12)") {
+    val sym = Edges.symmetrize(edgeDF(Oracles.powerLaw(80, seed = 7)))
+    val plain = PageRank.run(spark, sym, fixedIter = Some(5)).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = PageRank.run(spark, sym, fixedIter = Some(5), salts = 8)
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet === salted.keySet)
+    plain.foreach { case (v, r) =>
+      assert(math.abs(r - salted(v)) < 1e-12, s"vid=$v")
+    }
+  }
+
+  test("random graphs: CC and TC match oracles (seeded ER + power-law)") {
+    val graphs = Seq(
+      Oracles.erdosRenyi(50, 0.08, seed = 1),
+      Oracles.erdosRenyi(80, 0.05, seed = 2),
+      Oracles.powerLaw(100, seed = 3))
+    graphs.zipWithIndex.foreach { case (es, i) =>
+      assert(ccOf(es) === Oracles.connectedComponents(es), s"graph#$i cc")
+      assert(TriangleCount.total(edgeDF(es)).head().getLong(0)
+        === Oracles.triangleCount(es), s"graph#$i tc")
+    }
+  }
+
+  test("TC invariant under vertex relabeling") {
+    val es = Oracles.erdosRenyi(40, 0.12, seed = 9)
+    val relabeled = es.map { case (a, b) =>
+      (a * 1000003L % 999983L, b * 1000003L % 999983L)
+    }
+    assert(TriangleCount.total(edgeDF(es)).head().getLong(0)
+      === TriangleCount.total(edgeDF(relabeled)).head().getLong(0))
+  }
+
+  test("coOccurrence derives weighted canonical edges; cap bounds hub groups") {
+    import spark.implicits._
+    val rows = Seq( // group g1: items 1,2,3; g2: items 2,3; g3: item 9 alone
+      ("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 1L),
+      ("g2", 2L), ("g2", 3L), ("g3", 9L)).toDF("g", "item")
+    val got = Edges.coOccurrence(rows, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+    // cap=2: each group contributes at most C(2,2)=1 pair
+    val capped = Edges.coOccurrence(rows, "g", "item", capPerGroup = 2)
+    assert(capped.count() <= 2)
+  }
+
+  test("orientByDegree preserves the edge set as an undirected relation") {
+    val es = Oracles.powerLaw(60, seed = 5)
+    val orig = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val got = Edges.orientByDegree(edgeDF(es)).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(got === orig)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.sim.Ann
+import graft.text.{Dedup, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Training-data operators: dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash), text analysis, similarity search, multimodal plumbing.
+  */
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash, keeper = min id") {
+    val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "unique")
+    val got = Dedup.exactGroups(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("n-gram Jaccard: identical docs = 1.0, disjoint docs filtered out") {
+    val d = docs(1L -> "abcabc", 2L -> "abcabc", 3L -> "xyzxyz")
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === Map((1L, 2L) -> 1.0))
+  }
+
+  test("n-gram Jaccard matches a hand-computed overlap") {
+    // shingle sets k=2: "abcd"->{ab,bc,cd}, "bcde"->{bc,cd,de}; J = 2/4
+    val d = docs(1L -> "abcd", 2L -> "bcde")
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", k = 2, threshold = 0.1)
+      .head()
+    assert(got.getDouble(2) === 0.5)
+  }
+
+  test("minhash estimate approximates true Jaccard; LSH finds near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val near = base.replace("lazy", "hazy")
+    val far = "completely different content with nothing shared at all " * 8
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val trueJ = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.0)
+      .filter(col("d1") === 1 && col("d2") === 2).head().getDouble(2)
+    val got = Dedup.minHashLsh(d, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((1L, 2L)), "only the near-dup pair collides")
+    assert(math.abs(got((1L, 2L)) - trueJ) < 0.2,
+      s"est ${got((1L, 2L))} vs true $trueJ")
+  }
+
+  test("simhash: identical docs equal; unrelated docs differ") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "entirely other words here")
+    val m = Dedup.simHash(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("text analysis columns: tokens, avg length, stopword/alpha ratios, langid, fingerprint") {
+    val d = docs(1L -> "the cat sat", 2L -> "der hund ist nicht da")
+    val r = d.select(col("doc_id"), TF.tokenCount(col("text")).as("n"),
+      TF.avgTokenLen(col("text")).as("avg"),
+      TF.stopwordRatio(col("text")).as("sw"),
+      TF.alphaRatio(col("text")).as("al"),
+      TF.langId(col("text")).as("lang"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 3L)
+    assert(math.abs(r(1L).getDouble(2) - 3.0) < 1e-12)    // 9 chars / 3 tokens
+    assert(math.abs(r(1L).getDouble(3) - 1.0 / 3) < 1e-12) // "the" of 3
+    assert(r(1L).getString(5) === "en")
+    assert(r(2L).getString(5) === "de")
+    // fingerprint invariant to case/punct/whitespace
+    val fp = spark.range(1).select(
+      TF.fingerprint(lit("Hello, World!")).as("a"),
+      TF.fingerprint(lit("  hello world  ")).as("b")).head()
+    assert(fp.getString(0) === fp.getString(1))
+  }
+
+  test("brute-force ANN: exact top-k by cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Ann.bruteTopK(vecs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+  }
+
+  test("LSH ANN recovers exact duplicates as top-1 with cosine ~ 1") {
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val pts = (0 until 20).flatMap { c =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      Seq((2L * c, v), (2L * c + 1, v)) // identical twins
+    }
+    val vecs = pts.toDF("vec_id", "embedding")
+    val got = Ann.lshTopK(vecs, "vec_id", "embedding", k = 1, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val top1 = got.map(t => t._1 -> t._2).toMap
+    // identical vectors share every band bucket → twin always a candidate
+    (0 until 20).foreach { c =>
+      assert(top1(2L * c) === 2L * c + 1)
+      assert(top1(2L * c + 1) === 2L * c)
+    }
+    got.foreach(t => assert(t._3 > 0.999))
+  }
+
+  test("multimodal stub decode is deterministic with real plumbing") {
+    val d = docs(1L -> "some media payload", 2L -> "x")
+    val bin = graft.multimodal.Multimodal.asBinary(d, "doc_id", "text")
+    assert(bin.schema("media").dataType.typeName === "binary")
+    val frames = graft.multimodal.Multimodal
+      .decodeFrames(spark, bin, "id", "media")
+      .collect().map(f => f.id -> f).toMap
+    assert(frames(1L).width === 16 + "some media payload".length % 48)
+    assert(frames(1L).first_byte === 's'.toLong)
+    assert(frames(2L).channels === 3L)
+  }
+}
