@@ -166,7 +166,32 @@ object SparkEntry {
         .toDF().select(col("id").as("doc_id"), col("width"),
           col("height"), col("first_byte"))),
 
+    // pattern join (J5, GM semantics): labeled 3-path embeddings
+    "q30_pattern_path3" -> ((s, d) => {
+      val verts = T(s, d, "part")
+        .select(col("p_partkey").cast("long").as("vid"),
+          col("p_brand").as("label"))
+      graft.kernels.GraphMatch.countPath(verts,
+        Edges.symmetrize(e2(s, d)),
+        Seq("Brand#1", "Brand#2", "Brand#3"))
+    }),
+
+    // embedding-cosine near-duplicate pairs (exact baseline)
+    "q33_embed_neardup" -> ((s, d) =>
+      Ann.nearDuplicates(T(s, d, "embeddings"), "vec_id", "embedding", 0.35)
+        .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))),
+    // BPE-ish regex token counts
+    "q34_tokens_bpe" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TF.tokenCountBpe(col("text")).as("n_bpe_tokens"))),
+
     // -- no SQL oracle (rows-only check; exactness covered in ScalaTest) --
+    // max clique (MCF semantics: argmax size + ties + witness)
+    "q31_maxclique" -> ((s, d) =>
+      graft.kernels.MaxClique.run(s, e2(s, d))),
+    // k-core peeling (CD density primitive)
+    "q32_kcore" -> ((s, d) =>
+      graft.kernels.KCore.run(s, Edges.symmetrize(e2(s, d)), 3).core),
     "q26_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(T(s, d, "documents"), "doc_id", "text",
         k = 3, numHashes = 64, bands = 16, threshold = 0.7)
@@ -340,6 +365,33 @@ object SparkEntry {
         | 16 + octet_length(encode(text)) % 48 AS width,
         | 16 + (CAST(ascii(substr(text, 1, 1)) AS BIGINT) + octet_length(encode(text))) % 48 AS height,
         | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin,
+    "q30_pattern_path3" ->
+      s"""WITH $CTE,
+         |lab AS (SELECT p_partkey AS vid, p_brand AS label FROM part)
+         |SELECT count(*) AS matches
+         |FROM lab a
+         |JOIN sym e1 ON e1.s = a.vid
+         |JOIN lab b ON e1.d = b.vid
+         |JOIN sym e2 ON e2.s = b.vid
+         |JOIN lab c ON e2.d = c.vid
+         |WHERE a.label = 'Brand#1' AND b.label = 'Brand#2'
+         |  AND c.label = 'Brand#3' AND a.vid <> c.vid""".stripMargin,
+    "q33_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                     list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT d1, d2, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.35""".stripMargin,
+    "q34_tokens_bpe" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |   AS n_bpe_tokens
         |FROM documents""".stripMargin
   )
 }

@@ -74,7 +74,8 @@ object Superstep {
       converged: Double => Boolean,
       maxIter: Int,
       ckpt: Option[Checkpointer] = None,
-      resume: Boolean = false): (DataFrame, Seq[IterationMetric], Int, Boolean) = {
+      resume: Boolean = false,
+      countRows: Boolean = true): (DataFrame, Seq[IterationMetric], Int, Boolean) = {
 
     val meter = new ShuffleMeter(spark)
     val metrics = ArrayBuffer.empty[IterationMetric]
@@ -92,7 +93,9 @@ object Superstep {
       val t0 = System.nanoTime()
       val (r0, w0) = meter.snapshot
       val mat = materialize(spark, step(state), iter, ckpt)
-      val rows = mat.count()
+      // rows metric costs one (cheap) extra job per superstep; callers on a
+      // pure-throughput path (fixed-iteration bench) can skip it
+      val rows = if (countRows) mat.count() else -1L
       val d = delta(state, mat)
       val (r1, w1) = meter.snapshot
       metrics += IterationMetric(algo, runId, iter, rows, d,

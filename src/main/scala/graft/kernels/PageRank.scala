@@ -34,7 +34,13 @@ object PageRank {
     * @param fixedIter     if set, run exactly this many supersteps (no
     *                      convergence test) — used by the DuckDB-oracle
     *                      parity queries
-    * @param salts         >1 enables two-phase salted aggregation
+    * @param salts         >1 enables two-phase salted aggregation for hub
+    *                      destinations (in-degree > hubDegree); non-hub
+    *                      contributions aggregate single-phase, so the salt
+    *                      costs nothing on skew-free graphs and bounds
+    *                      reducer fan-in exactly where power-law hubs are
+    * @param hubDegree     in-degree threshold above which a destination is
+    *                      treated as a hub
     */
   def run(spark: SparkSession, edgesDirected: DataFrame,
           tol: Double = 1e-6,
@@ -43,6 +49,7 @@ object PageRank {
           teleport: Double = 0.15,
           damping: Double = 0.85,
           salts: Int = 1,
+          hubDegree: Long = 100000L,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false): Result = {
 
@@ -57,6 +64,16 @@ object PageRank {
     val n = verts.count()
     val hasDangling = outDeg.count() < n
     val base = teleport / n
+    // hub destinations (in-degree above threshold) — tiny by definition of
+    // power laws (collected once, capped, shipped as an InSet literal so
+    // the per-superstep plan needs NO extra join or scan)
+    val hubIds: Array[Long] =
+      if (salts <= 1) Array.empty
+      else e.groupBy(col("dst").as("vid"))
+        .agg(count(lit(1)).as("indeg"))
+        .filter(col("indeg") > hubDegree)
+        .orderBy(col("indeg").desc).limit(100000)
+        .collect().map(_.getLong(0))
 
     def init: DataFrame =
       verts.select(col("vid"), (lit(1.0) / n).as("rank"))
@@ -75,11 +92,17 @@ object PageRank {
         .select(links("dst").as("vid"),
           (col("rank") / col("odeg")).as("c"))
       val summed =
-        if (salts > 1)
-          contribs.withColumn("salt", Edges.saltOf(col("vid"), salts))
+        if (hubIds.nonEmpty) {
+          // two-phase: hub-bound contributions spread over `salts` reducer
+          // buckets (bounded fan-in); everything else keeps salt 0, so the
+          // first shuffle is the same size as the unsalted plan and the
+          // second aggregates only ~|V| + |hubs|·salts rows
+          val salt = when(col("vid").isInCollection(hubIds),
+            Edges.saltOf(col("vid"), salts)).otherwise(lit(0L))
+          contribs.withColumn("salt", salt)
             .groupBy("vid", "salt").agg(sum("c").as("c"))
             .groupBy("vid").agg(sum("c").as("s"))
-        else contribs.groupBy("vid").agg(sum("c").as("s"))
+        } else contribs.groupBy("vid").agg(sum("c").as("s"))
       val add = base + damping * danglingMass / n
       // vertices receiving no contribution still get teleport + dangling share
       verts.join(summed, Seq("vid"), "left")
@@ -100,7 +123,8 @@ object PageRank {
       if (fixedIter.isDefined) (_, _) => Double.MaxValue else delta
 
     val (state, metrics, it, done) = Superstep.run(
-      spark, "pagerank", init, step, deltaFn, conv, iters, ckpt, resume)
+      spark, "pagerank", init, step, deltaFn, conv, iters, ckpt, resume,
+      countRows = fixedIter.isEmpty || ckpt.isDefined)
     links.unpersist(); verts.unpersist()
     Result(state, metrics, it, done || fixedIter.isDefined)
   }

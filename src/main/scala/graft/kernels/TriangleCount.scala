@@ -44,10 +44,29 @@ object TriangleCount {
     t
   }
 
+  /** Per-oriented-edge intersection sizes (src, dst, ncommon) — the count
+    * fabric, WITHOUT materializing a row per triangle. */
+  private def commonCounts(edges: DataFrame, byDegree: Boolean): DataFrame = {
+    val e = (if (byDegree) Edges.orientByDegree(edges)
+             else edges.select(col("src"), col("dst"))).persist()
+    val adj = e.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj"))
+    e.join(adj.withColumnRenamed("src", "u"), e("src") === col("u"))
+      .select(e("src"), e("dst"), col("adj").as("adjU"))
+      .join(adj.withColumnRenamed("src", "v").withColumnRenamed("adj", "adjV"),
+        col("dst") === col("v"))
+      .select(col("src"), col("dst"),
+        size(array_intersect(col("adjU"), col("adjV"))).as("ncommon"))
+  }
+
   /** Total triangle count as a one-row DataFrame (reference's CountAgg,
-    * `apps/trianglecount.cpp:50-119`). */
+    * `apps/trianglecount.cpp:50-119`). Sums per-edge intersection SIZES —
+    * never materializes a per-triangle row, so a clique-heavy graph with
+    * billions of triangles costs O(E^1.5) intersection work and O(E)
+    * rows, not O(#triangles). */
   def total(edges: DataFrame, byDegree: Boolean = true): DataFrame =
-    triangles(edges, byDegree).agg(count(lit(1)).as("triangles"))
+    commonCounts(edges, byDegree)
+      .agg(coalesce(sum(col("ncommon")), lit(0L)).as("triangles"))
 
   /** Per-vertex triangle participation counts (vid, tc) — vertices in at
     * least one triangle. */

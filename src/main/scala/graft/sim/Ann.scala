@@ -46,6 +46,19 @@ object Ann {
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (d1, d2, cosine) with
+    * d1 < d2 and cosine >= threshold. Brute all-pairs — the exactness
+    * baseline; at scale, feed LSH-bucket candidates ([[lshTopK]]'s keyed
+    * join) through the same cosine filter instead. */
+  def nearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("d1"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("d2"), col(vecCol).as("vb"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Deterministic random hyperplanes (seeded driver-side; tiny, shipped
     * as literals into the plan — the reference's broadcast-small-map
     * pattern, `partition/BDGPartitioner.tpp:131-135`). */

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interop with the reference's on-disk graph formats, as declarative
+  * text-scan plans (SURVEY §1.2; `docs/TUTORIALS.md:24-48`):
+  *
+  *  - `normal`:   `vid \t num nb1 nb2 …`  (`sample-datasets/normal_sample.adj`)
+  *  - `label`:    `vid label \t nb1 lbl1 nb2 lbl2 …`
+  *
+  * The line parse is pure builtin (`split`/`cast` — no UDF, stays in
+  * whole-stage codegen); at production scale the graph lives as columnar
+  * parquet/Iceberg and these readers are the migration path from the
+  * reference's HDFS text partitions (its `to_vertex` UDF,
+  * `core/slave.hpp:96`).
+  */
+object GraphIO {
+
+  /** Read `normal` format → (src: long, adj: array<long>), neighbors
+    * sorted (the reference sorts adjacency on load,
+    * `apps/trianglecount.cpp:360`). */
+  def readNormalAdj(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(col("value"), "\t").as("p"))
+      .select(col("p").getItem(0).cast("long").as("src"),
+        split(trim(col("p").getItem(1)), " +").as("toks"))
+      // first token is the neighbor count; the rest are neighbor ids
+      .select(col("src"),
+        sort_array(slice(col("toks"), 2, Int.MaxValue)
+          .cast("array<long>")).as("adj"))
+
+  /** Read `label` format → (src: long, label: string, nbrs array, labels array). */
+  def readLabelAdj(spark: SparkSession, path: String): DataFrame = {
+    val pairs = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(col("value"), "\t").as("p"))
+      .select(split(trim(col("p").getItem(0)), " +").as("v"),
+        split(trim(col("p").getItem(1)), " +").as("toks"))
+    pairs.select(
+      col("v").getItem(0).cast("long").as("src"),
+      col("v").getItem(1).as("label"),
+      filter(transform(col("toks"),
+        (t, i) => when(i % 2 === 0, t.cast("long"))), _.isNotNull)
+        .as("nbrs"),
+      filter(transform(col("toks"),
+        (t, i) => when(i % 2 === 1, t)), _.isNotNull).as("labels"))
+  }
+
+  /** Directed edge rows from an adjacency table. */
+  def edgesOf(adj: DataFrame): DataFrame =
+    adj.select(col("src"), explode(col("adj")).as("dst"))
+
+  /** Write (src, adj) back out in `normal` format (S4 partition-dump
+    * analog, `partition/Driver.tpp:24-39` — minus the baked-in worker ids,
+    * which Spark's partitioning replaces). */
+  def writeNormalAdj(adj: DataFrame, path: String): Unit =
+    adj.select(concat_ws("\t", col("src"),
+        concat_ws(" ", size(col("adj")), concat_ws(" ", col("adj"))))
+      .as("value"))
+      .write.mode("overwrite").text(path)
+}

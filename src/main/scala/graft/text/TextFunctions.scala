@@ -16,6 +16,15 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("long")
 
+  /** BPE-ish regex tokens: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenization split a byte-pair
+    * encoder applies before merges. */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Count of BPE-ish regex tokens (long). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Total non-whitespace characters. */
   def nonWsChars(text: Column): Column =
     length(regexp_replace(trim(text), "\\s+", "")).cast("long")

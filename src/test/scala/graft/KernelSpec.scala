@@ -100,7 +100,9 @@ class KernelSpec extends SparkSpec {
     val sym = Edges.symmetrize(edgeDF(Oracles.powerLaw(80, seed = 7)))
     val plain = PageRank.run(spark, sym, fixedIter = Some(5)).ranks
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val salted = PageRank.run(spark, sym, fixedIter = Some(5), salts = 8)
+    // hubDegree=3 so the power-law hubs really take the salted two-phase path
+    val salted = PageRank.run(spark, sym, fixedIter = Some(5), salts = 8,
+      hubDegree = 3L)
       .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(plain.keySet === salted.keySet)
     plain.foreach { case (v, r) =>

@@ -1,0 +1,144 @@
+package graft
+
+import graft.kernels.{GraphMatch, KCore, MaxClique}
+import graft.graph.Edges
+import graft.sources.GraphIO
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Mining kernels beyond the north-rule four (reference apps MCF/GM/CD
+  * surface): max clique, labeled pattern matching, k-core — each vs a
+  * brute-force oracle; plus the reference text-format readers.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- brute-force oracles ----
+
+  /** (maxCliqueSize, #cliques at that size) by subset enumeration. */
+  private def cliqueOracle(es: Seq[(Long, Long)]): (Int, Long) = {
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val verts = adj.keys.toSeq.sorted
+    var best = 1; var cnt = 0L
+    def rec(chosen: List[Long], rest: List[Long]): Unit = rest match {
+      case Nil =>
+        if (chosen.size > best) { best = chosen.size; cnt = 1 }
+        else if (chosen.size == best && best > 1) cnt += 1
+      case v :: tail =>
+        if (chosen.forall(adj.getOrElse(v, Set.empty))) rec(v :: chosen, tail)
+        rec(chosen, tail)
+    }
+    rec(Nil, verts.toList)
+    (best, cnt)
+  }
+
+  /** Count labeled simple paths (pairwise-distinct) by enumeration. */
+  private def pathOracle(es: Seq[(Long, Long)], labels: Map[Long, String],
+                         pattern: Seq[String]): Long = {
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def rec(path: List[Long], rest: Seq[String]): Long = rest match {
+      case Nil => 1L
+      case l +: tail =>
+        val cands = if (path.isEmpty) labels.keys.toSeq
+                    else adj.getOrElse(path.head, Seq.empty)
+        cands.filter(v => labels.get(v).contains(l) && !path.contains(v))
+          .map(v => rec(v :: path, tail)).sum
+    }
+    rec(Nil, pattern)
+  }
+
+  /** k-core by iterative peeling. */
+  private def kcoreOracle(es: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var edges = es
+    var changed = true
+    while (changed) {
+      val deg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size ||
+        deg.keySet.exists(!keep(_))
+      edges = next
+    }
+    (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.size).toMap.filter(_._2 >= k)
+  }
+
+  // ---- tests ----
+
+  test("max clique matches subset-enumeration oracle") {
+    val graphs = Map(
+      "k4" -> Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      "bowtie" -> Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)),
+      "sample15" -> Oracles.sample15,
+      "er" -> Oracles.erdosRenyi(30, 0.3, seed = 4),
+      "plaw" -> Oracles.powerLaw(60, seed = 6))
+    graphs.foreach { case (name, es) =>
+      val (sz, cnt) = cliqueOracle(es)
+      val r = MaxClique.run(spark, edgeDF(es)).head()
+      assert(r.getInt(0) === sz, s"graph=$name size")
+      assert(r.getLong(1) === cnt, s"graph=$name count")
+      // witness really is a clique of that size
+      val wit = r.getSeq[Long](2)
+      val eset = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      assert(wit.size === sz, s"graph=$name witness size")
+      for (i <- wit.indices; j <- (i + 1) until wit.size)
+        assert(eset((math.min(wit(i), wit(j)), math.max(wit(i), wit(j)))),
+          s"graph=$name witness not a clique")
+    }
+  }
+
+  test("labeled path matching matches enumeration oracle") {
+    val es = Oracles.sample15
+    val labels = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> (if (v % 3 == 0) "a" else if (v % 3 == 1) "b" else "c"))
+      .toMap
+    val verts = labels.toSeq.toDF("vid", "label")
+    val sym = Edges.symmetrize(edgeDF(es))
+    for (pattern <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+        Seq("b", "b", "a", "c"))) {
+      val got = GraphMatch.countPath(verts, sym, pattern).head().getLong(0)
+      assert(got === pathOracle(es, labels, pattern), s"pattern=$pattern")
+    }
+  }
+
+  test("k-core peeling matches oracle (survivors and induced degrees)") {
+    for ((es, k) <- Seq((Oracles.sample15, 3),
+        (Oracles.erdosRenyi(40, 0.15, seed = 8), 3),
+        (Oracles.powerLaw(80, seed = 2), 2))) {
+      val got = KCore.run(spark, Edges.symmetrize(edgeDF(es)), k)
+        .core.collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === kcoreOracle(es, k), s"k=$k")
+    }
+  }
+
+  test("reference normal-format round trip: read → edges → write → read") {
+    // write the reference's sample graph in its own text format
+    val dir = Files.createTempDirectory("graft-adj").toString
+    val sym = Edges.symmetrize(edgeDF(Oracles.sample15))
+    val adj = Edges.adjacency(sym)
+    GraphIO.writeNormalAdj(adj, s"$dir/normal")
+    val back = GraphIO.readNormalAdj(spark, s"$dir/normal")
+    val edges = GraphIO.edgesOf(back)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Oracles.sample15.flatMap(e => Seq(e, e.swap)).toSet
+    assert(edges === expect)
+    // and the adjacency arrays came back sorted and complete
+    assert(back.count() === 15)
+    assert(back.filter(col("adj") =!= sort_array(col("adj"))).count() === 0)
+  }
+
+  test("reference label-format parse") {
+    val dir = Files.createTempDirectory("graft-lbl").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "g.adj"),
+      "1 a\t2 b 3 c\n2 b\t1 a\n3 c\t1 a\n")
+    val df = GraphIO.readLabelAdj(spark, s"$dir/g.adj")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Long](2), r.getSeq[String](3))).sortBy(_._1)
+    assert(df(0) === ((1L, "a", Seq(2L, 3L), Seq("b", "c"))))
+    assert(df(1) === ((2L, "b", Seq(1L), Seq("a"))))
+    assert(df(2) === ((3L, "c", Seq(1L), Seq("a"))))
+  }
+}

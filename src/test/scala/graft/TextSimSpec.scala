@@ -107,6 +107,24 @@ class TextSimSpec extends SparkSpec {
     got.foreach(t => assert(t._3 > 0.999))
   }
 
+  test("embedding-cosine near-duplicates: exact pairs above threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.nearDuplicates(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("BPE-ish regex token count") {
+    val d = docs(1L -> "don't stop-me now, 42x!", 2L -> "   ")
+    val got = d.select(col("doc_id"), TF.tokenCountBpe(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // don|'|t|stop|-|me|now|,|42|x|! = 11 tokens; whitespace-only = 0
+    assert(got === Map(1L -> 11L, 2L -> 0L))
+  }
+
   test("multimodal stub decode is deterministic with real plumbing") {
     val d = docs(1L -> "some media payload", 2L -> "x")
     val bin = graft.multimodal.Multimodal.asBinary(d, "doc_id", "text")

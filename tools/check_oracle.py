@@ -47,6 +47,8 @@ for name in sorted(os.listdir(out_dir)):
         continue
     # canonical sort + string-normalize (hash-compare surrogate)
     def canon(df):
+        if len(df) == 0:
+            return []
         s = df.astype(str).apply(lambda r: "|".join(r.values), axis=1)
         return sorted(s.tolist())
     cg, ce = canon(g), canon(e)
