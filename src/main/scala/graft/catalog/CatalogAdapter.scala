@@ -1,0 +1,85 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Thin table-catalog seam (SURVEY §7.4.2).
+  *
+  * At production scale every durable table (corpus, vertices, edges, adj,
+  * iteration checkpoints, metrics) lives in an Iceberg catalog:
+  * `spark.table(name)` / `df.writeTo(name).createOrReplace()/append()`,
+  * with snapshot ids giving incremental derivation and time travel. No
+  * Iceberg jars exist in this offline sandbox, so the same five-method
+  * contract is implemented over parquet directories with an atomic
+  * rename-commit and a `_snapshots.jsonl` log — semantically the subset of
+  * Iceberg the engine relies on (atomic replace, append as new snapshot,
+  * read-latest, list-snapshots). Swapping in Iceberg is a one-class change;
+  * nothing else in the engine touches storage paths.
+  */
+trait CatalogAdapter {
+  def createOrReplace(name: String, df: DataFrame): Long
+  def append(name: String, df: DataFrame): Long
+  def read(spark: SparkSession, name: String): DataFrame
+  def readSnapshot(spark: SparkSession, name: String, snapshot: Long): DataFrame
+  def snapshots(name: String): Seq[Long]
+}
+
+/** Parquet + snapshot-log implementation (local stand-in for Iceberg). */
+final class LocalCatalog(root: String) extends CatalogAdapter {
+  Files.createDirectories(Paths.get(root))
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def log(name: String): Path = tableDir(name).resolve("_snapshots.jsonl")
+
+  private def commit(name: String, df: DataFrame,
+                     parents: Seq[Long]): Long = {
+    val dir = tableDir(name)
+    Files.createDirectories(dir)
+    val snap = snapshots(name).maxOption.getOrElse(0L) + 1L
+    val tmp = dir.resolve(f"_tmp_$snap%06d")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dst = dir.resolve(f"snap_$snap%06d")
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    // the log line is the commit point (written last, append-only)
+    val line = s"""{"snapshot":$snap,"parents":[${parents.mkString(",")}]}"""
+    Files.write(log(name), java.util.List.of(line),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    snap
+  }
+
+  override def createOrReplace(name: String, df: DataFrame): Long =
+    commit(name, df, Seq.empty)
+
+  override def append(name: String, df: DataFrame): Long =
+    commit(name, df, snapshots(name))
+
+  override def read(spark: SparkSession, name: String): DataFrame = {
+    val snaps = snapshots(name)
+    require(snaps.nonEmpty, s"no committed snapshot for table $name")
+    readSnapshot(spark, name, snaps.max)
+  }
+
+  /** A snapshot's content = its own files plus (for appends) its parents'. */
+  override def readSnapshot(spark: SparkSession, name: String,
+                            snapshot: Long): DataFrame = {
+    val lines = Files.readAllLines(log(name)).asScala
+    val parents = lines.flatMap { l =>
+      val m = """"snapshot":(\d+),"parents":\[([0-9,]*)\]""".r
+        .findFirstMatchIn(l)
+      m.filter(_.group(1).toLong == snapshot)
+        .map(_.group(2).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+    }.headOption.getOrElse(Seq.empty)
+    val dirs = (parents :+ snapshot).distinct.sorted
+      .map(s => tableDir(name).resolve(f"snap_$s%06d").toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  override def snapshots(name: String): Seq[Long] =
+    if (!Files.exists(log(name))) Seq.empty
+    else Files.readAllLines(log(name)).asScala.toSeq
+      .flatMap(l => """"snapshot":(\d+)""".r.findFirstMatchIn(l)
+        .map(_.group(1).toLong))
+      .filter(s => Files.exists(tableDir(name).resolve(f"snap_$s%06d")))
+}

@@ -29,16 +29,26 @@ object Ann {
   /** Cosine similarity of two array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 
+  /** Unit-normalized double vector (per-row, computed once — cosine of two
+    * normalized vectors is a bare dot product, 3x less arithmetic in the
+    * quadratic pair loops than cosine-with-norms per pair). */
+  def normalized(v: Column): Column = {
+    val n = l2(v)
+    transform(v, x => x.cast("double") / n)
+  }
+
   /** Exact top-k neighbors per vector by cosine, ties broken by neighbor
     * id: (vec_id, nn_id, rnk, cosine). Quadratic — the correctness
     * baseline and the per-bucket kernel of [[lshTopK]]. */
   def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
-    val a = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
+    val a = vecs.select(col(idCol).as("vec_id"),
+      normalized(col(vecCol)).as("va"))
+    val b = vecs.select(col(idCol).as("nn_id"),
+      normalized(col(vecCol)).as("vb"))
     val pairs = a.join(b, col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
-        cosine(col("va"), col("vb")).as("cosine"))
+        dot(col("va"), col("vb")).as("cosine"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -52,10 +62,10 @@ object Ann {
     * join) through the same cosine filter instead. */
   def nearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("d1"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("d2"), col(vecCol).as("vb"))
+    val a = vecs.select(col(idCol).as("d1"), normalized(col(vecCol)).as("va"))
+    val b = vecs.select(col(idCol).as("d2"), normalized(col(vecCol)).as("vb"))
     a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("d1"), col("d2"), dot(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -1,0 +1,45 @@
+package graft
+
+import graft.catalog.LocalCatalog
+import java.nio.file.Files
+
+/** Catalog seam: atomic snapshot commits, append-as-new-snapshot,
+  * read-latest, time travel.
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("createOrReplace / append / read-latest / time travel") {
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog").toString)
+    val s1 = cat.createOrReplace("t", Seq(1L, 2L).toDF("x"))
+    val s2 = cat.append("t", Seq(3L).toDF("x"))
+    assert(cat.snapshots("t") === Seq(s1, s2))
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    assert(cat.readSnapshot(spark, "t", s1).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    // replace starts a fresh lineage
+    val s3 = cat.createOrReplace("t", Seq(9L).toDF("x"))
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)) === Array(9L))
+    assert(cat.readSnapshot(spark, "t", s2).collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    assert(s3 > s2)
+  }
+
+  test("incremental edge derivation over appended corpus snapshots") {
+    import graft.corpus.{CorpusGen, EdgeDeriver}
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog2").toString)
+    val full = CorpusGen.corpus(spark, CorpusGen.Tiny)
+    val half1 = full.limit(100)
+    cat.createOrReplace("corpus", half1)
+    cat.append("corpus", full.exceptAll(half1))
+    // derivation over the appended table == derivation over the full table
+    val viaCatalog = EdgeDeriver.edges(cat.read(spark, "corpus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val direct = EdgeDeriver.edges(full)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(viaCatalog.sameElements(direct))
+  }
+}
