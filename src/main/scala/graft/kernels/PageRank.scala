@@ -50,13 +50,17 @@ object PageRank {
           damping: Double = 0.85,
           salts: Int = 1,
           hubDegree: Long = 100000L,
+          weightCol: Option[String] = None,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false): Result = {
 
-    val e = edgesDirected.select(col("src"), col("dst"))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    // weighted variant (reference multi_attr format, per-edge doubles —
+    // SURVEY §1.2): contribution = rank * w / Σ_out w; unweighted = w ≡ 1
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edgesDirected.select(col("src"), col("dst"), w.as("w"))
+    val outDeg = e.groupBy("src").agg(sum(col("w")).as("odeg"))
     val links = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("odeg"))
+      .select(col("src"), col("dst"), (col("w") / col("odeg")).as("share"))
       .repartition(col("src"))
       .persist()
     val verts = e.select(col("src").as("vid"))
@@ -90,7 +94,7 @@ object PageRank {
       val contribs = links
         .join(ranks, links("src") === ranks("vid"))
         .select(links("dst").as("vid"),
-          (col("rank") / col("odeg")).as("c"))
+          (col("rank") * col("share")).as("c"))
       val summed =
         if (hubIds.nonEmpty) {
           // two-phase: hub-bound contributions spread over `salts` reducer

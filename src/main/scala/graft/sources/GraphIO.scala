@@ -48,6 +48,27 @@ object GraphIO {
         (t, i) => when(i % 2 === 1, t)), _.isNotNull).as("labels"))
   }
 
+  /** Read `multi_attr` format — `vid \t attr1 attr2 … \t num nb1 w1 nb2 w2 …`
+    * (string vertex attrs + per-edge double weights,
+    * `sample-datasets/multi_attr_sample.adj`) → directed weighted edge rows
+    * (src, attrs array<string>, dst, weight). Token 0 of the third field is
+    * the neighbor count; pairs follow. */
+  def readMultiAttrEdges(spark: SparkSession, path: String): DataFrame = {
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(col("value"), "\t").as("p"))
+      .select(col("p").getItem(0).cast("long").as("src"),
+        split(trim(col("p").getItem(1)), " +").as("attrs"),
+        split(trim(col("p").getItem(2)), " +").as("toks"))
+    parsed.select(col("src"), col("attrs"),
+        explode(filter(transform(col("toks"), (t, i) =>
+          when(i % 2 === 1,
+            struct(t.cast("long").as("dst"),
+              element_at(col("toks"), (i + 2).cast("int")).cast("double")
+                .as("weight")))), _.isNotNull)).as("e"))
+      .select(col("src"), col("attrs"), col("e.dst"), col("e.weight"))
+  }
+
   /** Directed edge rows from an adjacency table. */
   def edgesOf(adj: DataFrame): DataFrame =
     adj.select(col("src"), explode(col("adj")).as("dst"))

@@ -130,6 +130,25 @@ class MiningSpec extends SparkSpec {
     assert(back.filter(col("adj") =!= sort_array(col("adj"))).count() === 0)
   }
 
+  test("reference multi_attr format drives weighted PageRank vs oracle") {
+    // the reference's own sample file: vid \t attrs \t num nb1 w1 nb2 w2 …
+    val df = GraphIO.readMultiAttrEdges(spark,
+      "/root/reference/sample-datasets/multi_attr_sample.adj").cache()
+    val edges = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(edges.nonEmpty)
+    // attrs parsed alongside (3 string attrs per vertex in the sample)
+    assert(df.select("attrs").head().getSeq[String](0).size === 3)
+    val expect = Oracles.pageRankWeighted(edges, 10)
+    val got = graft.kernels.PageRank.run(spark,
+      df.select(col("src"), col("dst"), col("weight")),
+      fixedIter = Some(10), weightCol = Some("weight")).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - expect(v)) < 1e-9, s"vid=$v") }
+  }
+
   test("reference label-format parse") {
     val dir = Files.createTempDirectory("graft-lbl").toString
     Files.writeString(java.nio.file.Paths.get(dir, "g.adj"),

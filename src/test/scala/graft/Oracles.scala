@@ -62,18 +62,25 @@ object Oracles {
     * uniform vector — exactly the engine's per-superstep update. */
   def pageRank(directed: Seq[(Long, Long)], iters: Int,
                teleport: Double = 0.15, damping: Double = 0.85)
+      : Map[Long, Double] =
+    pageRankWeighted(directed.map(e => (e._1, e._2, 1.0)), iters,
+      teleport, damping)
+
+  /** Weighted PageRank: contribution = rank * w / Σ_out w. */
+  def pageRankWeighted(directed: Seq[(Long, Long, Double)], iters: Int,
+                       teleport: Double = 0.15, damping: Double = 0.85)
       : Map[Long, Double] = {
     val verts = directed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = verts.size
-    val out = directed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = directed.groupBy(_._1).view
+      .mapValues(es => (es.map(e => (e._2, e._3)), es.map(_._3).sum)).toMap
     var r = verts.map(v => v -> 1.0 / n).toMap
     for (_ <- 1 to iters) {
       val dangling = verts.filterNot(out.contains).map(r).sum
       val contrib = scala.collection.mutable
         .Map.empty[Long, Double].withDefaultValue(0.0)
-      out.foreach { case (u, nbrs) =>
-        val c = r(u) / nbrs.size
-        nbrs.foreach(v => contrib(v) += c)
+      out.foreach { case (u, (nbrs, wsum)) =>
+        nbrs.foreach { case (v, w) => contrib(v) += r(u) * (w / wsum) }
       }
       val add = teleport / n + damping * dangling / n
       r = verts.map(v => v -> (add + damping * contrib(v))).toMap
