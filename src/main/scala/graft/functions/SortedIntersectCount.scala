@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** |a ∩ b| for two SORTED long arrays — a native Catalyst expression with
+  * whole-stage codegen (SURVEY §7.3's flagged candidate).
+  *
+  * The builtin `size(array_intersect(a, b))` materializes the intersection
+  * array through a hash set per row; triangle counting only needs the
+  * COUNT, and the adjacency arrays are already sorted (the reference
+  * relies on exactly this: sorted adjlists + merge-scan intersection,
+  * `apps/trianglecount.cpp:127-163`, sort at `:360`). This expression is
+  * the reference's merge loop as generated Java inside the codegen stage:
+  * two pointers, zero allocation.
+  *
+  * Inputs must be sorted ascending and duplicate-free (as produced by
+  * `Edges.adjacency` / `sort_array(collect_list(...))`); behavior on
+  * unsorted input is undefined, matching the reference's contract.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u < v) i += 1
+      else if (u > v) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u < $v) $i++;
+         |  else if ($u > $v) $j++;
+         |  else { ${ev.value}++; $i++; $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration — either per-session ([[ensureRegistered]]) or via
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+object GraftFunctions {
+  val Name = "sorted_intersect_count"
+
+  private def info = new ExpressionInfo(
+    classOf[SortedIntersectCount].getName, Name)
+
+  private def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, s"$Name takes exactly 2 arguments")
+    SortedIntersectCount(exprs.head, exprs(1))
+  }
+
+  /** Idempotent per-session registration. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Name), info, builder _)
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions` */
+class GraftSparkExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(GraftFunctions.Name),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        GraftFunctions.Name),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+}

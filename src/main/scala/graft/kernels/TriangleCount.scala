@@ -45,10 +45,14 @@ object TriangleCount {
   }
 
   /** Per-oriented-edge intersection sizes (src, dst, ncommon) — the count
-    * fabric, WITHOUT materializing a row per triangle. */
+    * fabric, WITHOUT materializing a row per triangle. Uses the native
+    * codegen'd [[graft.functions.SortedIntersectCount]] merge loop over the
+    * sorted adjacency arrays (zero allocation per row, vs the hash-set
+    * materialization inside builtin `array_intersect`). */
   private def commonCounts(edges: DataFrame, byDegree: Boolean): DataFrame = {
     val e = (if (byDegree) Edges.orientByDegree(edges)
              else edges.select(col("src"), col("dst"))).persist()
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
     val adj = e.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("adj"))
     e.join(adj.withColumnRenamed("src", "u"), e("src") === col("u"))
@@ -56,7 +60,8 @@ object TriangleCount {
       .join(adj.withColumnRenamed("src", "v").withColumnRenamed("adj", "adjV"),
         col("dst") === col("v"))
       .select(col("src"), col("dst"),
-        size(array_intersect(col("adjU"), col("adjV"))).as("ncommon"))
+        call_function(graft.functions.GraftFunctions.Name,
+          col("adjU"), col("adjV")).as("ncommon"))
   }
 
   /** Total triangle count as a one-row DataFrame (reference's CountAgg,
