@@ -14,6 +14,7 @@ object SizeProbe {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cores.toString))
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "800000").toLong
