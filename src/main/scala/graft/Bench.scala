@@ -84,7 +84,7 @@ object Bench {
       val sym = spark.read.parquet(edgesPath).persist()
       val m = sym.count() // directed message count per superstep
       val res = PageRank.run(spark, sym, fixedIter = Some(supersteps),
-        salts = salts)
+        salts = salts, symmetric = true)
       res.ranks.count()
       val sec = steadySec(res.metrics)
       sym.unpersist()
@@ -178,7 +178,7 @@ object Bench {
     val m = sym.count()
     val (prRes, prWall) = time {
       val r = PageRank.run(spark, sym, fixedIter = Some(supersteps),
-        salts = salts)
+        salts = salts, symmetric = true)
       r.ranks.count(); r
     }
     val prSec = steadySec(prRes.metrics)
@@ -197,7 +197,8 @@ object Bench {
       .persist()
     val smallM = smallSym.count()
     val (convRes, convSec) = time(
-      PageRank.run(spark, smallSym, tol = 1e-6, maxIter = 200))
+      PageRank.run(spark, smallSym, tol = 1e-6, maxIter = 200,
+        symmetric = true))
     val convTp = smallM.toDouble * convRes.iterations / convSec
     smallSym.unpersist()
     sym.unpersist()

@@ -51,6 +51,7 @@ object PageRank {
           salts: Int = 1,
           hubDegree: Long = 100000L,
           weightCol: Option[String] = None,
+          symmetric: Boolean = false,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false): Result = {
 
@@ -63,10 +64,15 @@ object PageRank {
       .select(col("src"), col("dst"), (col("w") / col("odeg")).as("share"))
       .repartition(col("src"))
       .persist()
-    val verts = e.select(col("src").as("vid"))
-      .union(e.select(col("dst").as("vid"))).distinct().persist()
+    // symmetric graphs: every vertex has out-edges, so the out-degree keys
+    // ARE the vertex set (skips a |2E|-row union+distinct) and nothing
+    // dangles
+    val verts = (if (symmetric) outDeg.select(col("src").as("vid"))
+                 else e.select(col("src").as("vid"))
+                   .union(e.select(col("dst").as("vid"))).distinct())
+      .persist()
     val n = verts.count()
-    val hasDangling = outDeg.count() < n
+    val hasDangling = !symmetric && outDeg.count() < n
     val base = teleport / n
     // hub destinations (in-degree above threshold) — tiny by definition of
     // power laws (collected once, capped, shipped as an InSet literal so

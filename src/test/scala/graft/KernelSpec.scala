@@ -110,6 +110,15 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("pagerank symmetric fast path equals the general path bitwise") {
+    val sym = Edges.symmetrize(edgeDF(Oracles.sample15))
+    val gen = PageRank.run(spark, sym, fixedIter = Some(6)).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = PageRank.run(spark, sym, fixedIter = Some(6), symmetric = true)
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gen === fast)
+  }
+
   test("random graphs: CC and TC match oracles (seeded ER + power-law)") {
     val graphs = Seq(
       Oracles.erdosRenyi(50, 0.08, seed = 1),
