@@ -176,6 +176,14 @@ object SparkEntry {
         Seq("Brand#1", "Brand#2", "Brand#3"))
     }),
 
+    // the GM demo's TREE pattern: a(b, c(=leaf)), b→d (J5, reference shape)
+    "q35_pattern_tree" -> ((s, d) => {
+      val verts = T(s, d, "part")
+        .select(col("p_partkey").cast("long").as("vid"),
+          col("p_brand").as("label"))
+      graft.kernels.GraphMatch.countTree(verts, Edges.symmetrize(e2(s, d)),
+        "Brand#1", "Brand#2", "Brand#3", "Brand#4")
+    }),
     // embedding-cosine near-duplicate pairs (exact baseline)
     "q33_embed_neardup" -> ((s, d) =>
       Ann.nearDuplicates(T(s, d, "embeddings"), "vec_id", "embedding", 0.35)
@@ -377,6 +385,17 @@ object SparkEntry {
          |JOIN lab c ON e2.d = c.vid
          |WHERE a.label = 'Brand#1' AND b.label = 'Brand#2'
          |  AND c.label = 'Brand#3' AND a.vid <> c.vid""".stripMargin,
+    "q35_pattern_tree" ->
+      s"""WITH $CTE,
+         |lab AS (SELECT p_partkey AS vid, p_brand AS label FROM part)
+         |SELECT count(*) AS matches
+         |FROM lab a
+         |JOIN sym e1 ON e1.s = a.vid JOIN lab b ON e1.d = b.vid
+         |JOIN sym e2 ON e2.s = a.vid JOIN lab c ON e2.d = c.vid
+         |JOIN sym e3 ON e3.s = b.vid JOIN lab d ON e3.d = d.vid
+         |WHERE a.label = 'Brand#1' AND b.label = 'Brand#2'
+         |  AND c.label = 'Brand#3' AND d.label = 'Brand#4'
+         |  AND b.vid <> c.vid AND a.vid <> d.vid AND c.vid <> d.vid""".stripMargin,
     "q33_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2,

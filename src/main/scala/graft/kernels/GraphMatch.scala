@@ -50,4 +50,31 @@ object GraphMatch {
   def countPath(verts: DataFrame, sym: DataFrame,
                 labels: Seq[String]): DataFrame =
     pathMatches(verts, sym, labels).agg(count(lit(1)).as("matches"))
+
+  /** The reference GM demo's TREE pattern (`apps/graphmatch.cpp:233-437`):
+    * root labeled `la` with two children labeled `lb` and `lc`, and the
+    * `lb`-child has its own child labeled `ld`; all four vertices
+    * pairwise distinct. Embeddings (a, b, c, d) as a 4-way join chain. */
+  def treeMatches(verts: DataFrame, sym: DataFrame,
+                  la: String, lb: String, lc: String, ld: String)
+      : DataFrame = {
+    val lab = verts.select(col("vid"), col("label"))
+    def labeled(l: String, as: String) = broadcast(
+      lab.filter(col("label") === l).select(col("vid").as(as)))
+    def edge(x: String, y: String) =
+      sym.select(col("src").as(x), col("dst").as(y))
+    labeled(la, "a")
+      .join(edge("a", "b"), "a").join(labeled(lb, "b"), Seq("b"))
+      .join(edge("a", "c"), "a").join(labeled(lc, "c"), Seq("c"))
+      .join(edge("b", "d"), "b").join(labeled(ld, "d"), Seq("d"))
+      .filter(col("b") =!= col("c") && col("a") =!= col("d") &&
+        col("c") =!= col("d"))
+      .select(col("a"), col("b"), col("c"), col("d"))
+  }
+
+  /** Aggregated tree-pattern match count. */
+  def countTree(verts: DataFrame, sym: DataFrame,
+                la: String, lb: String, lc: String, ld: String): DataFrame =
+    treeMatches(verts, sym, la, lb, lc, ld)
+      .agg(count(lit(1)).as("matches"))
 }

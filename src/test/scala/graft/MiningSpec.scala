@@ -104,6 +104,30 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("GM tree pattern (a(b,c), b->d) matches enumeration oracle") {
+    val es = Oracles.sample15
+    val labels = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> (if (v % 3 == 0) "a" else if (v % 3 == 1) "b" else "c"))
+      .toMap
+    val verts = labels.toSeq.toDF("vid", "label")
+    val sym = Edges.symmetrize(edgeDF(es))
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def oracle(la: String, lb: String, lc: String, ld: String): Long =
+      (for {
+        a <- labels.keys.toSeq if labels(a) == la
+        b <- adj(a) if labels(b) == lb
+        c <- adj(a) if labels(c) == lc && c != b
+        d <- adj(b) if labels(d) == ld && d != a && d != c && d != b
+      } yield 1L).sum
+    for ((la, lb, lc, ld) <- Seq(("a", "b", "c", "a"), ("b", "b", "b", "b"),
+        ("c", "a", "b", "c"))) {
+      val got = GraphMatch.countTree(verts, sym, la, lb, lc, ld)
+        .head().getLong(0)
+      assert(got === oracle(la, lb, lc, ld), s"pattern=$la($lb,$lc),$lb->$ld")
+    }
+  }
+
   test("k-core peeling matches oracle (survivors and induced degrees)") {
     for ((es, k) <- Seq((Oracles.sample15, 3),
         (Oracles.erdosRenyi(40, 0.15, seed = 8), 3),
