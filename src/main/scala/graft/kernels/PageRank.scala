@@ -52,6 +52,7 @@ object PageRank {
           hubDegree: Long = 100000L,
           weightCol: Option[String] = None,
           symmetric: Boolean = false,
+          grid: Int = 1,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false): Result = {
 
@@ -60,9 +61,21 @@ object PageRank {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edgesDirected.select(col("src"), col("dst"), w.as("w"))
     val outDeg = e.groupBy("src").agg(sum(col("w")).as("odeg"))
-    val links = e.join(outDeg, "src")
+    // grid > 1: destination-block edge layout — links are partitioned by
+    // hash(dst) into `grid` blocks, so every contribution to a given
+    // vertex is produced inside ONE partition and map-side combine
+    // collapses the message stream to ~|V| rows total (vs |E|-proportional
+    // under src-partitioning, where each partition sees a random slice of
+    // the whole destination space). The state side is broadcast to the
+    // edge partitions each superstep (GraphX's vertex-replication idea;
+    // viable while |V|-state fits a broadcast — for 10^12-edge graphs
+    // replicate state by dst-block join instead). grid = 1 keeps the
+    // co-partitioned zero-shuffle join (state never broadcast).
+    val links0 = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("odeg")).as("share"))
-      .repartition(col("src"))
+    val links = (if (grid > 1)
+        links0.repartition(pmod(xxhash64(col("dst")), lit(grid)))
+      else links0.repartition(col("src")))
       .persist()
     // symmetric graphs: every vertex has out-edges, so the out-degree keys
     // ARE the vertex set (skips a |2E|-row union+distinct) and nothing
@@ -97,8 +110,9 @@ object PageRank {
             case r if r.isNullAt(0) => 0.0
             case r                  => r.getDouble(0)
           }
+      val state = if (grid > 1) broadcast(ranks) else ranks
       val contribs = links
-        .join(ranks, links("src") === ranks("vid"))
+        .join(state, links("src") === state("vid"))
         .select(links("dst").as("vid"),
           (col("rank") * col("share")).as("c"))
       val summed =

@@ -23,9 +23,12 @@ object SizeProbe {
       EdgeDeriver.pathEdges(CorpusGen.corpus(spark, sc), 1L, 200)
         .select(col("src"), col("dst"))).persist()
     println(s"edges=${sym.count()}")
-    PageRank.run(spark, sym, fixedIter = Some(1), salts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "8").toInt).ranks.count()
+    PageRank.run(spark, sym, fixedIter = Some(1), salts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "8").toInt, symmetric = true, grid = sys.env.getOrElse("SPARK_GRAFT_GRID", "1").toInt).ranks.count()
     val t0 = System.nanoTime()
-    val res = PageRank.run(spark, sym, fixedIter = Some(10), salts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "8").toInt)
+    val res = PageRank.run(spark, sym, fixedIter = Some(10),
+      salts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "8").toInt,
+      symmetric = true,
+      grid = sys.env.getOrElse("SPARK_GRAFT_GRID", "1").toInt)
     res.ranks.count()
     println(f"total=${(System.nanoTime() - t0) / 1e9}%.1f s @ local[$cores]")
     res.metrics.foreach(m => println(

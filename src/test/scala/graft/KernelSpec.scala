@@ -119,6 +119,16 @@ class KernelSpec extends SparkSpec {
     assert(gen === fast)
   }
 
+  test("pagerank dst-block grid layout is allclose 1e-12 to the default") {
+    val sym = Edges.symmetrize(edgeDF(Oracles.powerLaw(70, seed = 13)))
+    val a = PageRank.run(spark, sym, fixedIter = Some(5)).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = PageRank.run(spark, sym, fixedIter = Some(5), grid = 16).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (v, r) => assert(math.abs(r - b(v)) < 1e-12, s"vid=$v") }
+  }
+
   test("random graphs: CC and TC match oracles (seeded ER + power-law)") {
     val graphs = Seq(
       Oracles.erdosRenyi(50, 0.08, seed = 1),
