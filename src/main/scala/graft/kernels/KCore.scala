@@ -31,7 +31,12 @@ object KCore {
           maxIter: Int = 100,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false): Result = {
-    val edges = sym.select(col("src"), col("dst")).persist()
+    // hash-partition the persisted edge table on the join key: every
+    // superstep's state join then reuses this partitioning instead of
+    // re-shuffling |E| rows per iteration (state is already hash(vid)-
+    // partitioned by the previous aggregation)
+    val edges = sym.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
 
     def init: DataFrame =
       Edges.degrees(edges).filter(col("degree") >= k)
@@ -39,8 +44,10 @@ object KCore {
     def step(survivors: DataFrame): DataFrame = {
       val v = survivors.select(col("vid"))
       val induced = edges
-        .join(v.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-        .join(v.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+        .join(v.withColumnRenamed("vid", "src").hint("SHUFFLE_HASH"),
+          Seq("src"), "left_semi")
+        .join(v.withColumnRenamed("vid", "dst").hint("SHUFFLE_HASH"),
+          Seq("dst"), "left_semi")
       Edges.degrees(induced).filter(col("degree") >= k)
     }
 

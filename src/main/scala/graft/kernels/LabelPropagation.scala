@@ -32,14 +32,19 @@ object LabelPropagation {
           iterations: Int,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false): Result = {
-    val edges = sym.select(col("src"), col("dst")).persist()
+    // hash-partition the persisted edge table on the join key: every
+    // superstep's state join then reuses this partitioning instead of
+    // re-shuffling |E| rows per iteration (state is already hash(vid)-
+    // partitioned by the previous aggregation)
+    val edges = sym.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
 
     def init: DataFrame =
       Edges.vertexIds(edges).select(col("vid"), col("vid").as("label"))
 
     def step(labels: DataFrame): DataFrame = {
       val msgs = edges
-        .join(labels, edges("src") === labels("vid"))
+        .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("vid"))
         .select(edges("dst").as("vid"), col("label"))
       val hist = msgs.groupBy(col("vid"), col("label"))
         .agg(count(lit(1)).as("cnt"))

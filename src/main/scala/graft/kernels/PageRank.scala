@@ -110,7 +110,10 @@ object PageRank {
             case r if r.isNullAt(0) => 0.0
             case r                  => r.getDouble(0)
           }
-      val state = if (grid > 1) broadcast(ranks) else ranks
+      // grid=1: state is the SHUFFLE_HASH build side — the |E|-row link
+      // table is probed, never sorted (SMJ would re-sort it per superstep)
+      val state = if (grid > 1) broadcast(ranks)
+                  else ranks.hint("SHUFFLE_HASH")
       val contribs = links
         .join(state, links("src") === state("vid"))
         .select(links("dst").as("vid"),
@@ -129,7 +132,7 @@ object PageRank {
         } else contribs.groupBy("vid").agg(sum("c").as("s"))
       val add = base + damping * danglingMass / n
       // vertices receiving no contribution still get teleport + dangling share
-      verts.join(summed, Seq("vid"), "left")
+      verts.join(summed.hint("SHUFFLE_HASH"), Seq("vid"), "left")
         .select(col("vid"),
           (lit(add) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
     }
