@@ -156,9 +156,20 @@ object Bench {
     // background phase of the VM cannot land entirely on one leg.
     val base = math.max(1, cores4N / 16)
     val legCores = Seq(base, coresN, cores4N).distinct.filter(_ <= cores4N)
-    val legRounds = sys.env.getOrElse("SPARK_GRAFT_LEG_ROUNDS", "2").toInt
+    // >= 3 interleaved fresh-JVM rounds per leg (N,4N,N,4N,...) so a slow
+    // background phase of the VM cannot land entirely on one leg; ALL raw
+    // runs are recorded in the JSON, the headline efficiency is computed
+    // from per-leg MEDIANS (robust + transparent), and a best-run
+    // efficiency is reported alongside as the capacity estimate
+    val legRounds = sys.env.getOrElse("SPARK_GRAFT_LEG_ROUNDS", "3").toInt
     val legSteps = sys.env.getOrElse("SPARK_GRAFT_LEG_SUPERSTEPS", "6").toInt
-    val legs: Map[Int, (Long, Double, Double)] = if (doScaling) {
+    final case class Leg(edges: Long, secs: Seq[Double]) {
+      def median: Double = { val s = secs.sorted; s(s.size / 2) }
+      def best: Double = secs.min
+      def tpMedian: Double = edges.toDouble / median
+      def tpBest: Double = edges.toDouble / best
+    }
+    val legs: Map[Int, Leg] = if (doScaling) {
       val prep = session(cores4N)
       val edgesPath = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
         "/dev/shm/graft-spark-local") + s"/bench_edges_$rows"
@@ -168,7 +179,7 @@ object Bench {
       val runs = (1 to legRounds).flatMap(_ =>
         legCores.map(c => c -> spawnLeg(c, edgesPath, legSteps)))
       runs.groupBy(_._1).map { case (c, rs) =>
-        c -> rs.map(_._2).minBy(_._2)
+        c -> Leg(rs.head._2._1, rs.map(_._2._2))
       }
     } else Map.empty
 
@@ -182,7 +193,7 @@ object Bench {
       r.ranks.count(); r
     }
     val prSec = steadySec(prRes.metrics)
-    val tp4N = legs.get(cores4N).map(_._3).getOrElse(m.toDouble / prSec)
+    val tp4N = legs.get(cores4N).map(_.tpMedian).getOrElse(m.toDouble / prSec)
 
     val (ccRes, ccSec) = time(ConnectedComponents.run(spark, sym))
     val (_, lpSec) = time(LabelPropagation.run(spark, sym, 5).labels.count())
@@ -216,11 +227,13 @@ object Bench {
       .mkString("{", ",", "}")
     val totalSec = queries.map(_._2).sum
 
+    def secsJson(l: Leg): String =
+      l.secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     def pairJson(cn: Int, c4: Int, tag: String): Option[String] =
-      for { (mN, secN, tpN) <- legs.get(cn); (_, sec4, tp4) <- legs.get(c4) }
-      yield {
-        val eff = tp4 / (4.0 * tpN)
-        f""""$tag":{"cores_n":$cn,"cores_4n":$c4,"directed_edges":$mN,"supersteps":$legSteps,"superstep_sec_n":$secN%.2f,"superstep_sec_4n":$sec4%.2f,"edges_per_sec_n":${tpN.toLong},"edges_per_sec_4n":${tp4.toLong},"efficiency":$eff%.3f}"""
+      for { lN <- legs.get(cn); l4 <- legs.get(c4) } yield {
+        val eff = l4.tpMedian / (4.0 * lN.tpMedian)
+        val effBest = l4.tpBest / (4.0 * lN.tpBest)
+        f""""$tag":{"cores_n":$cn,"cores_4n":$c4,"directed_edges":${lN.edges},"supersteps":$legSteps,"rounds":$legRounds,"superstep_sec_n":${lN.median}%.2f,"superstep_sec_4n":${l4.median}%.2f,"superstep_sec_n_runs":${secsJson(lN)},"superstep_sec_4n_runs":${secsJson(l4)},"edges_per_sec_n":${lN.tpMedian.toLong},"edges_per_sec_4n":${l4.tpMedian.toLong},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f}"""
       }
     val scalingJson = (pairJson(base, coresN, "scaling").toSeq ++
       pairJson(coresN, cores4N, "scaling_saturated").toSeq) match {

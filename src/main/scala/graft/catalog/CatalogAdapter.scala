@@ -52,8 +52,15 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
   override def createOrReplace(name: String, df: DataFrame): Long =
     commit(name, df, Seq.empty)
 
-  override def append(name: String, df: DataFrame): Long =
-    commit(name, df, snapshots(name))
+  /** Append = new snapshot whose lineage is the LATEST snapshot's chain
+    * (its parents + itself) — not every prior snapshot, which would union
+    * replaced-away data back in after a createOrReplace. */
+  override def append(name: String, df: DataFrame): Long = {
+    val parents = snapshots(name).maxOption
+      .map(latest => parentsOf(name, latest) :+ latest)
+      .getOrElse(Seq.empty)
+    commit(name, df, parents)
+  }
 
   override def read(spark: SparkSession, name: String): DataFrame = {
     val snaps = snapshots(name)
@@ -61,17 +68,19 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
     readSnapshot(spark, name, snaps.max)
   }
 
-  /** A snapshot's content = its own files plus (for appends) its parents'. */
-  override def readSnapshot(spark: SparkSession, name: String,
-                            snapshot: Long): DataFrame = {
-    val lines = Files.readAllLines(log(name)).asScala
-    val parents = lines.flatMap { l =>
+  /** Recorded parent chain of a snapshot. */
+  private def parentsOf(name: String, snapshot: Long): Seq[Long] =
+    Files.readAllLines(log(name)).asScala.flatMap { l =>
       val m = """"snapshot":(\d+),"parents":\[([0-9,]*)\]""".r
         .findFirstMatchIn(l)
       m.filter(_.group(1).toLong == snapshot)
         .map(_.group(2).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
     }.headOption.getOrElse(Seq.empty)
-    val dirs = (parents :+ snapshot).distinct.sorted
+
+  /** A snapshot's content = its own files plus (for appends) its parents'. */
+  override def readSnapshot(spark: SparkSession, name: String,
+                            snapshot: Long): DataFrame = {
+    val dirs = (parentsOf(name, snapshot) :+ snapshot).distinct.sorted
       .map(s => tableDir(name).resolve(f"snap_$s%06d").toString)
     spark.read.parquet(dirs: _*)
   }

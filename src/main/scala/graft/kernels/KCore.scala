@@ -51,8 +51,16 @@ object KCore {
       Edges.degrees(induced).filter(col("degree") >= k)
     }
 
-    def delta(prev: DataFrame, next: DataFrame): Double =
-      prev.count().toDouble - next.count().toDouble
+    // each state is counted ONCE (the previous iteration's count is carried
+    // forward) — round 1 recounted both sides every superstep, 3 count jobs
+    // per iteration including Superstep's own rows metric
+    var lastRows = -1L
+    def delta(prev: DataFrame, next: DataFrame): Double = {
+      val p = if (lastRows >= 0) lastRows else prev.count()
+      val n = next.count() // cheap: next is already materialized
+      lastRows = n
+      (p - n).toDouble
+    }
 
     val (state, metrics, iters, done) = Superstep.run(
       spark, s"kcore$k", init, step, delta, _ == 0.0, maxIter, ckpt, resume)

@@ -76,7 +76,13 @@ object MaxClique {
     * Every maximum clique of the graph is found at exactly one seed (its
     * min-(degree,id) member). */
   def perSeed(spark: SparkSession, edges: DataFrame)
-      : org.apache.spark.sql.Dataset[SeedResult] = {
+      : org.apache.spark.sql.Dataset[SeedResult] = perSeedImpl(spark, edges)._1
+
+  /** Same, returning the unpersist hook for the oriented edge cache (used
+    * 4x in the plan — triple self-join + neighbor agg — so it IS persisted,
+    * and [[run]] releases it once the result is materialized). */
+  private def perSeedImpl(spark: SparkSession, edges: DataFrame)
+      : (org.apache.spark.sql.Dataset[SeedResult], () => Unit) = {
     import spark.implicits._
     val e = Edges.orientByDegree(edges).persist()
     // induced edges of each seed's out-neighborhood: (v,u),(u,w),(v,w)
@@ -97,21 +103,29 @@ object MaxClique {
         coalesce(col("us"), array().cast("array<long>")).as("us"),
         coalesce(col("ws"), array().cast("array<long>")).as("ws"))
       .as[(Long, Array[Long], Array[Long], Array[Long])]
-    grouped.map { case (seed, ns, us, ws) =>
+    val ds = grouped.map { case (seed, ns, us, ws) =>
       val (sz, cnt, wit) = localSearch(ns, us.zip(ws))
       SeedResult(seed, sz, cnt, seed +: wit)
     }
+    (ds, () => { e.unpersist(); () })
   }
 
   /** Global result: (max_size, n_cliques_at_max, witness) — A3's
-    * argmax-with-ties shape. */
+    * argmax-with-ties shape. Computed EAGERLY (one row) so both persisted
+    * inputs are released before return — a long-lived session running many
+    * queries keeps no cached blocks behind. */
   def run(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
-    val per = perSeed(spark, edges).toDF().persist()
+    val (perDs, release) = perSeedImpl(spark, edges)
+    val per = perDs.toDF().persist()
     val mx = per.agg(max(col("size")).as("max_size"))
-    per.join(broadcast(mx), col("size") === col("max_size"))
+    val result = per.join(broadcast(mx), col("size") === col("max_size"))
       .agg(max(col("size")).as("max_size"),
         sum(col("cliques")).as("n_cliques"),
         min(sort_array(col("witness"))).as("witness"))
+    val rows = result.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
+    per.unpersist(); release()
+    out
   }
 }

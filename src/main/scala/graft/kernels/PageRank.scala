@@ -73,8 +73,10 @@ object PageRank {
     // co-partitioned zero-shuffle join (state never broadcast).
     val links0 = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("odeg")).as("share"))
-    val links = (if (grid > 1)
-        links0.repartition(pmod(xxhash64(col("dst")), lit(grid)))
+    // repartition(grid, $"dst") — NOT repartition(pmod(hash, grid)) whose
+    // expression has only `grid` distinct keys, leaving every other shuffle
+    // partition empty and capping downstream parallelism at `grid` tasks
+    val links = (if (grid > 1) links0.repartition(grid, col("dst"))
       else links0.repartition(col("src")))
       .persist()
     // symmetric graphs: every vertex has out-edges, so the out-degree keys
@@ -86,6 +88,13 @@ object PageRank {
       .persist()
     val n = verts.count()
     val hasDangling = !symmetric && outDeg.count() < n
+    // the dangling vertex set is loop-invariant: precompute it ONCE (the
+    // round-1 version ran an |E|-row distinct + anti-join inside every
+    // superstep — a full extra edge pass per iteration at scale)
+    val danglingVids =
+      if (!hasDangling) None
+      else Some(verts.join(outDeg.select(col("src").as("vid")),
+        Seq("vid"), "left_anti").persist())
     val base = teleport / n
     // hub destinations (in-degree above threshold) — tiny by definition of
     // power laws (collected once, capped, shipped as an InSet literal so
@@ -102,14 +111,15 @@ object PageRank {
       verts.select(col("vid"), (lit(1.0) / n).as("rank"))
 
     def step(ranks: DataFrame): DataFrame = {
-      val danglingMass =
-        if (!hasDangling) 0.0
-        else ranks.join(links.select("src").distinct(),
-            ranks("vid") === col("src"), "left_anti")
-          .agg(sum("rank")).first() match {
-            case r if r.isNullAt(0) => 0.0
-            case r                  => r.getDouble(0)
-          }
+      val danglingMass = danglingVids match {
+        case None => 0.0
+        case Some(dv) =>
+          ranks.join(dv.hint("SHUFFLE_HASH"), Seq("vid"), "left_semi")
+            .agg(sum("rank")).first() match {
+              case r if r.isNullAt(0) => 0.0
+              case r                  => r.getDouble(0)
+            }
+      }
       // grid=1: state is the SHUFFLE_HASH build side — the |E|-row link
       // table is probed, never sorted (SMJ would re-sort it per superstep)
       val state = if (grid > 1) broadcast(ranks)
@@ -153,6 +163,7 @@ object PageRank {
       spark, "pagerank", init, step, deltaFn, conv, iters, ckpt, resume,
       countRows = fixedIter.isEmpty || ckpt.isDefined)
     links.unpersist(); verts.unpersist()
+    danglingVids.foreach(_.unpersist())
     Result(state, metrics, it, done || fixedIter.isDefined)
   }
 }

@@ -28,8 +28,12 @@ object TriangleCount {
     * @param edges canonical distinct undirected edge table (src < dst)
     * @param byDegree orient by (degree, id) [scale path] vs by id */
   def triangles(edges: DataFrame, byDegree: Boolean = true): DataFrame = {
+    // no persist: `e` feeds the adj aggregation and the probe side of the
+    // first join, BOTH exchanged on hash(src) — Catalyst's ReusedExchange
+    // dedupes them (verified in the plan), and a long-lived session keeps
+    // no stray cached blocks (round-1 leaked this persist)
     val e = (if (byDegree) Edges.orientByDegree(edges)
-             else edges.select(col("src"), col("dst"))).persist()
+             else edges.select(col("src"), col("dst")))
     val adj = e.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("adj"))
     val withU = e.join(adj.withColumnRenamed("src", "u"),
@@ -50,8 +54,9 @@ object TriangleCount {
     * sorted adjacency arrays (zero allocation per row, vs the hash-set
     * materialization inside builtin `array_intersect`). */
   private def commonCounts(edges: DataFrame, byDegree: Boolean): DataFrame = {
+    // unpersisted for the same ReusedExchange reason as [[triangles]]
     val e = (if (byDegree) Edges.orientByDegree(edges)
-             else edges.select(col("src"), col("dst"))).persist()
+             else edges.select(col("src"), col("dst")))
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
     val adj = e.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("adj"))

@@ -79,10 +79,14 @@ object Ann {
 
   /** Approximate top-k via sign-random-projection LSH: `bands` bucket keys
     * of `bitsPerBand` hyperplane signs each; vectors sharing any band
-    * bucket become candidates, re-ranked exactly. Recall rises with bands;
-    * cost is bounded by bucket sizes instead of n². */
+    * bucket become candidates, re-ranked exactly. Recall rises with bands
+    * and falls with bitsPerBand; bucket selectivity (≈ n/2^bits per band)
+    * goes the other way. Defaults measured on the 500×64-dim test table
+    * (RecallProbe): recall@5 = 0.99 at 32×4 vs 0.15 at the old 8×8;
+    * 24×5 = 0.88, 32×6 = 0.81. At corpus scale raise bitsPerBand with
+    * log2(n) and bands with it to hold recall. */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-              dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+              dim: Int, bands: Int = 32, bitsPerBand: Int = 4,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     def bandKey(b: Int): Column =
@@ -90,19 +94,29 @@ object Ann {
         val p = typedlit(planes(b * bitsPerBand + j))
         when(dot(col(vecCol), p) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
-    val keyed = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    // the bucket join and candidate dedup move ONLY (band, bucket, id)
+    // rows — vectors would multiply shuffle bytes by ~2x·dim if they rode
+    // through the pair join (round-1 defect); they are re-joined by id
+    // for exact re-ranking only after the (vec_id, nn_id) pairs are unique
+    val keyed = vecs.select(col(idCol).as("vid"),
       posexplode(array((0 until bands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.vid") =!= col("b.vid"))
-      .select(col("a.vid").as("vec_id"), col("b.vid").as("nn_id"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vid").as("vec_id"), col("b.vid").as("nn_id"))
       .dropDuplicates("vec_id", "nn_id")
+    val unit = vecs.select(col(idCol).as("vid"),
+      normalized(col(vecCol)).as("unit"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
-    cands.withColumn("cosine", cosine(col("va"), col("vb")))
+    cands
+      .join(unit.select(col("vid").as("vec_id"), col("unit").as("va")),
+        "vec_id")
+      .join(unit.select(col("vid").as("nn_id"), col("unit").as("vb")),
+        "nn_id")
+      .withColumn("cosine", dot(col("va"), col("vb")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))

@@ -26,10 +26,14 @@ object GraphIO {
       .select(split(col("value"), "\t").as("p"))
       .select(col("p").getItem(0).cast("long").as("src"),
         split(trim(col("p").getItem(1)), " +").as("toks"))
-      // first token is the neighbor count; the rest are neighbor ids
+      // first token is the neighbor count; the rest are neighbor ids.
+      // length must be exact, NOT Int.MaxValue: interpreted Slice adds
+      // start + length with a plain int add, so 1 + MaxValue overflows
+      // negative and returns an EMPTY array whenever the plan falls off
+      // the codegen path (codegen clamps; interpreted must agree)
       .select(col("src"),
-        sort_array(slice(col("toks"), 2, Int.MaxValue)
-          .cast("array<long>")).as("adj"))
+        sort_array(slice(col("toks"), lit(2), greatest(size(col("toks")) - 1,
+          lit(0))).cast("array<long>")).as("adj"))
 
   /** Read `label` format → (src: long, label: string, nbrs array, labels array). */
   def readLabelAdj(spark: SparkSession, path: String): DataFrame = {
@@ -47,6 +51,25 @@ object GraphIO {
       filter(transform(col("toks"),
         (t, i) => when(i % 2 === 1, t)), _.isNotNull).as("labels"))
   }
+
+  /** Read `attr` format — `vid \t attr1 attr2 … \t num nb1 nb2 …` (string
+    * vertex attrs + plain adjacency, `sample-datasets/attr_sample.adj`,
+    * `docs/TUTORIALS.md:24-42`; parsed by the CD app's to_vertex,
+    * `apps/community.cpp:502-544`, which also sorts and dedups the attr
+    * list and drops "0" placeholders) →
+    * (src: long, attrs: array<string>, adj: array<long>), both sorted. */
+  def readAttrAdj(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(split(col("value"), "\t").as("p"))
+      .select(col("p").getItem(0).cast("long").as("src"),
+        array_sort(array_distinct(filter(
+          split(trim(col("p").getItem(1)), "[; ]+"), t => t =!= "0")))
+          .as("attrs"),
+        split(trim(col("p").getItem(2)), " +").as("toks"))
+      .select(col("src"), col("attrs"),
+        sort_array(slice(col("toks"), lit(2), greatest(size(col("toks")) - 1,
+          lit(0))).cast("array<long>")).as("adj"))
 
   /** Read `multi_attr` format — `vid \t attr1 attr2 … \t num nb1 w1 nb2 w2 …`
     * (string vertex attrs + per-edge double weights,

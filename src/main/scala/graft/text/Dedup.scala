@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora.
@@ -101,20 +101,74 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per document over whitespace tokens:
-    * bit j = sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1).
-    * Pure builtin: 64 sum-aggregations then a bitwise-OR fold. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Token hash for oracle-parity SimHash: the top 60 bits of sha256,
+    * parsed from the first 15 hex chars — the one 64-bit-ish hash both
+    * Spark and DuckDB compute identically (`xxhash64` has no DuckDB
+    * counterpart, so fingerprints built on it are unverifiable). */
+  def shaTokenHash60(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+  /** SimHash fingerprint per document over whitespace tokens:
+    * bit j = sign of Σ_tokens (2·bit_j(hash(token)) − 1).
+    * Pure builtin: `bits` sum-aggregations then a bitwise-OR fold.
+    * Default hash is xxhash64/64-bit (fast path); pass
+    * ([[shaTokenHash60]], 60) for DuckDB-verifiable fingerprints. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 64,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val sums = (0 until 64).map(j =>
+      .withColumn("h", tokenHash(col("t")))
+    val sums = (0 until bits).map(j =>
       sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)
         .as(s"s$j"))
-    val bits = (0 until 64).map(j =>
+    val bitCols = (0 until bits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     toks.groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
-      .select(col("id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+      .select(col("id"), bitCols.reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`, via
+    * banded multi-probe: the fingerprint splits into `maxHamming + 1`
+    * bands, and by pigeonhole two fingerprints within the bound agree on
+    * at least one whole band — so the banded bucket join has PERFECT
+    * recall while touching only colliding buckets (never all pairs);
+    * candidates are then verified with an exact `bit_count(xor)` filter
+    * (zero false positives). Fingerprints are 8-byte longs, so unlike the
+    * ANN vector case they ride through the pair join for free.
+    * Returns (d1, d2, hamming) with d1 < d2. */
+  def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bits: Int = 64,
+                     tokenHash: Column => Column = xxhash64(_),
+                     maxBucket: Int = 100000): DataFrame = {
+    val bands = maxHamming + 1
+    val fp = simHash(docs, idCol, textCol, bits, tokenHash)
+    // band j covers fingerprint bits [cuts(j), cuts(j+1)) — integer-spread
+    // so any bits/bands combination works
+    val cuts = (0 to bands).map(j => j * bits / bands)
+    val bandKeys = (0 until bands).map { j =>
+      val width = cuts(j + 1) - cuts(j)
+      shiftrightunsigned(col("simhash"), cuts(j))
+        .bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = fp.select(col("id"), col("simhash"),
+        posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // hot-bucket cap (all-identical boilerplate shards) — same guard as
+    // the MinHash-LSH path
+    val ok = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+    val inBucket = banded.join(ok, Seq("band", "bucket"), "left_semi")
+    inBucket.as("a")
+      .join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -27,6 +27,24 @@ class CatalogSpec extends SparkSpec {
     assert(s3 > s2)
   }
 
+  test("append after replace keeps the fresh lineage (no resurrection)") {
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog3").toString)
+    cat.createOrReplace("t", Seq(1L, 2L).toDF("x"))
+    cat.append("t", Seq(3L).toDF("x"))
+    cat.createOrReplace("t", Seq(10L).toDF("x"))
+    val s4 = cat.append("t", Seq(11L).toDF("x"))
+    // round-1 bug: append recorded ALL prior snapshots as parents, so this
+    // read resurrected 1,2,3 from before the replace
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(10L, 11L))
+    val s5 = cat.append("t", Seq(12L).toDF("x"))
+    assert(cat.readSnapshot(spark, "t", s5).collect()
+      .map(_.getLong(0)).sorted === Array(10L, 11L, 12L))
+    assert(cat.readSnapshot(spark, "t", s4).collect()
+      .map(_.getLong(0)).sorted === Array(10L, 11L))
+  }
+
   test("incremental edge derivation over appended corpus snapshots") {
     import graft.corpus.{CorpusGen, EdgeDeriver}
     val cat = new LocalCatalog(

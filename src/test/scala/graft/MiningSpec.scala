@@ -154,6 +154,28 @@ class MiningSpec extends SparkSpec {
     assert(back.filter(col("adj") =!= sort_array(col("adj"))).count() === 0)
   }
 
+  test("normal-format read agrees on the INTERPRETED expression path") {
+    // interpreted Slice computes start + length with a plain int add — a
+    // MaxValue-length slice overflowed and returned empty adjacency
+    // whenever a plan fell off the codegen path (round-1 ADVICE)
+    val dir = Files.createTempDirectory("graft-adj-interp").toString
+    GraphIO.writeNormalAdj(
+      Edges.adjacency(Edges.symmetrize(edgeDF(Oracles.sample15))),
+      s"$dir/normal")
+    val before = (spark.conf.get("spark.sql.codegen.wholeStage"),
+      spark.conf.get("spark.sql.codegen.factoryMode"))
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val edges = GraphIO.edgesOf(GraphIO.readNormalAdj(spark, s"$dir/normal"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(edges === Oracles.sample15.flatMap(e => Seq(e, e.swap)).toSet)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", before._1)
+      spark.conf.set("spark.sql.codegen.factoryMode", before._2)
+    }
+  }
+
   test("reference multi_attr format drives weighted PageRank vs oracle") {
     // the reference's own sample file: vid \t attrs \t num nb1 w1 nb2 w2 …
     val df = GraphIO.readMultiAttrEdges(spark,
@@ -171,6 +193,41 @@ class MiningSpec extends SparkSpec {
     assert(got.keySet === expect.keySet)
     got.foreach { case (v, r) =>
       assert(math.abs(r - expect(v)) < 1e-9, s"vid=$v") }
+  }
+
+  test("CD community detection matches subset-enumeration oracle on attr_sample") {
+    // the reference's own attr-format sample (15 vertices, 3 attrs each)
+    val va = GraphIO.readAttrAdj(spark,
+      "/root/reference/sample-datasets/attr_sample.adj").cache()
+    assert(va.count() === 15)
+    val attrs = va.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(attrs(1L) === Set("A1", "B2", "C9"))
+    val edges = GraphIO.edgesOf(va.select(col("src"), col("adj")))
+      .filter(col("src") < col("dst"))
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k = 2 // the 15-vertex sample has no 3-community; k=2 exercises all paths
+    // oracle: enumerate every vertex subset, keep attr-sharing cliques,
+    // then per min-member argmax size with lex-min tie-break
+    val vids = attrs.keys.toSeq.sorted
+    def isClique(s: Seq[Long]) =
+      s.combinations(2).forall(p => edgeSet((p(0), p(1))))
+    def sharesAttr(s: Seq[Long]) =
+      s.map(attrs).reduce(_ intersect _).nonEmpty
+    val all = (k to vids.size).flatMap(n => vids.combinations(n))
+      .filter(s => isClique(s) && sharesAttr(s))
+    import scala.math.Ordering.Implicits._
+    val expect = all.groupBy(_.head).values.map { cs =>
+      val maxSz = cs.map(_.size).max
+      val best = cs.filter(_.size == maxSz).min // numeric element-wise lex
+      (best.mkString(","), best.size)
+    }.toSet
+    val got = graft.kernels.Community.run(spark,
+        va.select(col("src").as("vid"), col("attrs")), edges, k)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    va.unpersist()
   }
 
   test("reference label-format parse") {

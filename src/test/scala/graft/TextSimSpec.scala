@@ -107,6 +107,54 @@ class TextSimSpec extends SparkSpec {
     got.foreach(t => assert(t._3 > 0.999))
   }
 
+  test("LSH ANN recall@5 >= 0.9 vs brute force on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Ann.bruteTopK(emb, "vec_id", "embedding", 5)
+      .select(col("vec_id"), col("nn_id")).persist()
+    val nTrue = brute.count()
+    val lsh = Ann.lshTopK(emb, "vec_id", "embedding", k = 5, dim = 64)
+      .select(col("vec_id"), col("nn_id"))
+    val caught = brute.join(lsh, Seq("vec_id", "nn_id"), "left_semi").count()
+    brute.unpersist()
+    val recall = caught.toDouble / nTrue
+    assert(recall >= 0.9, f"recall@5 $recall%.3f < 0.9 at default LSH params")
+  }
+
+  test("MinHash-LSH pair recall >= 0.9 vs exact Jaccard on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.7)
+      .select(col("d1"), col("d2")).persist()
+    val nTrue = exact.count()
+    assert(nTrue > 0, "test premise: the table contains near-dup pairs")
+    val cands = Dedup.minHashLsh(d, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.0)
+      .select(col("d1"), col("d2"))
+    val caught = exact.join(cands, Seq("d1", "d2"), "left_semi").count()
+    exact.unpersist()
+    assert(caught.toDouble / nTrue >= 0.9,
+      f"pair recall ${caught.toDouble / nTrue}%.3f < 0.9")
+  }
+
+  test("simhash multi-probe == brute-force Hamming filter (exact parity)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val d = docs((0L until 12L).map { i =>
+      i -> (if (i % 3 == 0) base
+            else if (i % 3 == 1) base.replace("zeta", s"zeta$i")
+            else s"totally different content number $i with its own words")
+    }: _*)
+    val multiProbe = Dedup.simHashNearDup(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: all pairs of fingerprints within Hamming 3
+    val fp = Dedup.simHash(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, h1) <- fp; (i2, h2) <- fp if i1 < i2
+      h = java.lang.Long.bitCount(h1 ^ h2) if h <= 3
+    } yield (i1, i2, h)).toSet
+    assert(multiProbe === brute)
+    assert(brute.nonEmpty, "test premise: some pairs within Hamming 3")
+  }
+
   test("embedding-cosine near-duplicates: exact pairs above threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
