@@ -233,6 +233,24 @@ object SparkEntry {
       graft.kernels.Community.run(s, verts, e2(s, d), k = 3)
     }),
 
+    // GC focused clustering with outliers (reference apps/focusCO.cpp) on
+    // the weighted co-occurrence graph. No SQL oracle (greedy phi loop is
+    // not SQL-expressible); exactness covered by the hand-traced
+    // MiningSpec oracle — rows-only here.
+    "q37_focus_cluster" -> ((s, d) =>
+      graft.kernels.FocusCluster.run(s,
+        cooc(s, d).select(col("src"), col("dst"), col("weight")),
+        graft.kernels.FocusCluster.Params(minWeight = 2.0, minCore = 10))),
+
+    // BDG Voronoi+greedy layout (B3/B5/B6/B7): per-worker blocks/vertices
+    // and cross-edge counts vs the hash baseline. Deterministic; no SQL
+    // oracle (multi-round flooding + driver greedy) — PartitionSpec holds
+    // the invariants and the hash-beating assertion.
+    "q38_bdg_layout" -> ((s, d) =>
+      graft.partition.BdgLayout.crossEdgeStats(s,
+        Edges.symmetrize(e2(s, d)),
+        graft.partition.BdgLayout.Params(seedRate = 0.01, workers = 8))),
+
     // -- approximate operators (rows-only check) with MEASURED recall --
     // MinHash-LSH near-dup candidates; pair_recall = fraction of exact
     // Jaccard>=0.7 pairs present in the banded candidate set (the LSH

@@ -23,6 +23,18 @@ trait CatalogAdapter {
   def read(spark: SparkSession, name: String): DataFrame
   def readSnapshot(spark: SparkSession, name: String, snapshot: Long): DataFrame
   def snapshots(name: String): Seq[Long]
+
+  /** Iceberg-style DELETE: commit a NEW snapshot holding the current rows
+    * that do NOT match `cond`; prior snapshots stay time-travelable. This
+    * is the table-layer home of the reference demo's drill-down deletions
+    * (`core/master.tpp:30-110`: a resumed run recomputes with removed
+    * nodes/edges applied) — delete the rows, re-run the kernel from the
+    * new snapshot. */
+  def deleteWhere(spark: SparkSession, name: String,
+                  cond: org.apache.spark.sql.Column): Long = {
+    val remaining = read(spark, name).filter(!cond)
+    createOrReplace(name, remaining)
+  }
 }
 
 /** Parquet + snapshot-log implementation (local stand-in for Iceberg). */

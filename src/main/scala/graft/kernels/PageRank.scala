@@ -82,9 +82,13 @@ object PageRank {
     // symmetric graphs: every vertex has out-edges, so the out-degree keys
     // ARE the vertex set (skips a |2E|-row union+distinct) and nothing
     // dangles
+    // hash-partitioned on vid BEFORE persist: the per-superstep left join
+    // (vertices with no inbound contribution) then reads the cached
+    // partitioning instead of re-exchanging |V| rows every superstep
     val verts = (if (symmetric) outDeg.select(col("src").as("vid"))
                  else e.select(col("src").as("vid"))
                    .union(e.select(col("dst").as("vid"))).distinct())
+      .repartition(col("vid"))
       .persist()
     val n = verts.count()
     val hasDangling = !symmetric && outDeg.count() < n

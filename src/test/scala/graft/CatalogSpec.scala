@@ -45,6 +45,30 @@ class CatalogSpec extends SparkSpec {
       .map(_.getLong(0)).sorted === Array(10L, 11L))
   }
 
+  test("deletion replay: drill-down recompute on a deleted-vertex snapshot") {
+    import graft.graph.Edges
+    import org.apache.spark.sql.functions.col
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog4").toString)
+    val sym = Edges.symmetrize(
+      Oracles.sample15.toDF("src", "dst"))
+    val s1 = cat.createOrReplace("edges", sym)
+    // drill-down: remove vertex 3 (an articulation point of sample15),
+    // commit as a new snapshot, recompute CC on it — the reference demo's
+    // resume-with-removed-nodes semantics at the table layer
+    cat.deleteWhere(spark, "edges", col("src") === 3 || col("dst") === 3)
+    val replayed = graft.kernels.ConnectedComponents
+      .run(spark, cat.read(spark, "edges")).components
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = graft.kernels.ConnectedComponents
+      .run(spark, sym.filter(col("src") =!= 3 && col("dst") =!= 3))
+      .components.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replayed === direct)
+    assert(!replayed.contains(3L))
+    // the pre-delete graph is still time-travelable
+    assert(cat.readSnapshot(spark, "edges", s1).count() === sym.count())
+  }
+
   test("incremental edge derivation over appended corpus snapshots") {
     import graft.corpus.{CorpusGen, EdgeDeriver}
     val cat = new LocalCatalog(

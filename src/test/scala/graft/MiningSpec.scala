@@ -230,6 +230,31 @@ class MiningSpec extends SparkSpec {
     va.unpersist()
   }
 
+  test("GC focused clustering matches a hand-computed FocusCO trace") {
+    import graft.kernels.FocusCluster
+    // two heavy 5-cliques (w=10) joined by a light bridge; vertex 20 is a
+    // strong attachment to clique A (w=12 to 1,2,3 — joins the cluster);
+    // vertex 11 touches ALL of A but with tiny weights and has an outside
+    // edge — structurally attached, weight-dissimilar => the FocusCO
+    // OUTLIER. Every phi value is hand-computed and far from the
+    // DIFF_RATIO boundary, so the trace is float-safe.
+    val w = Seq.newBuilder[(Long, Long, Double)]
+    for (u <- 1 to 5; v <- u + 1 to 5) w += ((u.toLong, v.toLong, 10.0))
+    for (u <- 6 to 10; v <- u + 1 to 10) w += ((u.toLong, v.toLong, 10.0))
+    w += ((5L, 6L, 1.0))
+    for (u <- 1 to 3) w += ((u.toLong, 20L, 12.0))
+    for (u <- 1 to 5) w += ((u.toLong, 11L, 0.5))
+    w += ((11L, 12L, 5.0))
+    val edges = w.result().toDF("src", "dst", "weight")
+    val p = FocusCluster.Params(minWeight = 5.0, minCore = 5)
+    val got = FocusCluster.run(spark, edges, p).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // seeds 1-5 converge on A+20 (seeds 4/5 discover 20 by expansion and
+    // record 11 as the struct-best outlier; the cluster-keyed union merges
+    // them); seeds 6-10 keep clique B with no outliers
+    assert(got === Set(("1,2,3,4,5,20", "11", 6), ("6,7,8,9,10", "", 5)))
+  }
+
   test("reference label-format parse") {
     val dir = Files.createTempDirectory("graft-lbl").toString
     Files.writeString(java.nio.file.Paths.get(dir, "g.adj"),

@@ -1,0 +1,77 @@
+package graft
+
+import graft.graph.Edges
+import graft.partition.BdgLayout
+import org.apache.spark.sql.functions._
+
+/** BDG layout pass: Voronoi flooding (B3), greedy block assignment (B5),
+  * layout + cross-edge statistics (B6/B7).
+  */
+class PartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 16 planted 12-cliques chained in a ring by single bridge edges —
+    * obvious block structure that hash partitioning ignores. */
+  private def plantedGraph = {
+    val b = Seq.newBuilder[(Long, Long)]
+    for (c <- 0 until 16) {
+      val base = c * 12L
+      for (i <- 0 until 12; j <- i + 1 until 12)
+        b += ((base + i, base + j))
+      b += ((base + 11, ((c + 1) % 16) * 12L)) // ring bridge
+    }
+    b.result().toDF("src", "dst")
+  }
+
+  private val p = BdgLayout.Params(
+    seedRate = 0.05, maxHop = 10, workers = 4)
+
+  test("voronoi flooding colors every vertex; blocks are seed-rooted") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val colors = BdgLayout.voronoiColors(spark, sym, p)
+    val n = sym.select(col("src")).distinct().count()
+    assert(colors.count() === n)
+    assert(colors.select("vid").distinct().count() === n)
+    // every color is itself a vertex id (its seed / component root)
+    val badColor = colors.select(col("color").as("vid")).distinct()
+      .join(colors.select("vid"), Seq("vid"), "left_anti").count()
+    assert(badColor === 0L)
+    sym.unpersist()
+  }
+
+  test("layout is deterministic and capacity-bounded; beats hash on cross edges") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val s1 = BdgLayout.crossEdgeStats(spark, sym, p).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val s2 = BdgLayout.crossEdgeStats(spark, sym, p).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(s1.sameElements(s2), "layout must be deterministic")
+    val total = s1.map(_._3).sum
+    assert(total === 16L * 12L)
+    // every worker's load under capacity + one max block (fallback slack)
+    val capacity = (1 + 0.1) * total / p.workers
+    s1.foreach { case (_, _, load, _, _) =>
+      assert(load <= capacity + 12, s"worker overloaded: $load") }
+    // the point of BDG (EuroSys §8.4): fewer cross edges than hash layout
+    val bdgCross = s1.map(_._4).sum
+    val hashCross = s1.map(_._5).sum
+    assert(bdgCross < hashCross,
+      s"BDG cross $bdgCross should beat hash cross $hashCross")
+    // planted structure: clique blocks should make crossings rare
+    assert(bdgCross <= hashCross / 4,
+      s"expected a large cross-edge reduction, got $bdgCross vs $hashCross")
+    sym.unpersist()
+  }
+
+  test("block re-shuffle (B6): repartition by worker co-locates blocks") {
+    val sym = Edges.symmetrize(plantedGraph)
+    val lay = BdgLayout.layout(spark, sym, p)
+    val parts = lay.repartition(p.workers, col("worker"))
+      .select(col("worker"), spark_partition_id().as("pid"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    // each worker maps to exactly one physical partition
+    assert(parts.groupBy(_._1).forall(_._2.length === 1))
+  }
+}
