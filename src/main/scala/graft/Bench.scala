@@ -85,8 +85,9 @@ object Bench {
     try {
       val sym = spark.read.parquet(edgesPath).persist()
       val m = sym.count() // directed message count per superstep
+      val grid = sys.env.getOrElse("SPARK_GRAFT_GRID", "1").toInt
       val res = PageRank.run(spark, sym, fixedIter = Some(supersteps),
-        salts = salts, symmetric = true)
+        salts = salts, symmetric = true, grid = grid)
       res.ranks.count()
       val sec = steadySec(res.metrics)
       sym.unpersist()

@@ -233,6 +233,19 @@ object SparkEntry {
       graft.kernels.Community.run(s, verts, e2(s, d), k = 3)
     }),
 
+    // GENERAL pattern-graph matching (J5 generalized): a CYCLIC pattern —
+    // labeled triangle with a repeated label, so the injectivity filters
+    // and the cycle-closing existence join are both load-bearing
+    "q39_pattern_cycle" -> ((s, d) => {
+      val verts = T(s, d, "part")
+        .select(col("p_partkey").cast("long").as("vid"),
+          col("p_brand").as("label"))
+      graft.kernels.GraphMatch.countPattern(verts,
+        Edges.symmetrize(e2(s, d)),
+        Seq("Brand#14", "Brand#8", "Brand#8"),
+        Seq((1, 2), (2, 3), (1, 3)))
+    }),
+
     // GC focused clustering with outliers (reference apps/focusCO.cpp) on
     // the weighted co-occurrence graph. No SQL oracle (greedy phi loop is
     // not SQL-expressible); exactness covered by the hand-traced
@@ -272,6 +285,24 @@ object SparkEntry {
           round(col("est_jaccard"), 4).as("est_jaccard"),
           lit(recall).as("pair_recall"))
     }),
+    // IVF ANN (k-means-lite inverted file, learned buckets) with measured
+    // recall_at_k vs brute force — the data-adaptive counterpart of q29
+    "q40_ann_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", k = 5)
+      val brute = Ann.bruteTopK(emb, "vec_id", "embedding", 5)
+        .select(col("vec_id"), col("nn_id"))
+      val nTrue = brute.count()
+      val caught = brute.join(ivf.select(col("vec_id"), col("nn_id")),
+        Seq("vec_id", "nn_id"), "left_semi").count()
+      val recall =
+        if (nTrue == 0L) 1.0
+        else math.rint(10000.0 * caught / nTrue) / 10000.0
+      ivf.select(col("vec_id"), col("nn_id"), col("rnk"),
+        round(col("cosine"), 4).as("cosine"),
+        lit(recall).as("recall_at_k"))
+    }),
+
     // LSH ANN; recall_at_k vs the exact brute top-k over all queries
     // (asserted >= 0.9 in TextSimSpec)
     "q29_ann_lsh" -> ((s, d) => {
@@ -529,6 +560,15 @@ object SparkEntry {
          |       count(*) AS n_cliques,
          |       array_to_string(min(members), ',') AS witness
          |FROM clq WHERE len(members) = (SELECT m FROM mx)""".stripMargin,
+    "q39_pattern_cycle" ->
+      s"""WITH $CTE,
+         |lab AS (SELECT p_partkey AS vid, p_brand AS label FROM part)
+         |SELECT count(*) AS matches FROM sym e1
+         |JOIN lab a ON a.vid = e1.s JOIN lab b ON b.vid = e1.d
+         |JOIN sym e2 ON e2.s = e1.d JOIN lab c ON c.vid = e2.d
+         |JOIN sym e3 ON e3.s = e1.s AND e3.d = e2.d
+         |WHERE a.label = 'Brand#14' AND b.label = 'Brand#8' AND c.label = 'Brand#8'
+         |  AND a.vid <> b.vid AND a.vid <> c.vid AND b.vid <> c.vid""".stripMargin,
     // attribute-sharing clique enumeration carrying the narrowing common
     // attr set; per seed (min member) the argmax-size / lex-min community
     "q36_community" ->

@@ -77,4 +77,79 @@ object GraphMatch {
                 la: String, lb: String, lc: String, ld: String): DataFrame =
     treeMatches(verts, sym, la, lb, lc, ld)
       .agg(count(lit(1)).as("matches"))
+
+  /** GENERAL pattern-graph matching: embeddings of an arbitrary connected
+    * labeled pattern (cycles included — beyond the reference's hard-coded
+    * path/tree shapes, which `apps/graphmatch.cpp` compiles in).
+    *
+    * The pattern is vertices 1..k with `labels(i-1)` and undirected
+    * `patternEdges` between them. The plan is a join chain in BFS order
+    * over the pattern: each new pattern vertex binds through ONE
+    * connecting edge (join + broadcast label filter), and every ADDITIONAL
+    * pattern edge to already-bound vertices becomes an adjacency-existence
+    * join against the (distinct-row) symmetric edge table — cardinality-
+    * preserving, so cyclic constraints cost one hash join each.
+    * Embeddings are injective (all pattern vertices map to pairwise
+    * distinct graph vertices), matching the reference's backtracking.
+    *
+    * @return embeddings as columns v1..vk */
+  def patternMatches(verts: DataFrame, sym: DataFrame,
+                     labels: Seq[String],
+                     patternEdges: Seq[(Int, Int)]): DataFrame = {
+    val k = labels.size
+    require(k >= 1)
+    val es = patternEdges.map { case (a, b) =>
+      require(a != b && a >= 1 && a <= k && b >= 1 && b <= k,
+        s"bad pattern edge ($a,$b)")
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    // BFS order over the pattern from vertex 1 (requires connectivity)
+    val order = scala.collection.mutable.ArrayBuffer(1)
+    val seen = scala.collection.mutable.Set(1)
+    var frontier: Seq[Int] = Seq(1)
+    while (frontier.nonEmpty) {
+      val next = es.collect {
+        case (a, b) if seen(a) && !seen(b) => b
+        case (a, b) if seen(b) && !seen(a) => a
+      }.distinct.sorted
+      next.foreach { v => seen += v; order += v }
+      frontier = next
+    }
+    require(seen.size == k || k == 1, "pattern graph must be connected")
+
+    val lab = verts.select(col("vid"), col("label"))
+    def labeled(i: Int) = broadcast(
+      lab.filter(col("label") === labels(i - 1)).select(col("vid").as(s"v$i")))
+    def edge(a: Int, b: Int) =
+      sym.select(col("src").as(s"v$a"), col("dst").as(s"v$b"))
+
+    var m = labeled(order.head)
+    val bound = scala.collection.mutable.Set(order.head)
+    order.tail.foreach { v =>
+      val connecting = es.filter { case (a, b) =>
+        (a == v && bound(b)) || (b == v && bound(a)) }
+      val anchor = connecting.head match {
+        case (a, b) => if (a == v) b else a }
+      val distinctness: Column = bound.toSeq.sorted
+        .map(j => col(s"v$j") =!= col(s"v$v"))
+        .foldLeft(lit(true))(_ && _)
+      m = m.join(edge(anchor, v), s"v$anchor")
+        .join(labeled(v), Seq(s"v$v"))
+        .filter(distinctness)
+      // remaining pattern edges to bound vertices: existence joins
+      connecting.tail.foreach { case (a, b) =>
+        val other = if (a == v) b else a
+        m = m.join(edge(other, v), Seq(s"v$other", s"v$v"))
+      }
+      bound += v
+      m = m.select(bound.toSeq.sorted.map(j => col(s"v$j")): _*)
+    }
+    m
+  }
+
+  /** Aggregated general-pattern match count. */
+  def countPattern(verts: DataFrame, sym: DataFrame, labels: Seq[String],
+                   patternEdges: Seq[(Int, Int)]): DataFrame =
+    patternMatches(verts, sym, labels, patternEdges)
+      .agg(count(lit(1)).as("matches"))
 }

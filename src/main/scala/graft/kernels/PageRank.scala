@@ -61,24 +61,34 @@ object PageRank {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edgesDirected.select(col("src"), col("dst"), w.as("w"))
     val outDeg = e.groupBy("src").agg(sum(col("w")).as("odeg"))
-    // grid > 1: destination-block edge layout — links are partitioned by
-    // hash(dst) into `grid` blocks, so every contribution to a given
-    // vertex is produced inside ONE partition and map-side combine
-    // collapses the message stream to ~|V| rows total (vs |E|-proportional
-    // under src-partitioning, where each partition sees a random slice of
-    // the whole destination space). The state side is broadcast to the
-    // edge partitions each superstep (GraphX's vertex-replication idea;
-    // viable while |V|-state fits a broadcast — for 10^12-edge graphs
-    // replicate state by dst-block join instead). grid = 1 keeps the
-    // co-partitioned zero-shuffle join (state never broadcast).
+    // grid > 1: destination-block edge layout — links carry an explicit
+    // block column blk = hash(dst) mod grid and are partitioned by blk, so
+    // all contributions to a given vertex are produced inside ONE
+    // partition and map-side combine collapses the message stream to
+    // ≤ |V| rows total (vs up-to-|E| under src-partitioning, where each
+    // partition sees a random slice of the whole destination space).
+    // State reaches the blocks via a REPLICATION JOIN: rank rows are
+    // joined to the loop-invariant (src → blk) relation and shuffled by
+    // blk — ~avgBlocksPerSrc·|V| rows — never broadcast, so there is no
+    // driver-serial cap and the layout scales to state that exceeds any
+    // single executor (round 1 used a broadcast here; its wall time was
+    // flat across cores because the driver serialized the state each
+    // superstep). grid sets BOTH the block count and the join/agg
+    // parallelism of the superstep — use the target core count.
+    // grid = 1 keeps the co-partitioned zero-extra-shuffle join.
     val links0 = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("odeg")).as("share"))
-    // repartition(grid, $"dst") — NOT repartition(pmod(hash, grid)) whose
-    // expression has only `grid` distinct keys, leaving every other shuffle
-    // partition empty and capping downstream parallelism at `grid` tasks
-    val links = (if (grid > 1) links0.repartition(grid, col("dst"))
+    val links = (if (grid > 1)
+        links0.withColumn("blk", pmod(xxhash64(col("dst")), lit(grid.toLong)))
+          .repartition(grid, col("blk"))
       else links0.repartition(col("src")))
       .persist()
+    // loop-invariant replication relation: which blocks does each source
+    // feed (≤ min(outdeg, grid) rows per source)
+    val srcBlocks =
+      if (grid <= 1) None
+      else Some(links.select(col("src"), col("blk")).distinct()
+        .repartition(col("src")).persist())
     // symmetric graphs: every vertex has out-edges, so the out-degree keys
     // ARE the vertex set (skips a |2E|-row union+distinct) and nothing
     // dangles
@@ -125,13 +135,25 @@ object PageRank {
             }
       }
       // grid=1: state is the SHUFFLE_HASH build side — the |E|-row link
-      // table is probed, never sorted (SMJ would re-sort it per superstep)
-      val state = if (grid > 1) broadcast(ranks)
-                  else ranks.hint("SHUFFLE_HASH")
-      val contribs = links
-        .join(state, links("src") === state("vid"))
-        .select(links("dst").as("vid"),
-          (col("rank") * col("share")).as("c"))
+      // table is probed, never sorted (SMJ would re-sort it per superstep).
+      // grid>1: state is replicated per destination block through the
+      // (src → blk) join, then the block join is co-partitioned with the
+      // stored blk layout of links (no |E|-row exchange).
+      val contribs =
+        if (grid > 1) {
+          val rep = srcBlocks.get
+            .join(ranks.hint("SHUFFLE_HASH"),
+              srcBlocks.get("src") === ranks("vid"))
+            .select(col("src"), col("blk"), col("rank"))
+          links.join(rep.hint("SHUFFLE_HASH"), Seq("blk", "src"))
+            .select(links("dst").as("vid"),
+              (col("rank") * col("share")).as("c"))
+        } else {
+          val state = ranks.hint("SHUFFLE_HASH")
+          links.join(state, links("src") === state("vid"))
+            .select(links("dst").as("vid"),
+              (col("rank") * col("share")).as("c"))
+        }
       val summed =
         if (hubIds.nonEmpty) {
           // two-phase: hub-bound contributions spread over `salts` reducer
@@ -167,7 +189,7 @@ object PageRank {
       spark, "pagerank", init, step, deltaFn, conv, iters, ckpt, resume,
       countRows = fixedIter.isEmpty || ckpt.isDefined)
     links.unpersist(); verts.unpersist()
-    danglingVids.foreach(_.unpersist())
+    danglingVids.foreach(_.unpersist()); srcBlocks.foreach(_.unpersist())
     Result(state, metrics, it, done || fixedIter.isDefined)
   }
 }

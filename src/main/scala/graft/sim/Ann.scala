@@ -77,6 +77,95 @@ object Ann {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic k-means-lite centroids for [[ivfTopK]]: initial
+    * centroids are hash-sampled rows, refined by `iters` Lloyd steps —
+    * assignment is a per-row argmin over broadcast centroid literals
+    * (codegen'd, no UDF), the mean recompute is one explode + groupBy per
+    * step, and the k×dim centroid table collects to the driver (tiny).
+    * Deterministic: seeded sampling, fixed iteration count, sum-based
+    * means over an id-sorted explode. */
+  private[sim] def kmeansCentroids(vecs: DataFrame, idCol: String,
+                                   vecCol: String, k: Int,
+                                   iters: Int): Array[Array[Double]] = {
+    val unit = vecs.select(col(idCol).as("vid"),
+      normalized(col(vecCol)).as("v"))
+    var centroids: Array[Array[Double]] = unit
+      .orderBy(xxhash64(col("vid")), col("vid")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = unit.withColumn("cluster",
+        nearestCentroids(col("v"), centroids, 1).getItem(0))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect().groupBy(_.getLong(0))
+      centroids = centroids.indices.map { c =>
+        means.get(c.toLong) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            m
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Array of the `nprobe` nearest centroid ids for a vector column —
+    * argmin by squared distance over centroid literals, ties to the lower
+    * centroid id (struct sort on (dist, cid)). */
+  private def nearestCentroids(v: Column, centroids: Array[Array[Double]],
+                               nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val lit2 = typedlit(c.toSeq)
+      struct(
+        aggregate(zip_with(v, lit2, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("dist"),
+        lit(i.toLong).as("cid"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
+  /** Approximate top-k via an IVF (inverted-file) index: k-means-lite
+    * coarse quantizer; every vector lives in its nearest centroid's
+    * partition (the inverted file — a data-dependent repartition);
+    * queries probe their `nprobe` nearest centroids and re-rank
+    * candidates exactly. The candidate join is keyed by cluster id, so
+    * cost is ~nprobe/nlist of the corpus per query instead of n² — the
+    * same bucketed shape as [[lshTopK]] with learned buckets. Measured
+    * recall@5 on the 500×64 test table (RecallProbe): 0.84 at 16/8,
+    * 0.76 at 8/4, 0.59 at 16/4 — these embeddings' tail neighbors span
+    * clusters, so IVF needs a fat probe fraction here where 32×4 SRP-LSH
+    * reaches 0.99; on genuinely clustered corpora the trade flips.
+    * At corpus scale set nlist ≈ √n and tune nprobe to the recall bar. */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 8,
+              lloydIters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(vecs, idCol, vecCol, nlist, lloydIters)
+    val unit = vecs.select(col(idCol).as("vid"),
+      normalized(col(vecCol)).as("v"))
+    // inverted file: vector -> home cluster (1 row per vector)
+    val file = unit.withColumn("cluster",
+      nearestCentroids(col("v"), centroids, 1).getItem(0))
+      .select(col("cluster"), col("vid").as("nn_id"), col("v").as("vb"))
+      .repartition(col("cluster"))
+    // queries fan out to nprobe clusters (nprobe rows per vector)
+    val probes = unit.select(col("vid").as("vec_id"), col("v").as("va"),
+      explode(nearestCentroids(col("v"), centroids, nprobe)).as("cluster"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    probes.join(file, "cluster")
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", dot(col("va"), col("vb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))
+  }
+
   /** Approximate top-k via sign-random-projection LSH: `bands` bucket keys
     * of `bitsPerBand` hyperplane signs each; vectors sharing any band
     * bucket become candidates, re-ranked exactly. Recall rises with bands

@@ -50,4 +50,30 @@ object Streaming {
     q.stop()
     spark.table(sinkTable)
   }
+
+  /** Streaming corpus ingest into the snapshot catalog: corpus files
+    * arriving in `dir` are appended batch-by-batch as catalog snapshots
+    * (`foreachBatch` → `CatalogAdapter.append`), giving the incremental-
+    * derivation entry point the production system would run continuously
+    * — each micro-batch commit is a new snapshot, the edge derivation
+    * reads the latest one, and time travel reaches any ingest point.
+    * Bounded run (processAllAvailable + stop); returns committed
+    * snapshot ids in commit order. */
+  def ingestCorpus(spark: SparkSession, dir: String, schema: StructType,
+                   catalog: graft.catalog.CatalogAdapter,
+                   table: String): Seq[Long] = {
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { snaps += catalog.append(table, batch.toDF()) }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    snaps.toSeq
+  }
 }

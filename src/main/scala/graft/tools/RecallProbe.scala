@@ -34,6 +34,15 @@ object RecallProbe {
       println(f"RECALL ann bands=$b bits=$w recall=${caught.toDouble / nTrue}%.3f rows=$n sec=${(System.nanoTime - t0) / 1e9}%.1f")
     }
 
+    for ((nl, np) <- Seq((8, 2), (8, 4), (16, 4), (16, 8), (32, 8), (32, 12))) {
+      val t0 = System.nanoTime
+      val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 5, nl, np)
+        .select(col("vec_id"), col("nn_id")).persist()
+      val caught = brute.join(ivf, Seq("vec_id", "nn_id"), "left_semi").count()
+      val n = ivf.count(); ivf.unpersist()
+      println(f"RECALL ivf nlist=$nl nprobe=$np recall=${caught.toDouble / nTrue}%.3f rows=$n sec=${(System.nanoTime - t0) / 1e9}%.1f")
+    }
+
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.7)
       .select(col("d1"), col("d2")).persist()

@@ -128,6 +128,46 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("general pattern-graph matching matches enumeration (incl. cycles)") {
+    val es = Oracles.sample15
+    val labels = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> (if (v % 3 == 0) "a" else if (v % 3 == 1) "b" else "c"))
+      .toMap
+    val verts = labels.toSeq.toDF("vid", "label")
+    val sym = Edges.symmetrize(edgeDF(es))
+    val eset = (es ++ es.map(_.swap)).toSet
+    def oracle(ls: Seq[String], pes: Seq[(Int, Int)]): Long = {
+      val vs = labels.keys.toSeq.sorted
+      def rec(bound: Vector[Long]): Long =
+        if (bound.size == ls.size) 1L
+        else vs.iterator.filter { v =>
+          labels(v) == ls(bound.size) && !bound.contains(v) &&
+            pes.forall { case (a, b) =>
+              val (x, y) = (a - 1, b - 1)
+              if (x < bound.size && y == bound.size) eset((bound(x), v))
+              else if (y < bound.size && x == bound.size) eset((bound(y), v))
+              else true
+            }
+        }.map(v => rec(bound :+ v)).sum
+      rec(Vector.empty)
+    }
+    val cases = Seq(
+      // triangle (cycle) with a repeated label
+      (Seq("a", "b", "b"), Seq((1, 2), (2, 3), (1, 3))),
+      // square cycle (1-2-3-4-1 in sample15 carries labels b,c,a,b)
+      (Seq("b", "c", "a", "b"), Seq((1, 2), (2, 3), (3, 4), (1, 4))),
+      // triangle with a tail (cycle + tree mix)
+      (Seq("b", "c", "a", "c"), Seq((1, 2), (2, 3), (1, 3), (3, 4))),
+      // plain path via the general API
+      (Seq("a", "b", "c"), Seq((1, 2), (2, 3))))
+    cases.foreach { case (ls, pes) =>
+      val got = GraphMatch.countPattern(verts, sym, ls, pes)
+        .head().getLong(0)
+      assert(got === oracle(ls, pes), s"labels=$ls edges=$pes")
+      assert(got > 0, s"test premise: labels=$ls edges=$pes has matches")
+    }
+  }
+
   test("k-core peeling matches oracle (survivors and induced degrees)") {
     for ((es, k) <- Seq((Oracles.sample15, 3),
         (Oracles.erdosRenyi(40, 0.15, seed = 8), 3),

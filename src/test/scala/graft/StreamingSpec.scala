@@ -36,4 +36,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.size === 4) // (00h click)(00h view)(01h click)(02h view)
   }
+
+  test("streaming corpus ingest: micro-batches become catalog snapshots") {
+    import graft.catalog.LocalCatalog
+    import graft.corpus.{CorpusGen, EdgeDeriver}
+    val corpus = CorpusGen.corpus(spark, CorpusGen.Tiny).persist()
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    // three arrival chunks, one FLAT parquet file each in the watched dir
+    // (the file-stream source lists plain files, not nested write dirs)
+    for (i <- 0 until 3) {
+      val tmp = Files.createTempDirectory(s"graft-chunk$i").toString
+      corpus.filter(pmod(xxhash64(col("path")), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, s"chunk$i.parquet"))
+    }
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-ingest-cat").toString)
+    val snaps = Streaming.ingestCorpus(spark, dir, corpus.schema,
+      cat, "corpus")
+    assert(snaps.nonEmpty && snaps == snaps.sorted)
+    // the ingested table equals the batch corpus, sha256 row-for-row
+    val inSha = cat.read(spark, "corpus")
+      .select(sha2(col("content"), 256)).as[String].collect().sorted
+    val batchSha = corpus
+      .select(sha2(col("content"), 256)).as[String].collect().sorted
+    assert(inSha.sameElements(batchSha))
+    // derivation over the streamed catalog == derivation over the batch
+    val viaCatalog = EdgeDeriver.edges(cat.read(spark, "corpus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val direct = EdgeDeriver.edges(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(viaCatalog.sameElements(direct))
+    // earlier snapshots see strictly less data (incremental ingest)
+    assert(cat.readSnapshot(spark, "corpus", snaps.head).count()
+      < corpus.count())
+    corpus.unpersist()
+  }
 }
