@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Set-at-a-time translation: orient each edge, build sorted out-adjacency
   * arrays once, then for every oriented edge (u,v) count
-  * |N⁺(u) ∩ N⁺(v)| with `array_intersect` — one shuffle to build `adj`,
-  * two co-partitioned joins, no iteration.
+  * |N⁺(u) ∩ N⁺(v)| with a codegen'd sorted-merge expression — one shuffle
+  * to build `adj`, two co-partitioned joins, no iteration.
+  *
+  * The oriented edge table IS persisted for the duration of each call
+  * (it feeds the adj aggregation and both join probes; measured on the
+  * 50.5M-directed-edge bench graph, relying on ReusedExchange instead of
+  * the cache made `total` 3.7x slower — the oriented subtree, itself two
+  * joins over the degree table, gets recomputed per consumer) and
+  * released before return: `total`/`perVertex` materialize their result
+  * first (a single row / a localCheckpoint), so no cached blocks outlive
+  * the call in a long-lived session.
   *
   * Skew (SURVEY §4.3): with degree-orientation (edges point from the lower-
   * (degree,id) endpoint to the higher) every out-adjacency is O(√E) on any
@@ -23,43 +32,48 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCount {
 
-  /** Triangle triples (a, b, c) — one row per triangle, corners unordered
-    * (set semantics; each triangle appears exactly once).
-    * @param edges canonical distinct undirected edge table (src < dst)
-    * @param byDegree orient by (degree, id) [scale path] vs by id */
-  def triangles(edges: DataFrame, byDegree: Boolean = true): DataFrame = {
-    // no persist: `e` feeds the adj aggregation and the probe side of the
-    // first join, BOTH exchanged on hash(src) — Catalyst's ReusedExchange
-    // dedupes them (verified in the plan), and a long-lived session keeps
-    // no stray cached blocks (round-1 leaked this persist)
-    val e = (if (byDegree) Edges.orientByDegree(edges)
-             else edges.select(col("src"), col("dst")))
+  private def oriented(edges: DataFrame, byDegree: Boolean): DataFrame =
+    if (byDegree) Edges.orientByDegree(edges)
+    else edges.select(col("src"), col("dst"))
+
+  /** Triangle triples from a pre-materialized oriented edge table. */
+  private def trianglesFrom(e: DataFrame): DataFrame = {
     val adj = e.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("adj"))
     val withU = e.join(adj.withColumnRenamed("src", "u"),
       e("src") === col("u")).select(e("src"), e("dst"), col("adj").as("adjU"))
-    val both = withU.join(
-      adj.withColumnRenamed("src", "v").withColumnRenamed("adj", "adjV"),
-      withU("dst") === col("v"))
+    withU.join(
+        adj.withColumnRenamed("src", "v").withColumnRenamed("adj", "adjV"),
+        withU("dst") === col("v"))
       .select(col("src"), col("dst"),
         array_intersect(col("adjU"), col("adjV")).as("common"))
-    val t = both.select(col("src").as("a"), col("dst").as("b"),
-      explode(col("common")).as("c"))
-    t
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(col("common")).as("c"))
   }
+
+  /** Triangle triples (a, b, c) — one row per triangle, corners unordered
+    * (set semantics; each triangle appears exactly once). Lazy; intended
+    * for small/spec graphs — the batch entry points are [[total]] and
+    * [[perVertex]], which manage the oriented-edge cache.
+    * @param edges canonical distinct undirected edge table (src < dst)
+    * @param byDegree orient by (degree, id) [scale path] vs by id */
+  def triangles(edges: DataFrame, byDegree: Boolean = true): DataFrame =
+    trianglesFrom(oriented(edges, byDegree))
 
   /** Per-oriented-edge intersection sizes (src, dst, ncommon) — the count
     * fabric, WITHOUT materializing a row per triangle. Uses the native
     * codegen'd [[graft.functions.SortedIntersectCount]] merge loop over the
     * sorted adjacency arrays (zero allocation per row, vs the hash-set
     * materialization inside builtin `array_intersect`). */
-  private def commonCounts(edges: DataFrame, byDegree: Boolean): DataFrame = {
-    // unpersisted for the same ReusedExchange reason as [[triangles]]
-    val e = (if (byDegree) Edges.orientByDegree(edges)
-             else edges.select(col("src"), col("dst")))
+  private def commonCountsFrom(e: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
     val adj = e.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("adj"))
+    // deliberately NOT hinted SHUFFLE_HASH: probed on the 50.5M-edge bench
+    // graph, building hash tables over the |V| array-valued adj rows is 3x
+    // SLOWER than sort-merge (89.8 vs 30.4 s total) — the superstep
+    // kernels' SHJ-always rule applies to narrow scalar state, not to
+    // wide array build sides
     e.join(adj.withColumnRenamed("src", "u"), e("src") === col("u"))
       .select(e("src"), e("dst"), col("adj").as("adjU"))
       .join(adj.withColumnRenamed("src", "v").withColumnRenamed("adj", "adjV"),
@@ -73,18 +87,31 @@ object TriangleCount {
     * `apps/trianglecount.cpp:50-119`). Sums per-edge intersection SIZES —
     * never materializes a per-triangle row, so a clique-heavy graph with
     * billions of triangles costs O(E^1.5) intersection work and O(E)
-    * rows, not O(#triangles). */
-  def total(edges: DataFrame, byDegree: Boolean = true): DataFrame =
-    commonCounts(edges, byDegree)
+    * rows, not O(#triangles). Eager (computes the scalar, releases the
+    * cache, returns a local one-row frame). */
+  def total(edges: DataFrame, byDegree: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val e = oriented(edges, byDegree).persist()
+    val result = commonCountsFrom(e)
       .agg(coalesce(sum(col("ncommon")), lit(0L)).as("triangles"))
+    val rows = result.collect().toSeq
+    e.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
+  }
 
   /** Per-vertex triangle participation counts (vid, tc) — vertices in at
-    * least one triangle. */
+    * least one triangle. Result is materialized (localCheckpoint) so the
+    * oriented-edge cache can be released before return. */
   def perVertex(edges: DataFrame, byDegree: Boolean = true): DataFrame = {
-    val t = triangles(edges, byDegree)
-    t.select(col("a").as("vid"))
+    val e = oriented(edges, byDegree).persist()
+    val t = trianglesFrom(e)
+    val out = t.select(col("a").as("vid"))
       .union(t.select(col("b").as("vid")))
       .union(t.select(col("c").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("tc"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 }
