@@ -172,6 +172,14 @@ object SparkEntry {
         .toDF().select(col("id").as("doc_id"), col("width"),
           col("height"), col("first_byte"))),
 
+    // multimodal frame sampling: every 4th 32-byte frame of the payload
+    "q41_mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.asBinary(T(s, d, "documents"), "doc_id", "text"),
+          "id", "media", frameSize = 32, stride = 4)
+        .toDF().select(col("id").as("doc_id"), col("frame_idx"),
+          col("offset"), col("frame_len"), col("first_byte"))),
+
     // pattern join (J5, GM semantics): labeled 3-path embeddings
     "q30_pattern_path3" -> ((s, d) => {
       val verts = T(s, d, "part")
@@ -560,6 +568,15 @@ object SparkEntry {
          |       count(*) AS n_cliques,
          |       array_to_string(min(members), ',') AS witness
          |FROM clq WHERE len(members) = (SELECT m FROM mx)""".stripMargin,
+    "q41_mm_frames" ->
+      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |idx AS (SELECT doc_id, text, len,
+        |               unnest(range(0, CAST(ceil(len / 32.0) AS BIGINT), 4)) AS i
+        |        FROM f)
+        |SELECT doc_id, i AS frame_idx, i * 32 AS offset,
+        |       least(32, len - i * 32) AS frame_len,
+        |       CAST(ascii(substr(text, CAST(i * 32 + 1 AS INT), 1)) AS BIGINT) AS first_byte
+        |FROM idx""".stripMargin,
     "q39_pattern_cycle" ->
       s"""WITH $CTE,
          |lab AS (SELECT p_partkey AS vid, p_brand AS label FROM part)

@@ -50,4 +50,37 @@ object Multimodal {
     * into the opaque-binary shape real image/audio tables have. */
   def asBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), encode(col(textCol), "UTF-8").as("media"))
+
+  /** One sampled frame of a media payload (video frame-sampling shape:
+    * real offsets/lengths, stub contents). */
+  final case class FrameSample(id: Long, frame_idx: Long, offset: Long,
+                               frame_len: Long, first_byte: Long)
+
+  /** Frame sampling: treat the binary payload as consecutive fixed-size
+    * frames and keep every `stride`-th one — the video/audio sampling
+    * stage of a training pipeline. The STUB "frame" is a byte range of
+    * the container (a real demuxer would seek keyframes); the plumbing —
+    * per-partition iterator batching, one output row per sampled frame,
+    * deterministic offsets — is the real shape, and the stub is a pure
+    * byte function so it stays DuckDB-oracle-able. */
+  def sampleFrames(spark: SparkSession, df: DataFrame,
+                   idCol: String, binCol: String,
+                   frameSize: Int = 32,
+                   stride: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    require(frameSize > 0 && stride > 0)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + frameSize - 1) / frameSize
+          (0 until nFrames by stride).iterator.map { i =>
+            val off = i * frameSize
+            FrameSample(id, i.toLong, off.toLong,
+              math.min(frameSize, bytes.length - off).toLong,
+              (bytes(off) & 0xff).toLong)
+          }
+        }
+      }
+  }
 }

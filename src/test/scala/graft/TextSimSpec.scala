@@ -204,6 +204,22 @@ class TextSimSpec extends SparkSpec {
     assert(got === Map(1L -> 11L, 2L -> 0L))
   }
 
+  test("multimodal frame sampling: offsets, tail frame, stride") {
+    import graft.multimodal.Multimodal
+    val d = docs(1L -> ("x" * 100), 2L -> "short")
+    val got = Multimodal.sampleFrames(spark,
+        Multimodal.asBinary(d, "doc_id", "text"), "id", "media",
+        frameSize = 32, stride = 2)
+      .collect()
+      .map(f => (f.id, f.frame_idx, f.offset, f.frame_len, f.first_byte))
+      .toSet
+    // doc 1: 100 bytes = 4 frames (0..3), stride 2 keeps 0 and 2;
+    // doc 2: 5 bytes = one short tail frame
+    assert(got === Set(
+      (1L, 0L, 0L, 32L, 'x'.toLong), (1L, 2L, 64L, 32L, 'x'.toLong),
+      (2L, 0L, 0L, 5L, 's'.toLong)))
+  }
+
   test("multimodal stub decode is deterministic with real plumbing") {
     val d = docs(1L -> "some media payload", 2L -> "x")
     val bin = graft.multimodal.Multimodal.asBinary(d, "doc_id", "text")
