@@ -51,6 +51,21 @@ object Multimodal {
   def asBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), encode(col(textCol), "UTF-8").as("media"))
 
+  /** Resize decoded frames to a bounding box, preserving aspect ratio —
+    * the standard image-preprocessing stage. Pure column arithmetic over
+    * the decoded metadata (a real implementation would also rescale the
+    * pixel buffer; the geometry below is exactly what it would compute).
+    * Adds (out_width, out_height, scale) to the frame columns. */
+  def resizeFrames(frames: Dataset[Frame], maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    val s = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    frames.toDF()
+      .withColumn("scale", round(s, 6))
+      .withColumn("out_width", greatest(floor(col("width") * s), lit(1L)))
+      .withColumn("out_height", greatest(floor(col("height") * s), lit(1L)))
+  }
+
   /** One sampled frame of a media payload (video frame-sampling shape:
     * real offsets/lengths, stub contents). */
   final case class FrameSample(id: Long, frame_idx: Long, offset: Long,

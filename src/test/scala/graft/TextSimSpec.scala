@@ -231,4 +231,21 @@ class TextSimSpec extends SparkSpec {
     assert(frames(1L).first_byte === 's'.toLong)
     assert(frames(2L).channels === 3L)
   }
+
+  test("multimodal resize: aspect-preserving bounding box, never upscales") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val frames = Seq(
+      Multimodal.Frame(1L, 64L, 32L, 3L, 0L),  // wide: limited by maxW
+      Multimodal.Frame(2L, 10L, 40L, 3L, 0L),  // tall: limited by maxH
+      Multimodal.Frame(3L, 8L, 8L, 3L, 0L))    // small: untouched
+      .toDS()
+    val got = Multimodal.resizeFrames(frames, maxW = 16, maxH = 16)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"),
+          r.getAs[Double]("scale"))).toMap
+    assert(got(1L) === ((16L, 8L, 0.25)))
+    assert(got(2L) === ((4L, 16L, 0.4)))
+    assert(got(3L) === ((8L, 8L, 1.0)))
+  }
 }
