@@ -4,6 +4,7 @@ import graft.graph.Edges
 import graft.kernels.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.multimodal.Multimodal
 import graft.sim.Ann
+import graft.sources.GraphIO
 import graft.text.{Dedup, TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -280,6 +281,126 @@ object SparkEntry {
       graft.partition.BdgLayout.crossEdgeStats(s,
         Edges.symmetrize(e2(s, d)),
         graft.partition.BdgLayout.Params(seedRate = 0.01, workers = 8))),
+
+    // S1b/S4 end-to-end: dump the graph in ALL FOUR reference text formats
+    // (normal/label/attr/multi_attr), read each back through its scan plan,
+    // and report per-format vertex/edge/weight totals (hash-oracled against
+    // the parquet-derived graph). Content equality is spec-covered (IoSpec).
+    "q43_io_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val adj = Edges.adjacency(Edges.symmetrize(e2(s, d)))
+      GraphIO.writeNormalAdj(adj, s"$tmp/normal")
+      GraphIO.writeLabelAdj(adj.select(col("src"),
+        concat(lit("L"), pmod(col("src"), lit(5)).cast("string")).as("label"),
+        col("adj").as("nbrs"),
+        transform(col("adj"),
+          n => concat(lit("L"), pmod(n, lit(5)).cast("string"))).as("labels")),
+        s"$tmp/label")
+      GraphIO.writeAttrAdj(adj.select(col("src"),
+        array(concat(lit("a"), pmod(col("src"), lit(3)).cast("string")))
+          .as("attrs"), col("adj")), s"$tmp/attr")
+      val c = cooc(s, d).filter(col("weight") >= 2)
+      val wsym = c.select(col("src"), col("dst"), col("weight"))
+        .union(c.select(col("dst"), col("src"), col("weight")))
+      GraphIO.writeMultiAttrAdj(wsym.select(col("src"),
+        array(lit("m")).as("attrs"), col("dst"), col("weight")),
+        s"$tmp/multi")
+      def row(fmt: String, agg: DataFrame): DataFrame =
+        agg.select(lit(fmt).as("fmt"), col("n_vertices"), col("n_edges"),
+          col("sum_weight"))
+      row("normal", GraphIO.readNormalAdj(s, s"$tmp/normal")
+          .agg(count(lit(1)).as("n_vertices"),
+            sum(size(col("adj"))).as("n_edges"),
+            lit(0.0).as("sum_weight")))
+        .union(row("label", GraphIO.readLabelAdj(s, s"$tmp/label")
+          .agg(count(lit(1)).as("n_vertices"),
+            sum(size(col("labels"))).as("n_edges"),
+            lit(0.0).as("sum_weight"))))
+        .union(row("attr", GraphIO.readAttrAdj(s, s"$tmp/attr")
+          .agg(count(lit(1)).as("n_vertices"),
+            sum(size(col("adj"))).as("n_edges"),
+            lit(0.0).as("sum_weight"))))
+        .union(row("multi_attr", GraphIO.readMultiAttrEdges(s, s"$tmp/multi")
+          .agg(countDistinct(col("src")).as("n_vertices"),
+            count(lit(1)).as("n_edges"),
+            round(sum(col("weight")), 6).as("sum_weight"))))
+    }),
+
+    // S7 in the driver path: run CC for 2 supersteps against a durable
+    // checkpoint, then a FRESH run resumes from the manifest and finishes —
+    // final components must equal the uninterrupted q08 fixpoint
+    "q44_resume" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val sym = Edges.symmetrize(e2(s, d))
+      ConnectedComponents.run(s, sym, maxIter = 2,
+        ckpt = Some(new graft.engine.Checkpointer(root, "cc")))
+      ConnectedComponents.run(s, sym,
+        ckpt = Some(new graft.engine.Checkpointer(root, "cc")),
+        resume = true).components
+    }),
+
+    // S6/A9 in the driver path: the per-superstep metrics table itself
+    // (iter, state rows, changed count) for 4 fixed CC supersteps, oracled
+    // by a DuckDB recursive-CTE replay of hash-min
+    "q45_metrics" -> ((s, d) => {
+      val r = ConnectedComponents.run(s, Edges.symmetrize(e2(s, d)),
+        maxIter = 4)
+      import s.implicits._
+      r.metrics.map(m => (m.iter, m.rows, m.delta.toLong))
+        .toDF("iter", "n_rows", "changed")
+    }),
+
+    // drill-down deletion replay (reference `core/master.tpp:30-110`):
+    // commit the edge table to the catalog, DELETE the rows touching
+    // vid % 7 == 0 (a new snapshot — prior ones stay time-travelable),
+    // recompute CC from the surviving snapshot
+    "q46_drilldown" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val cat = new graft.catalog.LocalCatalog(root)
+      cat.createOrReplace("edges", e2(s, d))
+      cat.deleteWhere(s, "edges",
+        pmod(col("src"), lit(7)) === 0 || pmod(col("dst"), lit(7)) === 0)
+      ConnectedComponents.run(s,
+        Edges.symmetrize(cat.read(s, "edges"))).components
+    }),
+
+    // sequential token packing (concat-and-chunk): which 512-token bin
+    // does each doc start in, and at what offset — two-phase global cumsum
+    "q47_pack" -> ((s, d) =>
+      graft.text.TrainPrep.sequentialPack(s, T(s, d, "documents"),
+        "doc_id", TF.tokenCount(col("text")), capacity = 512)),
+
+    // deterministic sha-keyed train/val/test split (80/10/10)
+    "q48_split" -> ((s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        graft.text.TrainPrep.hashSplit("doc_id", "s1").as("split"))),
+
+    // intra-document repetition: sentence counts before/after dedup
+    "q49_intradoc" -> ((s, d) => {
+      val sents = split(col("text"), "\\. ")
+      T(s, d, "documents").select(col("doc_id"),
+        size(sents).cast("long").as("n_sent"),
+        size(array_distinct(sents)).cast("long").as("n_uniq"),
+        round(lit(1.0) -
+          size(array_distinct(sents)).cast("double") / size(sents), 6)
+          .as("dup_ratio"))
+    }),
+
+    // A5 map-union agg in the driver path: per-component brand histogram
+    // as a canonical "brand:count" CSV (partial maps merge map-side)
+    "q50_comp_hist" -> ((s, d) => {
+      val cc = ConnectedComponents.run(s,
+        Edges.symmetrize(e2(s, d))).components
+      val brands = T(s, d, "part").select(
+        col("p_partkey").cast("long").as("vid"), col("p_brand").as("brand"))
+      cc.join(brands, "vid")
+        .groupBy(col("component"), col("brand")).agg(count(lit(1)).as("n"))
+        .groupBy(col("component"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("brand"), col("n")))),
+          x => concat_ws(":", x.getField("brand"), x.getField("n"))), ",")
+          .as("hist"))
+    }),
 
     // -- approximate operators (rows-only check) with MEASURED recall --
     // MinHash-LSH near-dup candidates; pair_recall = fraction of exact
@@ -649,6 +770,102 @@ object SparkEntry {
          |        FROM (SELECT vids FROM peel ORDER BY len(vids) LIMIT 1))
          |SELECT e3.s AS vid, count(*) AS degree FROM sym e3
          |WHERE e3.s IN (SELECT vid FROM fin) AND e3.d IN (SELECT vid FROM fin)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    // every text format must reproduce the parquet-derived graph's totals
+    "q43_io_roundtrip" ->
+      s"""WITH $CTE,
+         |nvv AS (SELECT count(*) AS v FROM deg),
+         |nee AS (SELECT count(*) AS e FROM sym),
+         |wz AS (SELECT round(CAST(2 * sum(weight) AS DOUBLE), 6) AS w
+         |       FROM cooc WHERE weight >= 2)
+         |SELECT 'normal' AS fmt, (SELECT v FROM nvv) AS n_vertices,
+         |       (SELECT e FROM nee) AS n_edges, CAST(0.0 AS DOUBLE) AS sum_weight
+         |UNION ALL SELECT 'label', (SELECT v FROM nvv), (SELECT e FROM nee), 0.0
+         |UNION ALL SELECT 'attr', (SELECT v FROM nvv), (SELECT e FROM nee), 0.0
+         |UNION ALL SELECT 'multi_attr', (SELECT v FROM nvv),
+         |          (SELECT e FROM nee), (SELECT w FROM wz)""".stripMargin,
+    // resumed run must land on the same fixpoint as q08
+    "q44_resume" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |)
+         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin,
+    // replay 4 synchronous hash-min supersteps (self-message via symz) and
+    // diff consecutive states; stop where the engine's loop stops (first
+    // changed=0 iteration, capped at 4)
+    "q45_metrics" ->
+      s"""WITH RECURSIVE $CTE,
+         |symz AS (SELECT s, d FROM sym UNION ALL SELECT vid, vid FROM deg),
+         |st(iter, vid, comp) AS (
+         |  SELECT 0, vid, vid FROM deg
+         |  UNION ALL
+         |  SELECT p.iter + 1, z.d, min(p.comp) FROM st p JOIN symz z ON p.vid = z.s
+         |  WHERE p.iter < 4 GROUP BY 1, 2
+         |),
+         |chg AS (SELECT a.iter AS iter,
+         |               (SELECT count(*) FROM deg) AS n_rows,
+         |               count(*) FILTER (WHERE a.comp <> b.comp) AS changed
+         |        FROM st a JOIN st b ON a.vid = b.vid AND b.iter = a.iter - 1
+         |        GROUP BY 1),
+         |stp AS (SELECT coalesce(min(iter) FILTER (WHERE changed = 0), 4) AS k
+         |        FROM chg)
+         |SELECT CAST(iter AS INT) AS iter, n_rows, changed FROM chg
+         |WHERE iter <= (SELECT k FROM stp)""".stripMargin,
+    // CC over the graph with all vid%7==0 endpoints deleted
+    "q46_drilldown" ->
+      s"""WITH RECURSIVE $CTE,
+         |e2 AS (SELECT s, d FROM e WHERE s % 7 <> 0 AND d % 7 <> 0),
+         |sym2 AS (SELECT s, d FROM e2 UNION ALL SELECT d, s FROM e2),
+         |deg2 AS (SELECT s AS vid FROM sym2 GROUP BY 1),
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg2
+         |  UNION
+         |  SELECT s2.d, r.lbl FROM reach r JOIN sym2 s2 ON r.vid = s2.s
+         |)
+         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin,
+    "q47_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |                  len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS strt
+        |      FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(floor(strt / 512.0) AS BIGINT) AS bin,
+        |       strt % 512 AS bin_offset
+        |FROM c""".stripMargin,
+    "q48_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) % 100 AS h
+        |FROM documents)""".stripMargin,
+    "q49_intradoc" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents
+        |           FROM documents)
+        |SELECT doc_id, len(sents) AS n_sent,
+        |       len(list_distinct(sents)) AS n_uniq,
+        |       round(1.0 - CAST(len(list_distinct(sents)) AS DOUBLE)
+        |             / len(sents), 6) AS dup_ratio
+        |FROM s""".stripMargin,
+    "q50_comp_hist" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |),
+         |cc AS (SELECT vid, min(lbl) AS component FROM reach GROUP BY vid),
+         |bc AS (SELECT cc.component AS component, p.p_brand AS brand,
+         |              count(*) AS n
+         |       FROM cc JOIN part p ON cc.vid = p.p_partkey GROUP BY 1, 2)
+         |SELECT component, string_agg(brand || ':' || n, ',' ORDER BY brand)
+         |       AS hist
+         |FROM bc GROUP BY 1""".stripMargin
   )
 }

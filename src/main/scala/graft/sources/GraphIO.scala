@@ -104,4 +104,42 @@ object GraphIO {
         concat_ws(" ", size(col("adj")), concat_ws(" ", col("adj"))))
       .as("value"))
       .write.mode("overwrite").text(path)
+
+  /** Write `label` format — `vid label \t nb1 lbl1 nb2 lbl2 …` — from
+    * (src, label, nbrs array<long>, labels array<string>) rows (the shape
+    * [[readLabelAdj]] produces). */
+  def writeLabelAdj(df: DataFrame, path: String): Unit =
+    df.select(concat_ws("\t",
+        concat_ws(" ", col("src"), col("label")),
+        array_join(flatten(zip_with(col("nbrs"), col("labels"),
+          (n, l) => array(n.cast("string"), l))), " "))
+      .as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Write `attr` format — `vid \t attr1 attr2 … \t num nb1 nb2 …` — from
+    * (src, attrs array<string>, adj array<long>) rows. */
+  def writeAttrAdj(df: DataFrame, path: String): Unit =
+    df.select(concat_ws("\t", col("src"),
+        concat_ws(" ", col("attrs")),
+        concat_ws(" ", size(col("adj")), concat_ws(" ", col("adj"))))
+      .as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Write `multi_attr` format — `vid \t attrs \t num nb1 w1 nb2 w2 …` —
+    * from directed weighted edge rows (src, attrs array<string>, dst,
+    * weight), the shape [[readMultiAttrEdges]] produces. Neighbors are
+    * written dst-ascending so the dump is canonical. */
+  def writeMultiAttrAdj(df: DataFrame, path: String): Unit =
+    df.groupBy(col("src"))
+      .agg(first(col("attrs")).as("attrs"),
+        sort_array(collect_list(struct(col("dst"),
+          col("weight").cast("double").as("weight")))).as("nb"))
+      .select(concat_ws("\t", col("src"),
+          concat_ws(" ", col("attrs")),
+          concat_ws(" ", size(col("nb")),
+            array_join(flatten(transform(col("nb"),
+              e => array(e.getField("dst").cast("string"),
+                e.getField("weight").cast("string")))), " ")))
+        .as("value"))
+      .write.mode("overwrite").text(path)
 }
