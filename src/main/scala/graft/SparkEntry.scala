@@ -182,6 +182,30 @@ object SparkEntry {
         .filter(col("tc").between(1, 20) &&
           pmod(col("vid"), lit(10)) === 0)),
 
+    // multimodal preprocessing: decode -> aspect-preserving resize into a
+    // 32x32 bounding box (geometry oracled; pixel rescale is the stubbed
+    // codec's job)
+    "q51_mm_resize" -> ((s, d) =>
+      Multimodal.resizeFrames(
+          Multimodal.decodeFrames(s,
+            Multimodal.asBinary(T(s, d, "documents"), "doc_id", "text"),
+            "id", "media"),
+          maxW = 32, maxH = 32)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"), col("scale"))),
+
+    // multimodal feature extraction: 8 chunk-mean byte intensities per
+    // payload (long format: one row per (doc, feature index))
+    "q52_mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asBinary(T(s, d, "documents"), "doc_id", "text"),
+          "id", "media")
+        .toDF()
+        .select(col("id").as("doc_id"),
+          posexplode(col("features")).as(Seq("j", "f")))
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          round(col("f"), 6).as("f"))),
+
     // multimodal frame sampling: every 4th 32-byte frame of the payload
     "q41_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(s,
@@ -288,7 +312,9 @@ object SparkEntry {
     // the parquet-derived graph). Content equality is spec-covered (IoSpec).
     "q43_io_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
-      val adj = Edges.adjacency(Edges.symmetrize(e2(s, d)))
+      // persisted across the three format dumps (each write is an action);
+      // dropped before the read-back phase, which depends only on the files
+      val adj = Edges.adjacency(Edges.symmetrize(e2(s, d))).persist()
       GraphIO.writeNormalAdj(adj, s"$tmp/normal")
       GraphIO.writeLabelAdj(adj.select(col("src"),
         concat(lit("L"), pmod(col("src"), lit(5)).cast("string")).as("label"),
@@ -305,6 +331,7 @@ object SparkEntry {
       GraphIO.writeMultiAttrAdj(wsym.select(col("src"),
         array(lit("m")).as("attrs"), col("dst"), col("weight")),
         s"$tmp/multi")
+      adj.unpersist()
       def row(fmt: String, agg: DataFrame): DataFrame =
         agg.select(lit(fmt).as("fmt"), col("n_vertices"), col("n_edges"),
           col("sum_weight"))
@@ -334,9 +361,12 @@ object SparkEntry {
       val sym = Edges.symmetrize(e2(s, d))
       ConnectedComponents.run(s, sym, maxIter = 2,
         ckpt = Some(new graft.engine.Checkpointer(root, "cc")))
-      ConnectedComponents.run(s, sym,
+      val r = ConnectedComponents.run(s, sym,
         ckpt = Some(new graft.engine.Checkpointer(root, "cc")),
-        resume = true).components
+        resume = true)
+      // the marker proves resumption: the resumed run's FIRST executed
+      // superstep is 3 (a from-scratch rerun would report 1)
+      r.components.withColumn("resumed_from", lit(r.metrics.head.iter))
     }),
 
     // S6/A9 in the driver path: the per-superstep metrics table itself
@@ -712,6 +742,34 @@ object SparkEntry {
          |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
          |tc AS (SELECT v AS vid, count(*) AS tc FROM corners GROUP BY 1)
          |SELECT vid, tc FROM tc WHERE tc BETWEEN 1 AND 20 AND vid % 10 = 0""".stripMargin,
+    "q52_mm_features" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(range(8)) AS j FROM b),
+        |i AS (SELECT doc_id, len, text, unnest(range(0, len)) AS p FROM b),
+        |v AS (SELECT doc_id,
+        |             CAST(floor(p / greatest(ceil(len / 8.0), 1)) AS BIGINT) AS j,
+        |             CAST(ascii(substr(text, CAST(p + 1 AS INT), 1)) AS DOUBLE) AS byte
+        |      FROM i),
+        |m AS (SELECT doc_id, j, avg(byte) / 255.0 AS f FROM v GROUP BY 1, 2)
+        |SELECT g.doc_id, g.j,
+        |       round(CAST(coalesce(m.f, 0.0) AS DOUBLE), 6) AS f
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id AND g.j = m.j""".stripMargin,
+    "q51_mm_resize" ->
+      """WITH f AS (SELECT doc_id,
+        |  16 + octet_length(encode(text)) % 48 AS width,
+        |  16 + (CAST(ascii(substr(text, 1, 1)) AS BIGINT)
+        |        + octet_length(encode(text))) % 48 AS height
+        |  FROM documents),
+        |sc AS (SELECT doc_id, width, height,
+        |  least(CAST(32.0 AS DOUBLE) / width, CAST(32.0 AS DOUBLE) / height,
+        |        CAST(1.0 AS DOUBLE)) AS s
+        |  FROM f)
+        |SELECT doc_id, width, height,
+        |  greatest(CAST(floor(width * s) AS BIGINT), 1) AS out_width,
+        |  greatest(CAST(floor(height * s) AS BIGINT), 1) AS out_height,
+        |  round(s, 6) AS scale
+        |FROM sc""".stripMargin,
     "q41_mm_frames" ->
       """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
         |idx AS (SELECT doc_id, text, len,
@@ -792,7 +850,8 @@ object SparkEntry {
          |  UNION
          |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
          |)
-         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin,
+         |SELECT vid, min(lbl) AS component, 3 AS resumed_from
+         |FROM reach GROUP BY vid""".stripMargin,
     // replay 4 synchronous hash-min supersteps (self-message via symz) and
     // diff consecutive states; stop where the engine's loop stops (first
     // changed=0 iteration, capped at 4)

@@ -66,6 +66,43 @@ object Multimodal {
       .withColumn("out_height", greatest(floor(col("height") * s), lit(1L)))
   }
 
+  /** Per-media feature vector (the embedding stage's shape). */
+  final case class Features(id: Long, features: Seq[Double])
+
+  /** Per-partition feature extraction over binary media — the
+    * feature/embedding stage of a multimodal pipeline (a real model would
+    * run batched inference here; same iterator-to-iterator shape). The
+    * STUB features are k chunk-mean byte intensities in [0, 1]: split the
+    * payload into k equal chunks (last may be short/empty → 0.0) and
+    * average each — a pure byte function, so the oracle can replay it. */
+  def extractFeatures(spark: SparkSession, df: DataFrame,
+                      idCol: String, binCol: String,
+                      k: Int = 8): Dataset[Features] = {
+    import spark.implicits._
+    require(k > 0)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition model/session init would go here
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val chunk = math.max(1L, math.ceil(n / k.toDouble).toLong)
+          val f = (0 until k).map { j =>
+            val lo = math.min(n.toLong, j * chunk).toInt
+            val hi = math.min(n.toLong, (j + 1) * chunk).toInt
+            if (lo >= hi) 0.0
+            else {
+              var s = 0L
+              var i = lo
+              while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+              (s.toDouble / (hi - lo)) / 255.0
+            }
+          }
+          Features(id, f)
+        }
+      }
+  }
+
   /** One sampled frame of a media payload (video frame-sampling shape:
     * real offsets/lengths, stub contents). */
   final case class FrameSample(id: Long, frame_idx: Long, offset: Long,

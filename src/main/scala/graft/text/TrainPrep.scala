@@ -18,25 +18,32 @@ object TrainPrep {
     * its start position inside that bin (docs longer than the remaining
     * space spill into the following bin(s), as concatenated streams do).
     *
-    * Scale shape: the global running sum is two-phase — range-partition by
-    * id, per-partition token totals (ONE row per partition) are collected
-    * and turned into partition start offsets via a broadcast join, then a
-    * window *within* each partition adds the local prefix. No single-task
-    * global window, no |docs|-row funnel; the driver handles `partitions`
-    * scalars. The output is the narrow assignment table (id, n_tokens,
-    * bin, bin_offset) — the heavy doc payloads never move.
+    * Scale shape: the global running sum is two-phase. Approximate id
+    * quantiles are collected ONCE and become literal range bounds, so the
+    * id→range map is a pure expression (recomputation-stable, nothing
+    * persisted); per-range token totals (one row per range) come back to
+    * the driver and turn into range start offsets via a broadcast join;
+    * a window *within* each range adds the local prefix. No single-task
+    * global window, no |docs|-row funnel, and the result is the narrow
+    * lazy assignment plan (id, n_tokens, bin, bin_offset) — the heavy doc
+    * payloads never move. Bound skew only affects parallelism (capped at
+    * `partitions` either way), never the output: any monotone id→range
+    * map yields the same global layout.
     */
   def sequentialPack(spark: SparkSession, df: DataFrame, idCol: String,
                      nTokensCol: Column, capacity: Long,
                      partitions: Int = 32): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    // persisted so the offset pass and the final pass see identical range
-    // boundaries; result is materialized below, then the cache is dropped
-    val parted = df.select(col(idCol).as("id"), nTokensCol.cast("long").as("n"))
-      .repartitionByRange(partitions, col("id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val perPart = parted.groupBy(col("pid")).agg(sum(col("n")).as("t"))
+    val base = df.select(col(idCol).cast("double").as("idd"),
+      col(idCol).as("id"), nTokensCol.cast("long").as("n"))
+    val probs = (1 until partitions).map(_.toDouble / partitions).toArray
+    val bounds =
+      if (partitions <= 1) Array.empty[Double]
+      else base.stat.approxQuantile("idd", probs, 0.001).distinct.sorted
+    // monotone id -> range id from the literal bounds (0..len(bounds))
+    val pid = size(filter(typedLit(bounds), b => b <= col("idd")))
+    val withPid = base.withColumn("pid", pid)
+    val perPart = withPid.groupBy(col("pid")).agg(sum(col("n")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = {
       var acc = 0L
@@ -47,14 +54,11 @@ object TrainPrep {
     import spark.implicits._
     val offDf = offsets.toDF("pid", "off")
     val win = Window.partitionBy(col("pid")).orderBy(col("id"))
-    val out = parted.join(broadcast(offDf), "pid")
+    withPid.join(broadcast(offDf), "pid")
       .withColumn("start", sum(col("n")).over(win) - col("n") + col("off"))
       .select(col("id").as(idCol), col("n").as("n_tokens"),
         floor(col("start") / capacity).as("bin"),
         pmod(col("start"), lit(capacity)).as("bin_offset"))
-      .localCheckpoint(eager = true)
-    parted.unpersist()
-    out
   }
 
   /** Deterministic, salt-keyed train/val/test assignment: bucket =

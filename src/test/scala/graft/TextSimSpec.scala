@@ -232,6 +232,21 @@ class TextSimSpec extends SparkSpec {
     assert(frames(2L).channels === 3L)
   }
 
+  test("multimodal feature extraction: chunk means, short tail, empty") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val df = Seq((1L, "AAAABBBB"), (2L, "ABC"), (3L, ""))
+      .toDF("id", "text")
+    val got = Multimodal.extractFeatures(spark,
+        Multimodal.asBinary(df, "id", "text"), "id", "media", k = 4)
+      .collect().map(f => f.id -> f.features).toMap
+    // len 8, k 4 -> chunk 2: AA AA BB BB
+    assert(got(1L) === Seq(65 / 255.0, 65 / 255.0, 66 / 255.0, 66 / 255.0))
+    // len 3 -> chunk 1: A B C, last chunk empty
+    assert(got(2L) === Seq(65 / 255.0, 66 / 255.0, 67 / 255.0, 0.0))
+    assert(got(3L) === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("multimodal resize: aspect-preserving bounding box, never upscales") {
     import graft.multimodal.Multimodal
     import spark.implicits._
