@@ -165,6 +165,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 6).as("sum_value"))),
 
+    // sessionization (custom data-dependent state — the
+    // flatMapGroupsWithState shape; batch twin of Streaming.sessionizeStream)
+    "q53_sessions" -> ((s, d) =>
+      graft.streaming.Streaming.sessionizeBatch(T(s, d, "events"), 30)),
+
     // -- multimodal: binary column + stubbed per-partition decode --
     "q25_mm_decode" -> ((s, d) =>
       Multimodal.decodeFrames(s,
@@ -742,6 +747,24 @@ object SparkEntry {
          |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
          |tc AS (SELECT v AS vid, count(*) AS tc FROM corners GROUP BY 1)
          |SELECT vid, tc FROM tc WHERE tc BETWEEN 1 AND 20 AND vid % 10 = 0""".stripMargin,
+    "q53_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS pus
+        |       FROM events),
+        |y AS (SELECT user_id, event_id, value, tus,
+        |       CASE WHEN pus IS NULL OR tus - pus > 1800000000
+        |            THEN 1 ELSE 0 END AS ns
+        |      FROM x),
+        |z AS (SELECT user_id, value, tus,
+        |       sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS sess_no
+        |      FROM y)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |       min(tus) AS session_start_us, max(tus) AS session_end_us,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM z GROUP BY 1, 2""".stripMargin,
     "q52_mm_features" ->
       """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len
         |           FROM documents),

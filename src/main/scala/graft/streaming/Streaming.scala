@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface.
@@ -49,6 +51,79 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
     spark.table(sinkTable)
+  }
+
+  /** A closed user session. Times are epoch microseconds (exact — no
+    * format round-trips between engines). */
+  final case class Session(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long,
+                           sum_value: Double)
+
+  /** The open-session state carried between micro-batches. */
+  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Batch sessionization: per user, events more than `gapMinutes` apart
+    * start a new session. Lag/cumulative-sum windows hash-partitioned by
+    * user (scales per key, no global window); total order (ts, event_id)
+    * + explicit ROWS frame so the plan is deterministic under ties. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("pus", lag(unix_micros(col("ts").cast("timestamp")), 1).over(ord))
+      .withColumn("ns",
+        when(col("pus").isNull || col("tus") - col("pus") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("ns")).over(cum))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("tus")).as("session_start_us"),
+        max(col("tus")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
+
+  /** Streaming sessionization over `flatMapGroupsWithState` — the custom-
+    * state path the windowed aggregations can't express (sessions have
+    * data-dependent extents). State per user = the open session; a batch's
+    * events (sorted in-batch) extend it or close it and emit. Closed
+    * sessions match [[sessionizeBatch]] exactly; the final open session
+    * per user stays in state (it would close via event-time timeout once
+    * the watermark passes — with a bounded test stream, parity is
+    * asserted on closed sessions). Assumes per-key batch arrival in event
+    * order, as a watermark-sorted source provides. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e._2, e._3))
+          var open = state.getOption
+          val out = Seq.newBuilder[Session]
+          evs.foreach { case (_, tus, _, v) =>
+            open match {
+              case Some(o) if tus - o.end <= gapUs =>
+                open = Some(OpenSession(o.start, tus, o.n + 1, o.sum + v))
+              case Some(o) =>
+                out += Session(user, o.start, o.end, o.n,
+                  math.rint(o.sum * 1e6) / 1e6)
+                open = Some(OpenSession(tus, tus, 1L, v))
+              case None =>
+                open = Some(OpenSession(tus, tus, 1L, v))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Streaming corpus ingest into the snapshot catalog: corpus files

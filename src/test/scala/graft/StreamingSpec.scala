@@ -76,4 +76,61 @@ class StreamingSpec extends SparkSpec {
       < corpus.count())
     corpus.unpersist()
   }
+
+  test("flatMapGroupsWithState sessionization: stream equals batch") {
+    def mk(id: Long, u: Long, ts: String, v: Double) =
+      (id, u, Timestamp.valueOf(ts), v)
+    // three arrival chunks in event-time order; the last carries per-user
+    // flush sentinels far beyond the gap so every real session closes
+    val chunks = Seq(
+      Seq(mk(1, 1, "2026-01-01 00:00:00", 1.0),
+        mk(2, 2, "2026-01-01 00:05:00", 2.0)),
+      Seq(mk(3, 1, "2026-01-01 00:10:00", 3.0),
+        mk(4, 2, "2026-01-01 00:20:00", 4.0)),
+      Seq(mk(5, 1, "2026-01-01 02:00:00", 5.0),
+        mk(6, 2, "2026-01-01 00:30:00", 6.0),
+        mk(98, 1, "2026-01-10 00:00:00", 0.0),
+        mk(99, 2, "2026-01-10 00:00:00", 0.0)))
+    val dir = Files.createTempDirectory("graft-sess").toString
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = Files.createTempDirectory(s"graft-sess$i").toString
+      c.toDF("event_id", "user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, s"chunk$i.parquet"))
+    }
+    val all = spark.read.parquet(dir)
+    val flushUs = Timestamp.valueOf("2026-01-10 00:00:00").getTime * 1000L
+
+    val ds = Streaming.sessionizeStream(spark,
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), gapMinutes = 30)
+    val q = ds.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+
+    // batch twin on the same files, minus the sentinel-only sessions
+    val batch = Streaming.sessionizeBatch(all, 30)
+      .filter(col("session_start_us") < flushUs)
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+
+    assert(streamed === batch)
+    // the expected sessions, spelled out
+    def us(ts: String) = Timestamp.valueOf(ts).getTime * 1000L
+    assert(batch === Set(
+      (1L, us("2026-01-01 00:00:00"), us("2026-01-01 00:10:00"), 2L, 4.0),
+      (1L, us("2026-01-01 02:00:00"), us("2026-01-01 02:00:00"), 1L, 5.0),
+      (2L, us("2026-01-01 00:05:00"), us("2026-01-01 00:30:00"), 3L, 12.0)))
+  }
 }

@@ -17,6 +17,11 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
+# a query that crashed in Verify dumps nothing — flag it, don't skip it
+for name in sorted(oracle):
+    if not os.path.isdir(f"{out_dir}/{name}"):
+        print(f"{name:22s} MISSING OUTPUT (query crashed in Verify?)")
+        fails.append(name)
 for name in sorted(os.listdir(out_dir)):
     d = f"{out_dir}/{name}"
     if not os.path.isdir(d):
