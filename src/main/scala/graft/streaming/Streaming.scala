@@ -114,8 +114,10 @@ object Streaming {
               case Some(o) if tus - o.end <= gapUs =>
                 open = Some(OpenSession(o.start, tus, o.n + 1, o.sum + v))
               case Some(o) =>
+                // HALF_UP to match the batch plan's round(sum, 6) exactly
                 out += Session(user, o.start, o.end, o.n,
-                  math.rint(o.sum * 1e6) / 1e6)
+                  BigDecimal(o.sum)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
                 open = Some(OpenSession(tus, tus, 1L, v))
               case None =>
                 open = Some(OpenSession(tus, tus, 1L, v))

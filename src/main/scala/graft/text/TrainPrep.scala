@@ -53,7 +53,10 @@ object TrainPrep {
     }
     import spark.implicits._
     val offDf = offsets.toDF("pid", "off")
+    // explicit ROWS frame: the default RANGE frame would give tied ids a
+    // shared cumulative sum
     val win = Window.partitionBy(col("pid")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid.join(broadcast(offDf), "pid")
       .withColumn("start", sum(col("n")).over(win) - col("n") + col("off"))
       .select(col("id").as(idCol), col("n").as("n_tokens"),
