@@ -103,6 +103,20 @@ class IoSpec extends SparkSpec {
     assert(docs.count() === 97)
   }
 
+  test("sequentialPack: empty and single-row inputs") {
+    import spark.implicits._
+    val empty = TrainPrep.sequentialPack(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id",
+      graft.text.TextFunctions.tokenCount(col("text")), capacity = 16)
+    assert(empty.count() === 0)
+    val one = TrainPrep.sequentialPack(spark,
+      Seq((7L, "a b c")).toDF("doc_id", "text"), "doc_id",
+      graft.text.TextFunctions.tokenCount(col("text")), capacity = 16)
+      .collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((7L, 3L, 0L, 0L)))
+  }
+
   test("hashSplit: deterministic, salt-sensitive, roughly 80/10/10") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
