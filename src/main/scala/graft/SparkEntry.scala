@@ -337,24 +337,32 @@ object SparkEntry {
         array(lit("m")).as("attrs"), col("dst"), col("weight")),
         s"$tmp/multi")
       adj.unpersist()
+      // nbr_sum = global sum of read-back neighbor ids: a content
+      // checksum the count-based totals alone would miss
       def row(fmt: String, agg: DataFrame): DataFrame =
         agg.select(lit(fmt).as("fmt"), col("n_vertices"), col("n_edges"),
-          col("sum_weight"))
+          col("nbr_sum"), col("sum_weight"))
+      val adjSum = aggregate(col("adj"), lit(0L), (acc, x) => acc + x)
       row("normal", GraphIO.readNormalAdj(s, s"$tmp/normal")
           .agg(count(lit(1)).as("n_vertices"),
             sum(size(col("adj"))).as("n_edges"),
+            sum(adjSum).as("nbr_sum"),
             lit(0.0).as("sum_weight")))
         .union(row("label", GraphIO.readLabelAdj(s, s"$tmp/label")
           .agg(count(lit(1)).as("n_vertices"),
             sum(size(col("labels"))).as("n_edges"),
+            sum(aggregate(col("nbrs"), lit(0L), (acc, x) => acc + x))
+              .as("nbr_sum"),
             lit(0.0).as("sum_weight"))))
         .union(row("attr", GraphIO.readAttrAdj(s, s"$tmp/attr")
           .agg(count(lit(1)).as("n_vertices"),
             sum(size(col("adj"))).as("n_edges"),
+            sum(adjSum).as("nbr_sum"),
             lit(0.0).as("sum_weight"))))
         .union(row("multi_attr", GraphIO.readMultiAttrEdges(s, s"$tmp/multi")
           .agg(countDistinct(col("src")).as("n_vertices"),
             count(lit(1)).as("n_edges"),
+            sum(col("dst")).as("nbr_sum"),
             round(sum(col("weight")), 6).as("sum_weight"))))
     }),
 
@@ -857,14 +865,20 @@ object SparkEntry {
       s"""WITH $CTE,
          |nvv AS (SELECT count(*) AS v FROM deg),
          |nee AS (SELECT count(*) AS e FROM sym),
+         |nss AS (SELECT CAST(sum(d) AS BIGINT) AS ns FROM sym),
          |wz AS (SELECT round(CAST(2 * sum(weight) AS DOUBLE), 6) AS w
          |       FROM cooc WHERE weight >= 2)
          |SELECT 'normal' AS fmt, (SELECT v FROM nvv) AS n_vertices,
-         |       (SELECT e FROM nee) AS n_edges, CAST(0.0 AS DOUBLE) AS sum_weight
-         |UNION ALL SELECT 'label', (SELECT v FROM nvv), (SELECT e FROM nee), 0.0
-         |UNION ALL SELECT 'attr', (SELECT v FROM nvv), (SELECT e FROM nee), 0.0
+         |       (SELECT e FROM nee) AS n_edges,
+         |       (SELECT ns FROM nss) AS nbr_sum,
+         |       CAST(0.0 AS DOUBLE) AS sum_weight
+         |UNION ALL SELECT 'label', (SELECT v FROM nvv), (SELECT e FROM nee),
+         |          (SELECT ns FROM nss), 0.0
+         |UNION ALL SELECT 'attr', (SELECT v FROM nvv), (SELECT e FROM nee),
+         |          (SELECT ns FROM nss), 0.0
          |UNION ALL SELECT 'multi_attr', (SELECT v FROM nvv),
-         |          (SELECT e FROM nee), (SELECT w FROM wz)""".stripMargin,
+         |          (SELECT e FROM nee), (SELECT ns FROM nss),
+         |          (SELECT w FROM wz)""".stripMargin,
     // resumed run must land on the same fixpoint as q08
     "q44_resume" ->
       s"""WITH RECURSIVE $CTE,
