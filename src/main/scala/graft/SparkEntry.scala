@@ -262,6 +262,12 @@ object SparkEntry {
       Dedup.simHash(T(s, d, "documents"), "doc_id", "text",
         bits = 60, tokenHash = Dedup.shaTokenHash60)
         .select(col("id").as("doc_id"), col("simhash"))),
+    // SimHash near-duplicate pairs via pigeonhole multi-probe (bands =
+    // maxHamming+1, so every pair within the radius shares an exact band
+    // — the banded join is EXACT at this radius, hence hash-oracle-able)
+    "q54_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDup(T(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 60, tokenHash = Dedup.shaTokenHash60)),
     "q28_ann_topk" -> ((s, d) =>
       Ann.bruteTopK(T(s, d, "embeddings"), "vec_id", "embedding", 5)
         .select(col("vec_id"), col("nn_id"), col("rnk"),
@@ -714,6 +720,21 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM b GROUP BY 1""".stripMargin,
+    // exact all-pairs Hamming over the same sha-based fingerprints — the
+    // pigeonhole multi-probe must reproduce it exactly at radius 3
+    "q54_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |             FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(sha256(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |b AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+        |      FROM h, (SELECT unnest(range(60)) AS j) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM b GROUP BY 1)
+        |SELECT a.doc_id AS d1, c.doc_id AS d2,
+        |       CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""".stripMargin,
     "q28_ann_topk" ->
       """WITH p AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
