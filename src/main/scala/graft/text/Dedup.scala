@@ -45,11 +45,17 @@ object Dedup {
       .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
       .agg(count(lit(1)).as("i"))
     val j = col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))
-    inter
+    // eager narrow result, then drop the wide shingle cache — no shingle
+    // blocks outlive the call (same lifecycle as TriangleCount's oriented
+    // cache); materializing the pair table is what a pipeline does anyway
+    val out = inter
       .join(sz.as("x"), col("d1") === col("x.id"))
       .join(sz.as("y"), col("d2") === col("y.id"))
       .filter(j >= threshold)
       .select(col("d1"), col("d2"), j.as("jaccard"))
+      .localCheckpoint(eager = true)
+    sh.unpersist()
+    out
   }
 
   /** MinHash signature columns: (id, sig array<long> of length k).
@@ -97,8 +103,12 @@ object Dedup {
     val est = size(filter(zip_with(col("s1"), col("s2"),
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
       .cast("double") / numHashes
-    cands.select(col("d1"), col("d2"), est.as("est_jaccard"))
+    // eager narrow result + drop the signature cache (see ngramJaccard)
+    val out = cands.select(col("d1"), col("d2"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .localCheckpoint(eager = true)
+    sigs.unpersist()
+    out
   }
 
   /** Token hash for oracle-parity SimHash: the top 60 bits of sha256,
