@@ -38,13 +38,37 @@ final class Checkpointer(val root: String, val runId: String) {
     val dst = stateDir(iter)
     deleteRecursively(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    // per-partition lineage: the committed part files ARE the partitions;
+    // record their count so the manifest describes the physical layout
+    val nParts = Files.list(dst).iterator().asScala
+      .count(_.getFileName.toString.startsWith("part-"))
     val metaJson = meta.map { case (k, v) => s""""${k}":"${v}"""" }.mkString(",")
-    val line = s"""{"iter":$iter,"path":"${dst.toString}"${if (metaJson.nonEmpty) "," + metaJson else ""}}"""
+    val line = s"""{"iter":$iter,"path":"${dst.toString}","partitions":$nParts${if (metaJson.nonEmpty) "," + metaJson else ""}}"""
     Files.write(manifest,
       java.util.List.of(line),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     spark.read.parquet(dst.toString)
+  }
+
+  /** Durably record one iteration's metrics next to its checkpoint
+    * (`_metrics.jsonl`) — the north rule's "iteration/shuffle metrics
+    * recorded" at the table layer, not just in the driver's memory. */
+  def recordMetric(m: IterationMetric): Unit = {
+    val line = s"""{"algo":"${m.algo}","run":"${m.runId}","iter":${m.iter},""" +
+      s""""rows":${m.rows},"delta":${m.delta},"wall_ms":${m.wallMs},""" +
+      s""""shuffle_read":${m.shuffleReadBytes},"shuffle_write":${m.shuffleWriteBytes}}"""
+    Files.write(runDir.resolve("_metrics.jsonl"),
+      java.util.List.of(line),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Recorded metrics lines (raw JSON), commit order. */
+  def recordedMetrics(): Seq[String] = {
+    val p = runDir.resolve("_metrics.jsonl")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq
   }
 
   /** Latest committed iteration, if any — the resume point. */

@@ -98,8 +98,10 @@ object Superstep {
       val rows = if (countRows) mat.count() else -1L
       val d = delta(state, mat)
       val (r1, w1) = meter.snapshot
-      metrics += IterationMetric(algo, runId, iter, rows, d,
+      val m = IterationMetric(algo, runId, iter, rows, d,
         (System.nanoTime() - t0) / 1000000L, r1 - r0, w1 - w0)
+      metrics += m
+      ckpt.foreach(_.recordMetric(m)) // durable, next to the checkpoint
       state = mat
       done = converged(d)
     }

@@ -74,10 +74,19 @@ class ResumeSpec extends SparkSpec {
     assert(Files.exists(manifest))
     val lines = Files.readAllLines(manifest)
     assert(lines.size() === res.iterations + 1) // init + each superstep
+    // per-partition lineage: every committed state records its part count
+    lines.forEach(l => assert(l.contains("\"partitions\":"), l))
     // metrics observed per superstep: rows, wall, shuffle bytes
     assert(res.metrics.nonEmpty)
     assert(res.metrics.forall(_.rows > 0))
     assert(res.metrics.forall(_.wallMs >= 0))
+    // ...and recorded DURABLY next to the checkpoints, one line per
+    // executed superstep, iters parseable and in commit order
+    val recorded = ck.recordedMetrics()
+    assert(recorded.size === res.iterations)
+    val iters = recorded.map(l =>
+      """"iter":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt)
+    assert(iters === (1 to res.iterations))
   }
 
   private val golden = Seq((1L, 2L), (2L, 3L), (4L, 5L))
