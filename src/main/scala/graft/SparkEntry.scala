@@ -165,6 +165,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 6).as("sum_value"))),
 
+    // the composite corpus filter a pretraining pipeline actually runs:
+    // exact-dedup keepers ∧ language ∧ quality thresholds, in one pass
+    "q55_corpus_filter" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val keep = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keeper").as("doc_id"))
+      docs.join(keep, "doc_id")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.alphaRatio(col("text")).as("alpha"))
+        .filter(col("lang") === "en" && col("n_tokens") >= 10 &&
+          col("alpha") >= 0.4)
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
     // sessionization (custom data-dependent state — the
     // flatMapGroupsWithState shape; batch twin of Streaming.sessionizeStream)
     "q53_sessions" -> ((s, d) =>
@@ -776,6 +791,27 @@ object SparkEntry {
          |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
          |tc AS (SELECT v AS vid, count(*) AS tc FROM corners GROUP BY 1)
          |SELECT vid, tc FROM tc WHERE tc BETWEEN 1 AND 20 AND vid % 10 = 0""".stripMargin,
+    "q55_corpus_filter" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |q AS (SELECT d.doc_id,
+        |  CASE WHEN e >= g AND e >= f AND e > 0 THEN 'en'
+        |       WHEN g >= f AND g > 0 THEN 'de'
+        |       WHEN f > 0 THEN 'fr' ELSE 'und' END AS lang,
+        |  n_tokens, alpha
+        |  FROM (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it'))) AS e,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x IN ('der','die','das','und','ist','nicht'))) AS g,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x IN ('le','la','les','et','est','que'))) AS f,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha
+        |    FROM documents) d
+        |  JOIN k ON d.doc_id = k.doc_id)
+        |SELECT doc_id, n_tokens FROM q
+        |WHERE lang = 'en' AND n_tokens >= 10 AND alpha >= 0.4""".stripMargin,
     "q53_sessions" ->
       """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
         |       lag(epoch_us(ts)) OVER (PARTITION BY user_id
