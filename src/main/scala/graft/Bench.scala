@@ -167,7 +167,11 @@ object Bench {
     val legRounds = sys.env.getOrElse("SPARK_GRAFT_LEG_ROUNDS", "3").toInt
     val legSteps = sys.env.getOrElse("SPARK_GRAFT_LEG_SUPERSTEPS", "6").toInt
     final case class Leg(edges: Long, secs: Seq[Double]) {
-      def median: Double = { val s = secs.sorted; s(s.size / 2) }
+      def median: Double = {
+        val s = secs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0 // true even-count median
+      }
       def best: Double = secs.min
       def tpMedian: Double = edges.toDouble / median
       def tpBest: Double = edges.toDouble / best

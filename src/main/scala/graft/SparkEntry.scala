@@ -24,6 +24,21 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp dir for the IO/checkpoint/catalog queries, removed recursively
+    * at JVM exit — repeated Verify/Bench runs must not accumulate graph
+    * dumps in /tmp (the dirs stay alive through the query's lazy reads,
+    * so an eager delete inside the query is not an option). */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+    p.toString
+  }
+
   /** parts sharing an order, weight = #distinct shared orders */
   private def cooc(s: SparkSession, dir: String): DataFrame =
     Edges.coOccurrence(T(s, dir, "lineitem"), "l_orderkey", "l_partkey")
@@ -282,7 +297,8 @@ object SparkEntry {
     // — the banded join is EXACT at this radius, hence hash-oracle-able)
     "q54_simhash_neardup" -> ((s, d) =>
       Dedup.simHashNearDup(T(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3, bits = 60, tokenHash = Dedup.shaTokenHash60)),
+        maxHamming = 3, bits = 60, tokenHash = Dedup.shaTokenHash60,
+        maxBucket = Int.MaxValue)), // cap off => strictly pigeonhole-exact
     "q28_ann_topk" -> ((s, d) =>
       Ann.bruteTopK(T(s, d, "embeddings"), "vec_id", "embedding", 5)
         .select(col("vec_id"), col("nn_id"), col("rnk"),
@@ -337,7 +353,7 @@ object SparkEntry {
     // and report per-format vertex/edge/weight totals (hash-oracled against
     // the parquet-derived graph). Content equality is spec-covered (IoSpec).
     "q43_io_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val tmp = scratchDir("graft_io")
       // persisted across the three format dumps (each write is an action);
       // dropped before the read-back phase, which depends only on the files
       val adj = Edges.adjacency(Edges.symmetrize(e2(s, d))).persist()
@@ -391,7 +407,7 @@ object SparkEntry {
     // checkpoint, then a FRESH run resumes from the manifest and finishes —
     // final components must equal the uninterrupted q08 fixpoint
     "q44_resume" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val root = scratchDir("graft_ckpt")
       val sym = Edges.symmetrize(e2(s, d))
       ConnectedComponents.run(s, sym, maxIter = 2,
         ckpt = Some(new graft.engine.Checkpointer(root, "cc")))
@@ -419,7 +435,7 @@ object SparkEntry {
     // vid % 7 == 0 (a new snapshot — prior ones stay time-travelable),
     // recompute CC from the surviving snapshot
     "q46_drilldown" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val root = scratchDir("graft_cat")
       val cat = new graft.catalog.LocalCatalog(root)
       cat.createOrReplace("edges", e2(s, d))
       cat.deleteWhere(s, "edges",

@@ -32,7 +32,11 @@ trait CatalogAdapter {
     * new snapshot. */
   def deleteWhere(spark: SparkSession, name: String,
                   cond: org.apache.spark.sql.Column): Long = {
-    val remaining = read(spark, name).filter(!cond)
+    // SQL DELETE semantics: remove rows where cond IS TRUE; a NULL
+    // predicate keeps the row (a bare !cond would silently drop it)
+    val remaining = read(spark, name)
+      .filter(!org.apache.spark.sql.functions.coalesce(cond,
+        org.apache.spark.sql.functions.lit(false)))
     createOrReplace(name, remaining)
   }
 }

@@ -40,8 +40,12 @@ final class Checkpointer(val root: String, val runId: String) {
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     // per-partition lineage: the committed part files ARE the partitions;
     // record their count so the manifest describes the physical layout
-    val nParts = Files.list(dst).iterator().asScala
-      .count(_.getFileName.toString.startsWith("part-"))
+    // (stream closed explicitly — it holds an open directory handle)
+    val listing = Files.list(dst)
+    val nParts =
+      try listing.iterator().asScala
+        .count(_.getFileName.toString.startsWith("part-"))
+      finally listing.close()
     val metaJson = meta.map { case (k, v) => s""""${k}":"${v}"""" }.mkString(",")
     val line = s"""{"iter":$iter,"path":"${dst.toString}","partitions":$nParts${if (metaJson.nonEmpty) "," + metaJson else ""}}"""
     Files.write(manifest,

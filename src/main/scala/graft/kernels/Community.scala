@@ -86,16 +86,18 @@ object Community {
 
   final case class SeedCommunity(seed: Long, community: Array[Long], size: Int)
 
-  /** Per-seed best communities (size ≥ k).
+  /** Per-seed best communities (size ≥ k). Lazy; its internal caches
+    * live until the session drops them — long-lived callers should use
+    * [[perSeedWithRelease]] and invoke the hook after materializing.
     * @param verts (vid, attrs array<string>) — attr-format vertices
     * @param edges canonical undirected edge table (src < dst) */
   def perSeed(spark: SparkSession, verts: DataFrame, edges: DataFrame,
               k: Int = 3): org.apache.spark.sql.Dataset[SeedCommunity] =
-    perSeedImpl(spark, verts, edges, k)._1
+    perSeedWithRelease(spark, verts, edges, k)._1
 
   /** Same, with the unpersist hook for the oriented-edge cache (used 4x in
     * the plan); [[run]] releases it after materializing. */
-  private def perSeedImpl(spark: SparkSession, verts: DataFrame,
+  def perSeedWithRelease(spark: SparkSession, verts: DataFrame,
                           edges: DataFrame, k: Int)
       : (org.apache.spark.sql.Dataset[SeedCommunity], () => Unit) = {
     import spark.implicits._
@@ -140,7 +142,7 @@ object Community {
     * cached oriented edges are released before return. */
   def run(spark: SparkSession, verts: DataFrame, edges: DataFrame,
           k: Int = 3): DataFrame = {
-    val (perDs, release) = perSeedImpl(spark, verts, edges, k)
+    val (perDs, release) = perSeedWithRelease(spark, verts, edges, k)
     val result = perDs.toDF().select(
         array_join(col("community").cast("array<string>"), ",")
           .as("community"),

@@ -170,12 +170,13 @@ object FocusCluster {
                                rounds: Int)
 
   /** Per-seed focused clusters over a weighted canonical edge table
-    * (src, dst, weight) with src < dst. */
+    * (src, dst, weight) with src < dst. Lazy; long-lived callers should
+    * use [[perSeedWithRelease]] and invoke the hook after materializing. */
   def perSeed(spark: SparkSession, wedges: DataFrame,
               p: Params = Params()): org.apache.spark.sql.Dataset[SeedCluster] =
-    perSeedImpl(spark, wedges, p)._1
+    perSeedWithRelease(spark, wedges, p)._1
 
-  private def perSeedImpl(spark: SparkSession, wedges: DataFrame, p: Params)
+  def perSeedWithRelease(spark: SparkSession, wedges: DataFrame, p: Params)
       : (org.apache.spark.sql.Dataset[SeedCluster], () => Unit) = {
     import spark.implicits._
     val e = wedges.select(col("src"), col("dst"),
@@ -240,7 +241,7 @@ object FocusCluster {
     * return. */
   def run(spark: SparkSession, wedges: DataFrame,
           p: Params = Params()): DataFrame = {
-    val (ds, release) = perSeedImpl(spark, wedges, p)
+    val (ds, release) = perSeedWithRelease(spark, wedges, p)
     val result = ds.toDF()
       .groupBy(col("cluster"))
       .agg(array_sort(array_distinct(flatten(collect_list(col("outliers")))))

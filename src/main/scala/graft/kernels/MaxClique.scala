@@ -74,14 +74,15 @@ object MaxClique {
 
   /** Per-seed maximum cliques. Input: canonical undirected edges (src<dst).
     * Every maximum clique of the graph is found at exactly one seed (its
-    * min-(degree,id) member). */
+    * min-(degree,id) member). Lazy; long-lived callers should use
+    * [[perSeedWithRelease]] and invoke the hook after materializing. */
   def perSeed(spark: SparkSession, edges: DataFrame)
-      : org.apache.spark.sql.Dataset[SeedResult] = perSeedImpl(spark, edges)._1
+      : org.apache.spark.sql.Dataset[SeedResult] = perSeedWithRelease(spark, edges)._1
 
   /** Same, returning the unpersist hook for the oriented edge cache (used
     * 4x in the plan — triple self-join + neighbor agg — so it IS persisted,
     * and [[run]] releases it once the result is materialized). */
-  private def perSeedImpl(spark: SparkSession, edges: DataFrame)
+  def perSeedWithRelease(spark: SparkSession, edges: DataFrame)
       : (org.apache.spark.sql.Dataset[SeedResult], () => Unit) = {
     import spark.implicits._
     val e = Edges.orientByDegree(edges).persist()
@@ -115,7 +116,7 @@ object MaxClique {
     * inputs are released before return — a long-lived session running many
     * queries keeps no cached blocks behind. */
   def run(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val (perDs, release) = perSeedImpl(spark, edges)
+    val (perDs, release) = perSeedWithRelease(spark, edges)
     val per = perDs.toDF().persist()
     val mx = per.agg(max(col("size")).as("max_size"))
     val result = per.join(broadcast(mx), col("size") === col("max_size"))

@@ -198,10 +198,19 @@ object BdgLayout {
     val perW = lay.groupBy(col("worker")).agg(
       countDistinct(col("color")).as("n_blocks"),
       count(lit(1)).as("n_vertices"))
-    val out = perW
+    // anchor on the FULL worker-id universe: both assignments map into
+    // 0 until workers, and joining hash counts onto BDG-occupied workers
+    // only would silently drop baseline rows whenever the greedy packer
+    // leaves a worker empty (undercounting the hash baseline)
+    import spark.implicits._
+    val universe = (0 until p.workers).toDF("worker")
+    val out = universe
+      .join(perW, Seq("worker"), "left")
       .join(cross, Seq("worker"), "left")
       .join(hashCross, Seq("worker"), "left")
-      .select(col("worker"), col("n_blocks"), col("n_vertices"),
+      .select(col("worker"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_vertices"), lit(0L)).as("n_vertices"),
         coalesce(col("cross_edges"), lit(0L)).as("cross_edges"),
         coalesce(col("hash_cross_edges"), lit(0L)).as("hash_cross_edges"))
     val rows = out.collect().toSeq

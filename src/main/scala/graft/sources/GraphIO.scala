@@ -63,8 +63,11 @@ object GraphIO {
       .filter(length(trim(col("value"))) > 0)
       .select(split(col("value"), "\t").as("p"))
       .select(col("p").getItem(0).cast("long").as("src"),
+        // drop "0" placeholders AND the empty token an attr-less field
+        // splits into (else write->read would invent a phantom "" attr)
         array_sort(array_distinct(filter(
-          split(trim(col("p").getItem(1)), "[; ]+"), t => t =!= "0")))
+          split(trim(col("p").getItem(1)), "[; ]+"),
+          t => t =!= "0" && t =!= "")))
           .as("attrs"),
         split(trim(col("p").getItem(2)), " +").as("toks"))
       .select(col("src"), col("attrs"),

@@ -147,6 +147,12 @@ object Dedup {
     * candidates are then verified with an exact `bit_count(xor)` filter
     * (zero false positives). Fingerprints are 8-byte longs, so unlike the
     * ANN vector case they ride through the pair join for free.
+    *
+    * `maxBucket` trades exactness for hot-bucket safety: a (band, bucket)
+    * group larger than it is SKIPPED, dropping its pairs (the guard
+    * against a boilerplate fingerprint shared by millions of docs turning
+    * the bucket join quadratic). Pass `Int.MaxValue` for the strictly
+    * pigeonhole-exact result (the q54 oracle runs that way).
     * Returns (d1, d2, hamming) with d1 < d2. */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bits: Int = 64,
@@ -159,8 +165,9 @@ object Dedup {
     val cuts = (0 to bands).map(j => j * bits / bands)
     val bandKeys = (0 until bands).map { j =>
       val width = cuts(j + 1) - cuts(j)
-      shiftrightunsigned(col("simhash"), cuts(j))
-        .bitwiseAND(lit((1L << width) - 1L))
+      // Java shifts are mod 64: (1L << 64) - 1 would be 0, not all-ones
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), cuts(j)).bitwiseAND(lit(mask))
     }
     val banded = fp.select(col("id"), col("simhash"),
         posexplode(array(bandKeys: _*)))

@@ -84,4 +84,17 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(viaCatalog.sameElements(direct))
   }
+
+  test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE)") {
+    import org.apache.spark.sql.functions.col
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog5").toString)
+    cat.createOrReplace("t",
+      Seq((1L, Option(9L)), (2L, Option.empty[Long]), (3L, Option(2L)))
+        .toDF("id", "x"))
+    cat.deleteWhere(spark, "t", col("x") > 5)
+    // id 1 deleted (9 > 5 true); id 2 KEPT (NULL predicate); id 3 kept
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(2L, 3L))
+  }
 }

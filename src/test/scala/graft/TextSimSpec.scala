@@ -232,6 +232,18 @@ class TextSimSpec extends SparkSpec {
     assert(frames(2L).channels === 3L)
   }
 
+  test("simhash multi-probe: maxHamming=0 at 64 bits (full-width band mask)") {
+    import spark.implicits._
+    // width-64 band: (1L << 64) - 1 would be 0 under Java's mod-64 shift;
+    // the mask must be all-ones so identical fingerprints still collide
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val pairs = graft.text.Dedup
+      .simHashNearDup(df, "doc_id", "text", maxHamming = 0, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0)))
+  }
+
   test("multimodal feature extraction: chunk means, short tail, empty") {
     import graft.multimodal.Multimodal
     import spark.implicits._
