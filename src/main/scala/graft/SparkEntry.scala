@@ -952,15 +952,32 @@ object SparkEntry {
          |UNION ALL SELECT 'multi_attr', (SELECT v FROM nvv),
          |          (SELECT e FROM nee), (SELECT ns FROM nss),
          |          (SELECT w FROM wz)""".stripMargin,
-    // resumed run must land on the same fixpoint as q08
+    // resumed run must land on the same fixpoint as q08; resumed_from =
+    // (supersteps the 2-capped first run actually executed) + 1, derived
+    // by replaying hash-min for 2 iterations (input-independent — if the
+    // graph converged in 1 superstep the marker is 2, not 3)
     "q44_resume" ->
       s"""WITH RECURSIVE $CTE,
+         |symz AS (SELECT s, d FROM sym UNION ALL SELECT vid, vid FROM deg),
+         |st(iter, vid, comp) AS (
+         |  SELECT 0, vid, vid FROM deg
+         |  UNION ALL
+         |  SELECT p.iter + 1, z.d, min(p.comp) FROM st p JOIN symz z ON p.vid = z.s
+         |  WHERE p.iter < 2 GROUP BY 1, 2
+         |),
+         |chg AS (SELECT a.iter AS iter,
+         |               count(*) FILTER (WHERE a.comp <> b.comp) AS changed
+         |        FROM st a JOIN st b ON a.vid = b.vid AND b.iter = a.iter - 1
+         |        GROUP BY 1),
+         |rf AS (SELECT coalesce(min(iter) FILTER (WHERE changed = 0), 2) + 1
+         |         AS v FROM chg),
          |reach(vid, lbl) AS (
          |  SELECT vid, vid FROM deg
          |  UNION
          |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
          |)
-         |SELECT vid, min(lbl) AS component, 3 AS resumed_from
+         |SELECT vid, min(lbl) AS component,
+         |       CAST((SELECT v FROM rf) AS INT) AS resumed_from
          |FROM reach GROUP BY vid""".stripMargin,
     // replay 4 synchronous hash-min supersteps (self-message via symz) and
     // diff consecutive states; stop where the engine's loop stops (first
