@@ -26,8 +26,18 @@ import org.apache.spark.sql.functions._
   * Dataflow (same shape as [[MaxClique]], J4 per-seed local search):
   * id-oriented edges → per-seed induced edge sets via one triangle-style
   * self-join → neighbor attrs joined in → typed map running the exact
-  * local search. Out-neighborhoods are bounded by orientation, so no seed
-  * task can blow up; all joins shuffle on the vertex key.
+  * local search; all joins shuffle on the vertex key.
+  *
+  * Skew note: the reference-mandated id-orientation (candidates = ids
+  * above the seed, `apps/community.cpp:476-480`) does NOT bound
+  * out-degree the way MaxClique's degree-orientation does — the
+  * lowest-id member of a hub neighborhood receives that whole
+  * neighborhood as its candidate set. The attr-sharing filter prunes it
+  * first (only neighbors sharing a seed attribute survive), and
+  * `maxCandidates` is the explicit guard for adversarial hubs:
+  * candidates beyond it are dropped ascending-id-deterministically,
+  * making the seed's answer a documented lower bound (the reference's
+  * own B&B is heuristic at `:322`). Default keeps the search exact.
   */
 object Community {
 
@@ -43,12 +53,15 @@ object Community {
       seedAttrs: Array[String],
       nbrs: Array[(Long, Array[String])],
       induced: Array[(Long, Long)],
-      k: Int): Option[Array[Long]] = {
+      k: Int,
+      maxCandidates: Int = Int.MaxValue): Option[Array[Long]] = {
     if (seedAttrs.isEmpty || nbrs.length < k - 1) return None
     // keep only neighbors sharing an attr with the seed (anything else can
-    // never survive the common-set intersection)
+    // never survive the common-set intersection); the hub guard truncates
+    // deterministically (ascending id) AFTER that filter
     val seedSet = seedAttrs.toSet
     val cand0 = nbrs.filter(_._2.exists(seedSet)).sortBy(_._1)
+      .take(maxCandidates)
     if (cand0.length < k - 1) return None
     val ids = cand0.map(_._1)
     val attrs = cand0.map(_._2.toSet)
@@ -92,13 +105,15 @@ object Community {
     * @param verts (vid, attrs array<string>) — attr-format vertices
     * @param edges canonical undirected edge table (src < dst) */
   def perSeed(spark: SparkSession, verts: DataFrame, edges: DataFrame,
-              k: Int = 3): org.apache.spark.sql.Dataset[SeedCommunity] =
-    perSeedWithRelease(spark, verts, edges, k)._1
+              k: Int = 3, maxCandidates: Int = Int.MaxValue)
+      : org.apache.spark.sql.Dataset[SeedCommunity] =
+    perSeedWithRelease(spark, verts, edges, k, maxCandidates)._1
 
   /** Same, with the unpersist hook for the oriented-edge cache (used 4x in
     * the plan); [[run]] releases it after materializing. */
   def perSeedWithRelease(spark: SparkSession, verts: DataFrame,
-                          edges: DataFrame, k: Int)
+                          edges: DataFrame, k: Int,
+                          maxCandidates: Int = Int.MaxValue)
       : (org.apache.spark.sql.Dataset[SeedCommunity], () => Unit) = {
     import spark.implicits._
     // id orientation — the reference's candidate rule keeps neighbors with
@@ -131,7 +146,7 @@ object Community {
       .as[(Long, Array[String], Array[(Long, Array[String])],
            Array[Long], Array[Long])]
     val out = grouped.flatMap { case (seed, sa, ns, us, ws) =>
-      localSearch(seed, sa, ns, us.zip(ws), k)
+      localSearch(seed, sa, ns, us.zip(ws), k, maxCandidates)
         .map(m => SeedCommunity(seed, m, m.length))
     }
     (out, () => { e.unpersist(); () })
@@ -139,18 +154,21 @@ object Community {
 
   /** Global CD result — the reference CountAgg shape (A4 set-union + max):
     * one row per distinct community, (community csv, size). Eager, so the
-    * cached oriented edges are released before return. */
+    * cached oriented edges are released before return. The distinct
+    * community set is unbounded, so materialization is a distributed
+    * localCheckpoint — never a driver collect (a hub-rich graph at scale
+    * would funnel every community row through driver memory). */
   def run(spark: SparkSession, verts: DataFrame, edges: DataFrame,
-          k: Int = 3): DataFrame = {
-    val (perDs, release) = perSeedWithRelease(spark, verts, edges, k)
+          k: Int = 3, maxCandidates: Int = Int.MaxValue): DataFrame = {
+    val (perDs, release) =
+      perSeedWithRelease(spark, verts, edges, k, maxCandidates)
     val result = perDs.toDF().select(
         array_join(col("community").cast("array<string>"), ",")
           .as("community"),
         col("size").cast("int").as("size"))
       .distinct()
-    val rows = result.collect().toSeq
+      .localCheckpoint(eager = true)
     release()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), result.schema)
+    result
   }
 }

@@ -43,7 +43,13 @@ object FocusCluster {
       minResult: Int = 0,        // MIN_RESULT_SIZE
       diffRatio: Double = 0.01,  // DIFF_RATIO
       maxRounds: Int = 10,       // ITER_ROUND_MAX
-      candCap: Double = 20.0)    // CAND_MAX_TIME
+      candCap: Double = 20.0,    // CAND_MAX_TIME
+      // dataflow-level ball bound: max EXTENSION vertices per seed (core
+      // members always kept), top-K by (max in-edge weight desc, id) —
+      // the reference's CAND_MAX_TIME pruning applied BEFORE the per-seed
+      // collect, so a power-law hub seed cannot assemble an unbounded
+      // single row (`apps/focusCO.cpp:266-276`); dropped counts logged
+      maxBall: Int = 100000)
 
   /** `is_sim_weight` (`apps/focusCO.cpp:26-29`): newPhi `a` vs oldPhi `b`
     * are "similar" when b/a ≤ 1 + diffRatio. */
@@ -194,11 +200,35 @@ object FocusCluster {
     val seeds = coreM.groupBy("seed").agg(count(lit(1)).as("n"))
       .filter(col("n") >= p.minCore).select("seed")
     val core = coreM.join(seeds.hint("SHUFFLE_HASH"), "seed")
-    // 2-hop ball = core ∪ nbrs(core)
-    val ball = core.select(col("seed"), col("m").as("v"))
-      .union(core.join(sym, core("m") === sym("src"))
-        .select(col("seed"), col("dst").as("v")))
+    // 2-hop ball = core ∪ top-maxBall nbrs(core): the extension layer is
+    // deterministically truncated per seed (best in-edge weight desc, id
+    // asc) BEFORE any collect_list, so the heaviest row a hub seed can
+    // build is bounded — the set-at-a-time form of the reference's
+    // candidate pruning; candidates() re-applies the per-round
+    // candCap·|S| cap inside the local loop
+    val coreV = core.select(col("seed"), col("m").as("v"))
+    val extRanked = core.join(sym, core("m") === sym("src"))
+      .select(col("seed"), col("dst").as("v"), col("w"))
+      .join(coreV.withColumnRenamed("v", "dst")
+        .withColumnRenamed("seed", "s2"),
+        col("seed") === col("s2") && col("v") === col("dst"), "left_anti")
+      .groupBy(col("seed"), col("v")).agg(max(col("w")).as("bw"))
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("seed"))
+      .orderBy(col("bw").desc, col("v"))
+    val extAll = extRanked.withColumn("rn", row_number().over(win))
+      .persist() // shared by the drop-count job and the ball build
+    val dropped = extAll.filter(col("rn") > p.maxBall).count()
+    if (dropped > 0)
+      System.err.println(
+        s"[FocusCluster] ball cap maxBall=${p.maxBall} dropped $dropped " +
+          "extension vertices (weakest-weight first, deterministic)")
+    val ball = coreV
+      .union(extAll.filter(col("rn") <= p.maxBall)
+        .select(col("seed"), col("v")))
       .distinct().persist()
+    ball.count() // materialize off the extAll cache, then release it
+    extAll.unpersist()
     // ball-internal edges, built once via two membership semi-joins
     val be = ball.join(e, ball("v") === e("src"))
       .select(col("seed"), col("src"), col("dst"), col("w"))
@@ -250,9 +280,10 @@ object FocusCluster {
         array_join(col("cluster").cast("array<string>"), ",").as("cluster"),
         array_join(col("out").cast("array<string>"), ",").as("outliers"),
         size(col("cluster")).as("size"))
-    val rows = result.collect().toSeq
+    // distributed eager materialization — the cluster set is unbounded,
+    // so no driver collect (same rule as Community.run)
+    val eager = result.localCheckpoint(eager = true)
     release()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), result.schema)
+    eager
   }
 }

@@ -79,6 +79,46 @@ object MaxClique {
   def perSeed(spark: SparkSession, edges: DataFrame)
       : org.apache.spark.sql.Dataset[SeedResult] = perSeedWithRelease(spark, edges)._1
 
+  /** Cheap global lower bound on the max clique size — the reference's
+    * cross-seed bound (`apps/maxclique.cpp:358,413`: every task prunes
+    * against the global running max, refreshed mid-run). Set-at-a-time we
+    * compute it ONCE up front instead of asynchronously: a greedy clique
+    * grown through the max-out-degree seed's out-neighborhood (capped at
+    * `cap` neighbors by induced-degree order, so the driver collect is
+    * O(cap²) worst case regardless of graph size). Any valid lower bound
+    * keeps the final argmax-with-ties exact. */
+  private[graft] def greedyBound(e: DataFrame, cap: Int = 1024): Int = {
+    val top = e.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("src")).limit(1).collect()
+    if (top.isEmpty) return 1
+    val seed = top.head.getLong(0)
+    val nbrs = e.filter(col("src") === seed)
+      .select(col("dst")).collect().map(_.getLong(0))
+    val kept = nbrs.sorted.take(cap) // deterministic cap
+    val keptSet = kept.toSet
+    val induced = e
+      .filter(col("src").isInCollection(kept) &&
+        col("dst").isInCollection(kept))
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    induced.foreach { case (u, w) =>
+      if (keptSet(u) && keptSet(w)) {
+        adj.getOrElseUpdate(u, scala.collection.mutable.HashSet.empty) += w
+        adj.getOrElseUpdate(w, scala.collection.mutable.HashSet.empty) += u
+      }
+    }
+    // greedy: induced-degree desc (get_listR order), keep if adjacent to
+    // all chosen so far
+    val order = kept.sortBy(v => (-adj.get(v).map(_.size).getOrElse(0), v))
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    order.foreach { v =>
+      if (chosen.forall(c => adj.get(v).exists(_.contains(c)))) chosen += v
+    }
+    1 + chosen.length // + the seed itself (adjacent to every neighbor)
+  }
+
   /** Same, returning the unpersist hook for the oriented edge cache (used
     * 4x in the plan — triple self-join + neighbor agg — so it IS persisted,
     * and [[run]] releases it once the result is materialized). */
@@ -86,14 +126,26 @@ object MaxClique {
       : (org.apache.spark.sql.Dataset[SeedResult], () => Unit) = {
     import spark.implicits._
     val e = Edges.orientByDegree(edges).persist()
-    // induced edges of each seed's out-neighborhood: (v,u),(u,w),(v,w)
-    val ind = e.as("vu")
+    // global-bound seed pruning: a seed whose candidate set (out-
+    // neighborhood) cannot reach the greedy lower bound hosts neither a
+    // maximum clique nor a tie (its best is 1+outdeg < bound <= max), so
+    // it is dropped BEFORE the induced-edge self-join — strictly-less
+    // keeps every possible tie exact
+    val bound = greedyBound(e)
+    val survivors = e.groupBy(col("src").as("seed"))
+      .agg(count(lit(1)).as("outdeg"))
+      .filter(col("outdeg") + 1 >= bound).select(col("seed"))
+    val eS = e.join(survivors.withColumnRenamed("seed", "src")
+      .hint("SHUFFLE_HASH"), Seq("src"), "left_semi")
+    // induced edges of each surviving seed's out-neighborhood:
+    // (v,u),(u,w),(v,w) — the middle (u,w) role probes the FULL edge set
+    val ind = eS.as("vu")
       .join(e.as("uw"), col("vu.dst") === col("uw.src"))
-      .join(e.as("vw"),
+      .join(eS.as("vw"),
         col("vw.src") === col("vu.src") && col("vw.dst") === col("uw.dst"))
       .select(col("vu.src").as("seed"),
         col("uw.src").as("u"), col("uw.dst").as("w"))
-    val nbrs = e.groupBy(col("src").as("seed"))
+    val nbrs = eS.groupBy(col("src").as("seed"))
       .agg(collect_list(col("dst")).as("nbrs"))
     val grouped = nbrs.join(
         ind.groupBy("seed").agg(

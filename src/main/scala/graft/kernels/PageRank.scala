@@ -60,7 +60,10 @@ object PageRank {
     // SURVEY §1.2): contribution = rank * w / Σ_out w; unweighted = w ≡ 1
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edgesDirected.select(col("src"), col("dst"), w.as("w"))
-    val outDeg = e.groupBy("src").agg(sum(col("w")).as("odeg"))
+    // persisted: consumed by the links build, the vertex table, and the
+    // dangling checks — without the cache each consumer re-aggregates the
+    // full |E|-row input (round-2 pre-loop ran three separate edge passes)
+    val outDeg = e.groupBy("src").agg(sum(col("w")).as("odeg")).persist()
     // grid > 1: destination-block edge layout — links carry an explicit
     // block column blk = hash(dst) mod grid and are partitioned by blk, so
     // all contributions to a given vertex are produced inside ONE
@@ -112,14 +115,21 @@ object PageRank {
     val base = teleport / n
     // hub destinations (in-degree above threshold) — tiny by definition of
     // power laws (collected once, capped, shipped as an InSet literal so
-    // the per-superstep plan needs NO extra join or scan)
+    // the per-superstep plan needs NO extra join or scan). Computed from
+    // the PERSISTED link table, so this collect doubles as the pre-loop
+    // materialization of the links cache (one pass serves both; round 2
+    // ran an extra full aggregation over the raw edge input here)
     val hubIds: Array[Long] =
       if (salts <= 1) Array.empty
-      else e.groupBy(col("dst").as("vid"))
+      else links.groupBy(col("dst").as("vid"))
         .agg(count(lit(1)).as("indeg"))
         .filter(col("indeg") > hubDegree)
         .orderBy(col("indeg").desc).limit(100000)
         .collect().map(_.getLong(0))
+    // force the link cache in the PRE-LOOP phase even when salts didn't:
+    // superstep 1's metric then measures a superstep, not the cache build,
+    // and the bench can attribute pre-loop wall separately
+    if (salts <= 1) links.count()
 
     def init: DataFrame =
       verts.select(col("vid"), (lit(1.0) / n).as("rank"))
@@ -188,7 +198,7 @@ object PageRank {
     val (state, metrics, it, done) = Superstep.run(
       spark, "pagerank", init, step, deltaFn, conv, iters, ckpt, resume,
       countRows = fixedIter.isEmpty || ckpt.isDefined)
-    links.unpersist(); verts.unpersist()
+    links.unpersist(); verts.unpersist(); outDeg.unpersist()
     danglingVids.foreach(_.unpersist()); srcBlocks.foreach(_.unpersist())
     Result(state, metrics, it, done || fixedIter.isDefined)
   }

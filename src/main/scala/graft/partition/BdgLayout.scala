@@ -51,6 +51,40 @@ object BdgLayout {
     df.filter(pmod(xxhash64(col("vid")), lit(1000000L))
       < lit((rate * 1000000L).toLong))
 
+  /** Synchronous min-color flood from `seedColors` (vid, color), frozen
+    * adoption: per hop, every UNCOLORED vertex adjacent to a colored one
+    * adopts the minimum neighboring color; colored vertices never change
+    * (`BDGPartitioner.tpp:279-307`; min is the deterministic closure of
+    * the reference's race-dependent first-arrival — equivalently, a
+    * vertex ends with the min color among the NEAREST seeds, which is
+    * what the q56 recursive-CTE oracle replays). Returns all colored
+    * (vid, color) with lineage truncated, plus the hop count run.
+    *
+    * One Spark job per hop: the adopt step is materialized by the SAME
+    * count that drives convergence (lazy localCheckpoint + count), and
+    * the accumulated color set stays a lazy union of checkpointed hop
+    * pieces instead of being re-materialized every hop (round-2 q38
+    * spent most of its wall on that per-hop driver chatter). */
+  def floodColors(sym: DataFrame, seedColors: DataFrame,
+                  maxHop: Int): (DataFrame, Int) = {
+    var pieces = List(seedColors.select(col("vid"), col("color"))
+      .localCheckpoint(eager = true))
+    def colors: DataFrame = pieces.reduce(_ union _)
+    var hop = 0
+    var grew = true
+    while (grew && hop < maxHop) {
+      hop += 1
+      val adopt = sym.join(colors.hint("SHUFFLE_HASH"),
+          sym("src") === colors("vid"))
+        .groupBy(sym("dst").as("vid")).agg(min(col("color")).as("color"))
+        .join(colors, Seq("vid"), "left_anti")
+        .localCheckpoint(eager = false) // materialized by the count below
+      if (adopt.count() == 0L) grew = false
+      else pieces = adopt :: pieces
+    }
+    (colors, hop)
+  }
+
   /** B3: Voronoi colors to fixpoint-or-fallback. Input: symmetric edge
     * table (src, dst). Output: (vid, color), every vertex colored. */
   def voronoiColors(spark: SparkSession, sym: DataFrame,
@@ -61,29 +95,12 @@ object BdgLayout {
     var rate = p.seedRate
     var colors = sampled(verts, rate)
       .select(col("vid"), col("vid").as("color"))
-      .localCheckpoint(true)
-    var colored = colors.count()
-    var rounds = 0
+    var colored = -1L // counted by each flood round below
     var continueRounds = true
     while (continueRounds) {
-      rounds += 1
       // flood <= maxHop hops: uncolored vertices adopt min neighbor color
-      var hop = 0
-      var grew = true
-      while (grew && hop < p.maxHop) {
-        hop += 1
-        val adopt = sym.join(colors.hint("SHUFFLE_HASH"),
-            sym("src") === colors("vid"))
-          .groupBy(sym("dst").as("vid")).agg(min(col("color")).as("color"))
-          .join(colors, Seq("vid"), "left_anti")
-          .localCheckpoint(true)
-        val k = adopt.count()
-        if (k == 0L) grew = false
-        else {
-          colors = colors.union(adopt).localCheckpoint(true)
-          colored += k
-        }
-      }
+      colors = floodColors(sym, colors, p.maxHop)._1
+      colored = colors.count()
       if (colored >= (p.stopRatio * n).toLong || rate >= p.maxRate) {
         continueRounds = false
       } else {
@@ -92,7 +109,7 @@ object BdgLayout {
             verts.join(colors, Seq("vid"), "left_anti"), rate)
           .select(col("vid"), col("vid").as("color"))
         val k = newSeeds.count()
-        if (k > 0) { colors = colors.union(newSeeds).localCheckpoint(true) }
+        if (k > 0) { colors = colors.union(newSeeds) }
         colored += k
         if (rate >= p.maxRate && k == 0) continueRounds = false
       }
@@ -213,9 +230,11 @@ object BdgLayout {
         coalesce(col("n_vertices"), lit(0L)).as("n_vertices"),
         coalesce(col("cross_edges"), lit(0L)).as("cross_edges"),
         coalesce(col("hash_cross_edges"), lit(0L)).as("hash_cross_edges"))
-    val rows = out.collect().toSeq
+    // eager distributed materialization (NOT collect+parallelize: the
+    // worker universe is small here, but the pattern must not funnel
+    // multi-row results through driver memory) — then release the cache
+    val eager = out.localCheckpoint(eager = true)
     lay.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
+    eager
   }
 }

@@ -170,17 +170,30 @@ object Ann {
     * of `bitsPerBand` hyperplane signs each; vectors sharing any band
     * bucket become candidates, re-ranked exactly. Recall rises with bands
     * and falls with bitsPerBand; bucket selectivity (≈ n/2^bits per band)
-    * goes the other way. Defaults measured on the 500×64-dim test table
-    * (RecallProbe): recall@5 = 0.99 at 32×4 vs 0.15 at the old 8×8;
-    * 24×5 = 0.88, 32×6 = 0.81. At corpus scale raise bitsPerBand with
-    * log2(n) and bands with it to hold recall. */
+    * goes the other way.
+    *
+    * `bitsPerBand <= 0` (the default) derives it from the corpus size:
+    * ceil(log2(n / 16)) clamped to [4, 24], i.e. ~16 vectors per bucket
+    * per band, so the per-band candidate join costs O(bands · n · 16)
+    * pairs REGARDLESS of n — a fixed 32×4 would collapse to 16 buckets
+    * per band and go quadratic on any large corpus. Measured on the
+    * 500×64-dim test table (RecallProbe): recall@5 = 0.99 at 32×4
+    * (= the auto choice's neighborhood; 24×5 = 0.88, 32×6 = 0.81) vs
+    * 0.15 at the old 8×8; hold recall at higher bits by raising bands. */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-              dim: Int, bands: Int = 32, bitsPerBand: Int = 4,
+              dim: Int, bands: Int = 32, bitsPerBand: Int = -1,
               seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    val bpb =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        val n = math.max(1L, vecs.count())
+        math.min(24, math.max(4,
+          math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+      }
+    val planes = hyperplanes(dim, bands * bpb, seed)
     def bandKey(b: Int): Column =
-      (0 until bitsPerBand).map { j =>
-        val p = typedlit(planes(b * bitsPerBand + j))
+      (0 until bpb).map { j =>
+        val p = typedlit(planes(b * bpb + j))
         when(dot(col(vecCol), p) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
     // the bucket join and candidate dedup move ONLY (band, bucket, id)

@@ -134,7 +134,10 @@ object GraphIO {
     * written dst-ascending so the dump is canonical. */
   def writeMultiAttrAdj(df: DataFrame, path: String): Unit =
     df.groupBy(col("src"))
-      .agg(first(col("attrs")).as("attrs"),
+      // lexicographically-min attr array, NOT first(): first() is
+      // nondeterministic when a source's edge rows carry differing attr
+      // arrays, which would make the dump silently run-to-run-unstable
+      .agg(get(array_sort(collect_set(col("attrs"))), lit(0)).as("attrs"),
         sort_array(collect_list(struct(col("dst"),
           col("weight").cast("double").as("weight")))).as("nb"))
       .select(concat_ws("\t", col("src"),

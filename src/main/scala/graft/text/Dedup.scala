@@ -58,12 +58,25 @@ object Dedup {
     out
   }
 
+  /** Seeded 60-bit sha256 shingle hash — the oracle-parity permutation
+    * family for [[minHashSignatures]]: permutation i of shingle g is the
+    * top 60 bits of sha256(s"$i:$g"), which DuckDB computes identically
+    * (same trick as [[shaTokenHash60]]; xxhash64 has no DuckDB
+    * counterpart). */
+  def shaSeededHash60(g: Column, seed: Int): Column =
+    conv(substring(sha2(concat(lit(s"$seed:"), g), 256), 1, 15), 16, 10)
+      .cast("long")
+
   /** MinHash signature columns: (id, sig array<long> of length k).
-    * Permutation i is `xxhash64(shingle, i)`; the signature is k builtin
-    * min-aggregations (partial+final, map-side combined). */
-  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    * Permutation i is `hashFn(shingle, i)` (default `xxhash64(shingle, i)`
+    * — fast path; pass [[shaSeededHash60]] for DuckDB-verifiable
+    * signatures); the signature is k builtin min-aggregations
+    * (partial+final, map-side combined). */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64,
+                        hashFn: (Column, Int) => Column =
+                          (g, i) => xxhash64(g, lit(i))): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+      min(hashFn(col("g"), i)).as(s"m$i"))
     sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
@@ -79,10 +92,13 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000,
+                 hashFn: (Column, Int) => Column =
+                   (g, i) => xxhash64(g, lit(i))): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(shingles(docs, idCol, textCol, k), numHashes)
+    val sigs = minHashSignatures(shingles(docs, idCol, textCol, k),
+        numHashes, hashFn)
       .persist()
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

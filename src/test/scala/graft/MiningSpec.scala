@@ -295,6 +295,43 @@ class MiningSpec extends SparkSpec {
     assert(got === Set(("1,2,3,4,5,20", "11", 6), ("6,7,8,9,10", "", 5)))
   }
 
+  test("MCF global bound is a valid clique lower bound (pruning stays exact)") {
+    val graphs = Map(
+      "bowtie" -> Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)),
+      "sample15" -> Oracles.sample15,
+      "er" -> Oracles.erdosRenyi(30, 0.3, seed = 4),
+      "plaw" -> Oracles.powerLaw(60, seed = 6))
+    graphs.foreach { case (name, es) =>
+      val (sz, _) = cliqueOracle(es)
+      val e = Edges.orientByDegree(es.toDF("src", "dst"))
+      val bound = MaxClique.greedyBound(e)
+      assert(bound >= 2, s"graph=$name bound $bound not useful")
+      assert(bound <= sz, s"graph=$name bound $bound exceeds max clique $sz" +
+        " — pruning with it would drop true maxima")
+    }
+  }
+
+  test("GC ball cap: planted hub seed, capped ball, answer preserved") {
+    import graft.kernels.FocusCluster
+    // heavy 5-clique + a hub: vertex 1 carries 200 weak satellites. The
+    // uncapped dataflow would collect a 200+-row ball for every seed of
+    // the clique; the cap truncates the extension layer (weakest weight
+    // first) BEFORE collect_list. Satellites can never join (phi gain is
+    // within DIFF_RATIO), so the clusters must be identical at every cap.
+    val w = Seq.newBuilder[(Long, Long, Double)]
+    for (u <- 1 to 5; v <- u + 1 to 5) w += ((u.toLong, v.toLong, 10.0))
+    for (i <- 0 until 200) w += ((1L, 1000L + i, 0.1))
+    val edges = w.result().toDF("src", "dst", "weight")
+    def clusters(maxBall: Int) = FocusCluster.run(spark, edges,
+        FocusCluster.Params(minWeight = 5.0, minCore = 5, maxBall = maxBall))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val uncapped = clusters(100000)
+    assert(uncapped === Set(("1,2,3,4,5", "", 5)))
+    assert(clusters(2) === uncapped, "tight cap must not change the answer")
+    // extensions fully dropped: the pipeline still completes on core alone
+    assert(clusters(0) === uncapped)
+  }
+
   test("reference label-format parse") {
     val dir = Files.createTempDirectory("graft-lbl").toString
     Files.writeString(java.nio.file.Paths.get(dir, "g.adj"),

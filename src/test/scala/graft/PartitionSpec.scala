@@ -65,6 +65,43 @@ class PartitionSpec extends SparkSpec {
     sym.unpersist()
   }
 
+  test("floodColors == min color among NEAREST seeds (q56 oracle closure)") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val edges = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Array.empty[Long])
+    val seedIds = Seq(0L, 50L, 100L, 150L)
+    val maxHop = 3
+    val seeds = seedIds.toDF("vid")
+      .select(col("vid"), col("vid").as("color"))
+    val got = BdgLayout.floodColors(sym, seeds, maxHop)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: BFS distance from every seed; a vertex within maxHop takes
+    // the min color among its MINIMUM-distance seeds (the closed form of
+    // frozen synchronous min-adoption — the same replay q56 runs in SQL)
+    def bfs(s: Long): Map[Long, Int] = {
+      val d = scala.collection.mutable.HashMap(s -> 0)
+      var frontier = List(s)
+      for (h <- 1 to maxHop) {
+        frontier = frontier.flatMap(adj(_)).distinct.filterNot(d.contains)
+        frontier.foreach(v => d(v) = h)
+      }
+      d.toMap
+    }
+    val dists = seedIds.map(s => s -> bfs(s))
+    val verts = edges.map(_._1).distinct
+    val expected = verts.flatMap { v =>
+      val reach = dists.flatMap { case (s, d) => d.get(v).map(s -> _) }
+      if (reach.isEmpty) None
+      else {
+        val dmin = reach.map(_._2).min
+        Some(v -> reach.filter(_._2 == dmin).map(_._1).min)
+      }
+    }.toMap
+    assert(got === expected)
+    sym.unpersist()
+  }
+
   test("block re-shuffle (B6): repartition by worker co-locates blocks") {
     val sym = Edges.symmetrize(plantedGraph)
     val lay = BdgLayout.layout(spark, sym, p)

@@ -166,6 +166,32 @@ class TextSimSpec extends SparkSpec {
       f"pair recall ${caught.toDouble / nTrue}%.3f < 0.9")
   }
 
+  test("sha-parity MinHash-LSH (q26 config): near-dups found, identical docs est=1") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val near = base.replace("lazy", "hazy")
+    val far = "completely different content with nothing shared at all " * 8
+    val d = docs(1L -> base, 2L -> near, 3L -> far, 4L -> base)
+    val got = Dedup.minHashLsh(d, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.7,
+      maxBucket = Int.MaxValue, hashFn = Dedup.shaSeededHash60)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical docs share every signature component -> est exactly 1.0
+    assert(got((1L, 4L)) === 1.0)
+    assert(got.contains((1L, 2L)) && got.contains((2L, 4L)),
+      "near-dup pairs must collide in some band")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not appear")
+    // the signatures themselves are the DuckDB-replayable family: the
+    // seeded sha hash of a known shingle matches a precomputed value
+    val h = spark.range(1)
+      .select(Dedup.shaSeededHash60(lit("abc"), 0).as("h")).head().getLong(0)
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest("0:abc".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    assert(h === expected)
+  }
+
   test("simhash multi-probe == brute-force Hamming filter (exact parity)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     val d = docs((0L until 12L).map { i =>
