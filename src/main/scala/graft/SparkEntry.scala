@@ -563,7 +563,100 @@ object SparkEntry {
       lsh.select(col("vec_id"), col("nn_id"), col("rnk"),
         round(col("cosine"), 4).as("cosine"),
         lit(recall).as("recall_at_k"))
-    })
+    }),
+
+    // oracle-parity SRP-LSH ANN (maximum-inner-product semantics):
+    // integer-quantized vectors, sha-derived ±1 planes, band-bucket
+    // candidates, exact integer-dot re-rank — the hash-matchable twin of
+    // q29 (which stays the float fast path; round-3 promotion of the
+    // LSH-ANN family to a green CORRECTNESS row)
+    "q57_ann_lsh_parity" -> ((s, d) =>
+      Ann.lshTopKParity(T(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, bands = 8, bitsPerBand = 8)),
+    // oracle-parity IVF ANN: sha-sampled centroids, exact integer
+    // distances and re-rank — the hash-matchable twin of q40
+    "q58_ann_ivf_parity" -> ((s, d) =>
+      Ann.ivfTopKParity(T(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)),
+
+    // multi-source BFS: min hop distance (<= 4) to the sha-sampled seed
+    // set — the reachability primitive (graph feature generation;
+    // replayed by a bounded recursive CTE like q56)
+    "q59_bfs" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      graft.kernels.Bfs.distances(sym, seeds, maxHop = 4)
+    }),
+
+    // deterministic stratified downsampling: balance languages to the
+    // smallest stratum's row count via sha-keyed keep decisions — fully
+    // reproducible corpus mixing (every doc's fate is a pure function of
+    // (salt, doc_id, per-lang counts))
+    "q60_stratified_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val fr = graft.text.TrainPrep
+        .mixtureStats(docs, "lang", TF.tokenCount(col("text")))
+        .select(col("stratum"), col("keep_ppm"))
+      graft.text.TrainPrep
+        .stratifiedSample(docs, "doc_id", "lang", fr, salt = "mix")
+        .select(col("doc_id"), col("lang"))
+    }),
+    // per-language mixture statistics + balancing keep-fractions (the
+    // input table of q60, exposed as its own operator)
+    "q61_mixture" -> ((s, d) =>
+      graft.text.TrainPrep.mixtureStats(T(s, d, "documents"), "lang",
+        TF.tokenCount(col("text")))),
+
+    // personalized PageRank: teleport + dangling mass distributed over a
+    // sha-sampled seed set (PageRank.run(personalized=...)); replayed by
+    // the q10 recursive CTE with a per-vertex teleport column
+    "q62_ppr" -> ((s, d) => {
+      val sym = Edges.symmetrize(cooc(s, d).select(col("src"), col("dst")))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      PageRank.run(s, sym, fixedIter = Some(10),
+          personalized = Some(seeds))
+        .ranks.select(col("vid"), round(col("rank"), 8).as("rank"))
+    }),
+
+    // bounded-hop weighted shortest paths (synchronous Bellman-Ford, <= 4
+    // edges): integer co-occurrence weights keep the replay exact
+    "q63_sssp" -> ((s, d) => {
+      val cw = cooc(s, d).filter(col("weight") >= 2)
+      val symW = cw.select(col("src"), col("dst"), col("weight"))
+        .union(cw.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight")))
+      val seeds = symW.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      graft.kernels.Bfs.weightedDistances(symW, seeds, rounds = 4)
+    }),
+
+    // eigenvector centrality: 6 power-iteration supersteps, normalized
+    // once at the end (unnormalized walk counts stay integer-exact)
+    "q64_eigencentrality" -> ((s, d) =>
+      graft.kernels.EigenCentrality.run(s, Edges.symmetrize(e2(s, d)), 6)
+        .scores.select(col("vid"), round(col("score"), 8).as("score"))),
+
+    // benchmark-contamination check: corpus docs sharing any word trigram
+    // with the sha-sampled "benchmark" slice of the corpus
+    "q65_contamination" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val isBench = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(1000L)) < 30
+      graft.text.TrainPrep.contamination(
+        docs.filter(!isBench), "doc_id", "text",
+        docs.filter(isBench), "text", n = 3, minShared = 1L)
+    }),
+
+    // corpus-wide top-20 word bigrams by document frequency (profiling /
+    // boilerplate detection; distributed TakeOrdered, no global window)
+    "q66_top_ngrams" -> ((s, d) =>
+      graft.text.TrainPrep.topNgrams(T(s, d, "documents"), "doc_id", "text",
+        n = 2, k = 20))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1123,6 +1216,196 @@ object SparkEntry {
          |       FROM cc JOIN part p ON cc.vid = p.p_partkey GROUP BY 1, 2)
          |SELECT component, string_agg(brand || ':' || n, ',' ORDER BY brand)
          |       AS hist
-         |FROM bc GROUP BY 1""".stripMargin
+         |FROM bc GROUP BY 1""".stripMargin,
+    // oracle-parity SRP-LSH ANN: ±1 plane component (b,j,d) = parity of
+    // the first sha256 hex nibble of "b:j:d"; signatures, band buckets,
+    // candidates and the integer MIPS re-rank are all exact-integer, so
+    // both engines agree bit-for-bit (list_dot_product over ints stays
+    // below 2^53 — exact in double, cast back to BIGINT)
+    "q57_ann_lsh_parity" ->
+      """WITH planes AS (
+        |  SELECT bb.b, jj.j, dd.d,
+        |         CASE WHEN CAST(('0x' || substr(sha256(
+        |             CAST(bb.b AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)
+        |             || ':' || CAST(dd.d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(8)) AS b) bb,
+        |       (SELECT unnest(range(8)) AS j) jj,
+        |       (SELECT unnest(range(64)) AS d) dd),
+        |qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |comp AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d,
+        |                unnest(q) AS x
+        |         FROM qv),
+        |dots AS (SELECT c.vec_id, p.b, p.j, sum(c.x * p.s) AS dot
+        |         FROM comp c JOIN planes p ON p.d = c.d GROUP BY 1, 2, 3),
+        |sig AS (SELECT vec_id, b,
+        |               sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS nn_id
+        |         FROM sig a JOIN sig c
+        |           ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |pd AS (SELECT cand.vec_id, cand.nn_id,
+        |              CAST(list_dot_product(CAST(x.q AS DOUBLE[]),
+        |                                    CAST(y.q AS DOUBLE[])) AS BIGINT) AS dot
+        |       FROM cand JOIN qv x ON x.vec_id = cand.vec_id
+        |                 JOIN qv y ON y.vec_id = cand.nn_id)
+        |SELECT vec_id, nn_id,
+        |       CAST(row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY dot DESC, nn_id) AS BIGINT) AS rnk,
+        |       dot
+        |FROM pd
+        |QUALIFY rnk <= 5""".stripMargin,
+    // oracle-parity IVF ANN: centroids = the 16 vectors ranked first by
+    // sha-hash of id; assignment/probes rank by the exact-integer
+    // ||c||^2 - 2 a.c with ties to the lower centroid id; candidates =
+    // vectors whose home list is probed; integer MIPS re-rank
+    "q58_ann_ivf_parity" ->
+      """WITH qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |hh AS (SELECT vec_id, q,
+        |              CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |       FROM qv),
+        |cent AS (SELECT q AS cq,
+        |                CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
+        |         FROM hh
+        |         QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+        |ds AS (SELECT v.vec_id, c.cid,
+        |              CAST(list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                 - 2 * list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                   AS BIGINT) AS d2
+        |       FROM qv v, cent c),
+        |assign AS (SELECT vec_id AS nn_id, cid AS cluster FROM ds
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+        |probes AS (SELECT vec_id, cid AS cluster FROM ds
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= 4),
+        |pd AS (SELECT p.vec_id, a.nn_id,
+        |              CAST(list_dot_product(CAST(x.q AS DOUBLE[]),
+        |                                    CAST(y.q AS DOUBLE[])) AS BIGINT) AS dot
+        |       FROM probes p JOIN assign a ON a.cluster = p.cluster
+        |                                  AND a.nn_id <> p.vec_id
+        |       JOIN qv x ON x.vec_id = p.vec_id
+        |       JOIN qv y ON y.vec_id = a.nn_id)
+        |SELECT vec_id, nn_id,
+        |       CAST(row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY dot DESC, nn_id) AS BIGINT) AS rnk,
+        |       dot
+        |FROM pd
+        |QUALIFY rnk <= 5""".stripMargin,
+    // bounded multi-source BFS replay: dist = min hop count (<= 4) to any
+    // sha-sampled seed (the q56 recursion minus the color payload)
+    "q59_bfs" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 20),
+         |reach(vid, h) AS (
+         |  SELECT vid, 0 FROM seeds
+         |  UNION
+         |  SELECT s.d, r.h + 1 FROM reach r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 4
+         |)
+         |SELECT vid, CAST(min(h) AS BIGINT) AS dist FROM reach GROUP BY 1""".stripMargin,
+    // stratified sample: keep a doc iff sha256("mix:" || doc_id) mod 1e6
+    // clears its language's keep_ppm (min-stratum balancing fractions)
+    "q60_stratified_sample" ->
+      """WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |fr AS (SELECT lang,
+        |              (SELECT min(n_docs) FROM st) * 1000000 // n_docs AS keep_ppm
+        |       FROM st)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN fr ON d.lang = fr.lang
+        |WHERE CAST(('0x' || substr(sha256('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 < fr.keep_ppm""".stripMargin,
+    "q61_mixture" ->
+      """WITH st AS (SELECT lang AS stratum, count(*) AS n_docs,
+        |                   CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |            FROM documents GROUP BY 1)
+        |SELECT stratum, n_docs, n_tokens,
+        |       (SELECT min(n_docs) FROM st) * 1000000 // n_docs AS keep_ppm
+        |FROM st""".stripMargin,
+    // personalized PageRank replay: the q10 recursion with the uniform
+    // 1/n teleport replaced by a per-vertex tele column (1/|seeds| on the
+    // sha-sampled seeds, 0 elsewhere); on the symmetric full graph there
+    // is no dangling mass
+    "q62_ppr" ->
+      s"""WITH RECURSIVE $CTE, $FULL,
+         |seeds AS (SELECT vid FROM fdeg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 20),
+         |tele AS (SELECT f.vid,
+         |                CASE WHEN sd.vid IS NOT NULL
+         |                     THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM seeds)
+         |                     ELSE CAST(0.0 AS DOUBLE) END AS t
+         |         FROM fdeg f LEFT JOIN seeds sd ON f.vid = sd.vid),
+         |ppr(iter, vid, rank) AS (
+         |  SELECT 0, vid, t FROM tele
+         |  UNION ALL
+         |  SELECT p.iter + 1, t.vid,
+         |         CAST(0.15 AS DOUBLE) * t.t
+         |         + CAST(0.85 AS DOUBLE) * sum(p.rank / g.odeg)
+         |  FROM ppr p JOIN fdeg g ON p.vid = g.vid JOIN fsym s ON p.vid = s.s
+         |       JOIN tele t ON s.d = t.vid
+         |  WHERE p.iter < 10
+         |  GROUP BY 1, 2, t.t
+         |)
+         |SELECT vid, round(rank, 8) AS rank FROM ppr WHERE iter = 10""".stripMargin,
+    // bounded Bellman-Ford replay: dist = min total weight over paths of
+    // <= 4 edges from the seed set (exact: integer weights)
+    "q63_sssp" ->
+      s"""WITH RECURSIVE $CTE,
+         |ew AS (SELECT src AS s, dst AS d, weight AS w FROM cooc WHERE weight >= 2
+         |       UNION ALL
+         |       SELECT dst, src, weight FROM cooc WHERE weight >= 2),
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 20),
+         |reach(vid, dist, h) AS (
+         |  SELECT vid, CAST(0 AS BIGINT), 0 FROM seeds
+         |  UNION
+         |  SELECT e.d, r.dist + e.w, r.h + 1 FROM reach r JOIN ew e ON r.vid = e.s
+         |  WHERE r.h < 4
+         |)
+         |SELECT vid, min(dist) AS dist FROM reach GROUP BY 1""".stripMargin,
+    // power-iteration replay: unnormalized x_k = walk counts (integer in
+    // double), one final L1 normalization
+    "q64_eigencentrality" ->
+      s"""WITH RECURSIVE $CTE,
+         |ec(iter, vid, x) AS (
+         |  SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM deg
+         |  UNION ALL
+         |  SELECT e.iter + 1, s.d, sum(e.x) FROM ec e JOIN sym s ON e.vid = s.s
+         |  WHERE e.iter < 6 GROUP BY 1, 2
+         |)
+         |SELECT vid, round(x / (SELECT sum(x) FROM ec WHERE iter = 6), 8) AS score
+         |FROM ec WHERE iter = 6""".stripMargin,
+    // word-trigram contamination: distinct per-doc trigrams joined against
+    // the deduplicated benchmark trigram set
+    "q65_contamination" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |                    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 30 AS is_bench
+        |             FROM documents),
+        |pos AS (SELECT doc_id, t, is_bench, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tok WHERE len(t) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, is_bench, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM pos),
+        |bg AS (SELECT DISTINCT g FROM ng WHERE is_bench)
+        |SELECT n.doc_id, count(*) AS n_shared
+        |FROM ng n JOIN bg ON n.g = bg.g
+        |WHERE NOT n.is_bench
+        |GROUP BY 1
+        |HAVING count(*) >= 1""".stripMargin,
+    "q66_top_ngrams" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok WHERE len(t) >= 2),
+        |ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g FROM pos),
+        |fr AS (SELECT g, count(*) AS n_docs FROM ng GROUP BY 1)
+        |SELECT g, n_docs,
+        |       CAST(row_number() OVER (ORDER BY n_docs DESC, g) AS BIGINT) AS rnk
+        |FROM fr
+        |QUALIFY rnk <= 20""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.kernels
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS — k-hop reachability distances from a seed set.
+  *
+  * The engine-extension companion of hash-min CC and the Voronoi flood
+  * (`partition/BDGPartitioner.tpp:279-307` is the same traversal with
+  * colors instead of distances): graph feature generation for a training
+  * pipeline ("hops to nearest doc of type X") and the reachability
+  * primitive behind the drill-down queries.
+  *
+  * Shape: one Spark job per hop. The frontier expands ONLY from the
+  * previous hop's frontier (not the whole reached set), the anti-join
+  * prunes revisits against the accumulated set, each frontier is a lazily
+  * checkpointed piece materialized by the SAME count that drives
+  * convergence, and the result is the lazy union of per-hop pieces —
+  * lineage stays O(1) per hop and nothing is re-materialized
+  * (the BdgLayout.floodColors protocol). At 100 TB each hop is one
+  * shuffle keyed by vertex id; the frontier piece is the only state that
+  * grows, and it is bounded by |V|.
+  */
+object Bfs {
+
+  /** (vid, dist) for every vertex within `maxHop` of `seeds` (a `vid`
+    * column); dist = minimum hop count to any seed (seeds are dist 0). */
+  def distances(sym: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    var last = seeds.select(col("vid"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var pieces = List(last)
+    def reached: DataFrame = pieces.reduce(_ union _)
+    var hop = 0
+    var grew = true
+    while (grew && hop < maxHop) {
+      hop += 1
+      val frontier = sym.join(last.hint("SHUFFLE_HASH"),
+          sym("src") === last("vid"))
+        .select(sym("dst").as("vid")).distinct()
+        .join(reached, Seq("vid"), "left_anti")
+        .select(col("vid"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(eager = false) // materialized by the count below
+      if (frontier.count() == 0L) grew = false
+      else { last = frontier; pieces = frontier :: pieces }
+    }
+    reached
+  }
+
+  /** Bounded-hop weighted single/multi-source shortest paths: dist(v) =
+    * minimum total weight over paths of <= `rounds` edges from any seed
+    * (synchronous Bellman-Ford, which computes exactly that closure —
+    * replayable as a bounded recursive CTE with integer weights).
+    *
+    * Shape: per round, one co-partitioned state⋈edges join + a min
+    * aggregation with map-side combine (the A8 combiner); state is the
+    * only growing table (<= |V| rows), lineage truncated per round. Unlike
+    * [[distances]] the whole state re-joins each round — an improved
+    * distance must be able to re-propagate. */
+  def weightedDistances(edgesW: DataFrame, seeds: DataFrame,
+                        rounds: Int): DataFrame = {
+    var state = seeds.select(col("vid"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = edgesW.join(state.hint("SHUFFLE_HASH"),
+          edgesW("src") === state("vid"))
+        .select(edgesW("dst").as("vid"),
+          (col("dist") + edgesW("weight")).as("dist"))
+        .union(state)
+        .groupBy(col("vid")).agg(min(col("dist")).as("dist"))
+      state = relaxed.localCheckpoint(eager = true)
+    }
+    state
+  }
+}

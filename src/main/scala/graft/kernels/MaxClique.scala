@@ -122,7 +122,8 @@ object MaxClique {
   /** Same, returning the unpersist hook for the oriented edge cache (used
     * 4x in the plan — triple self-join + neighbor agg — so it IS persisted,
     * and [[run]] releases it once the result is materialized). */
-  def perSeedWithRelease(spark: SparkSession, edges: DataFrame)
+  def perSeedWithRelease(spark: SparkSession, edges: DataFrame,
+                         globalBound: Boolean = true)
       : (org.apache.spark.sql.Dataset[SeedResult], () => Unit) = {
     import spark.implicits._
     val e = Edges.orientByDegree(edges).persist()
@@ -130,8 +131,9 @@ object MaxClique {
     // neighborhood) cannot reach the greedy lower bound hosts neither a
     // maximum clique nor a tie (its best is 1+outdeg < bound <= max), so
     // it is dropped BEFORE the induced-edge self-join — strictly-less
-    // keeps every possible tie exact
-    val bound = greedyBound(e)
+    // keeps every possible tie exact (globalBound=false is the
+    // measurement baseline, McfProbe)
+    val bound = if (globalBound) greedyBound(e) else 1
     val survivors = e.groupBy(col("src").as("seed"))
       .agg(count(lit(1)).as("outdeg"))
       .filter(col("outdeg") + 1 >= bound).select(col("seed"))
@@ -167,8 +169,9 @@ object MaxClique {
     * argmax-with-ties shape. Computed EAGERLY (one row) so both persisted
     * inputs are released before return — a long-lived session running many
     * queries keeps no cached blocks behind. */
-  def run(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val (perDs, release) = perSeedWithRelease(spark, edges)
+  def run(spark: SparkSession, edges: DataFrame,
+          globalBound: Boolean = true): DataFrame = {
+    val (perDs, release) = perSeedWithRelease(spark, edges, globalBound)
     val per = perDs.toDF().persist()
     val mx = per.agg(max(col("size")).as("max_size"))
     val result = per.join(broadcast(mx), col("size") === col("max_size"))

@@ -41,6 +41,12 @@ object PageRank {
     *                      reducer fan-in exactly where power-law hubs are
     * @param hubDegree     in-degree threshold above which a destination is
     *                      treated as a hub
+    * @param personalized  if set, a (vid) seed table: the teleport (and
+    *                      dangling) mass is distributed uniformly over the
+    *                      seeds instead of all vertices — personalized
+    *                      PageRank. The seed set is broadcast (it is small
+    *                      by definition of personalization); everything
+    *                      else in the superstep is unchanged.
     */
   def run(spark: SparkSession, edgesDirected: DataFrame,
           tol: Double = 1e-6,
@@ -54,7 +60,8 @@ object PageRank {
           symmetric: Boolean = false,
           grid: Int = 1,
           ckpt: Option[Checkpointer] = None,
-          resume: Boolean = false): Result = {
+          resume: Boolean = false,
+          personalized: Option[DataFrame] = None): Result = {
 
     // weighted variant (reference multi_attr format, per-edge doubles —
     // SURVEY §1.2): contribution = rank * w / Σ_out w; unweighted = w ≡ 1
@@ -112,7 +119,22 @@ object PageRank {
       if (!hasDangling) None
       else Some(verts.join(outDeg.select(col("src").as("vid")),
         Seq("vid"), "left_anti").persist())
-    val base = teleport / n
+    // per-vertex teleport distribution `tele`: uniform 1/n (standard), or
+    // 1/|S| on the seed set and 0 elsewhere (personalized). rank0 = tele,
+    // and every superstep's additive term is teleport·tele +
+    // damping·danglingMass·tele — the uniform case folds back to the
+    // constant-add plan (Catalyst constant-folds the literal)
+    val pers = personalized.map(_.select(col("vid")).distinct().persist())
+    val nS = pers.map(_.count()).getOrElse(n)
+    val vertsT = pers match {
+      case None => verts.withColumn("tele", lit(1.0 / n))
+      case Some(p) =>
+        verts.join(broadcast(p.withColumn("is_seed", lit(1))),
+            Seq("vid"), "left")
+          .withColumn("tele",
+            when(col("is_seed").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)))
+          .select(col("vid"), col("tele")).persist()
+    }
     // hub destinations (in-degree above threshold) — tiny by definition of
     // power laws (collected once, capped, shipped as an InSet literal so
     // the per-superstep plan needs NO extra join or scan). Computed from
@@ -132,7 +154,7 @@ object PageRank {
     if (salts <= 1) links.count()
 
     def init: DataFrame =
-      verts.select(col("vid"), (lit(1.0) / n).as("rank"))
+      vertsT.select(col("vid"), col("tele").as("rank"))
 
     def step(ranks: DataFrame): DataFrame = {
       val danglingMass = danglingVids match {
@@ -176,11 +198,12 @@ object PageRank {
             .groupBy("vid", "salt").agg(sum("c").as("c"))
             .groupBy("vid").agg(sum("c").as("s"))
         } else contribs.groupBy("vid").agg(sum("c").as("s"))
-      val add = base + damping * danglingMass / n
-      // vertices receiving no contribution still get teleport + dangling share
-      verts.join(summed.hint("SHUFFLE_HASH"), Seq("vid"), "left")
+      // vertices receiving no contribution still get teleport + dangling
+      // share; both scale with the per-vertex teleport column
+      vertsT.join(summed.hint("SHUFFLE_HASH"), Seq("vid"), "left")
         .select(col("vid"),
-          (lit(add) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+          ((lit(teleport) + lit(damping * danglingMass)) * col("tele")
+            + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
     }
 
     def delta(prev: DataFrame, next: DataFrame): Double =
@@ -200,6 +223,8 @@ object PageRank {
       countRows = fixedIter.isEmpty || ckpt.isDefined)
     links.unpersist(); verts.unpersist(); outDeg.unpersist()
     danglingVids.foreach(_.unpersist()); srcBlocks.foreach(_.unpersist())
+    pers.foreach(_.unpersist())
+    if (pers.isDefined) vertsT.unpersist()
     Result(state, metrics, it, done || fixedIter.isDefined)
   }
 }

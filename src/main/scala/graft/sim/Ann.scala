@@ -166,6 +166,132 @@ object Ann {
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))
   }
 
+  /** Integer dot product of two `array<long>` columns (sequential fold —
+    * exact, so any engine computing the same quantized vectors agrees
+    * bit-for-bit; components ≤ scale·|x|max keep the sum far below 2^63). */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic integer quantization of a float/double vector column:
+    * floor(x · scale) per component. floor (not round) because it has no
+    * tie-break rule to disagree on across engines. */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** ±1 Rademacher hyperplane component from sha256 — the oracle-parity
+    * plane family: component (band, bit, dim) is +1 iff the first hex
+    * nibble of sha256("band:bit:dim") is odd, which any engine with sha256
+    * reproduces exactly (the same trick as Dedup.shaSeededHash60). */
+  private[graft] def shaSign(b: Int, j: Int, d: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$b:$j:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 1) 1 else -1
+  }
+
+  /** Oracle-parity sign-random-projection LSH over integer-quantized
+    * vectors — the hash-matchable twin of [[lshTopK]] (which stays the
+    * fast path: Gaussian planes, float cosine). Semantics here are
+    * maximum-inner-product search (MIPS): candidates from band-bucket
+    * collisions, exact integer-dot re-rank, top-k by (dot desc, id).
+    * Everything is integer or sha-derived, so an independent engine
+    * replays it bit-for-bit:
+    *
+    *  - vectors quantized via [[quantize]] (floor, no tie rule);
+    *  - planes are ±1 entries from [[shaSign]];
+    *  - band keys are built set-at-a-time: explode components, broadcast
+    *    the (band, bit, dim, sign) table, two aggregations — the plane
+    *    table is bands·bits·dim rows regardless of corpus size, and the
+    *    per-vector cost is one row per (component × plane) in the
+    *    map-side-combined first agg;
+    *  - the bucket join moves only (band, bucket, id) rows, exactly like
+    *    [[lshTopK]]'s candidate path.
+    */
+  def lshTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+                    scale: Int = 1000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = (for {
+      b <- 0 until bands; j <- 0 until bitsPerBand; d <- 0 until dim
+    } yield (b, j, d, shaSign(b, j, d).toLong)).toDF("b", "j", "d", "s")
+    val qv = vecs.select(col(idCol).as("vid"),
+      quantize(col(vecCol), scale).as("q"))
+    val comp = qv.select(col("vid"), posexplode(col("q")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    val dots = comp.join(broadcast(planes), "d")
+      .groupBy(col("vid"), col("b"), col("j"))
+      .agg(sum(col("x") * col("s")).as("dot"))
+    val sig = dots.groupBy(col("vid"), col("b"))
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(1L, j)")).otherwise(0L)).as("bucket"))
+    val cands = sig.as("a")
+      .join(sig.as("b"),
+        col("a.b") === col("b.b") && col("a.bucket") === col("b.bucket")
+          && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("vec_id"), col("b.vid").as("nn_id"))
+      .dropDuplicates("vec_id", "nn_id")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("nn_id"))
+    cands
+      .join(qv.select(col("vid").as("vec_id"), col("q").as("qa")), "vec_id")
+      .join(qv.select(col("vid").as("nn_id"), col("q").as("qb")), "nn_id")
+      .withColumn("dot", idot(col("qa"), col("qb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
+  }
+
+  /** Oracle-parity IVF top-k — the hash-matchable twin of [[ivfTopK]]:
+    * same inverted-file shape (assign each vector to its nearest coarse
+    * centroid; queries probe `nprobe` lists; exact re-rank inside probed
+    * lists) with every float source of divergence removed:
+    *
+    *  - centroids are the `nlist` vectors ranked first by a sha-derived
+    *    hash of their id (deterministic sample, no Lloyd refinement —
+    *    IVF-flat with sampled centroids);
+    *  - distances are exact integers on quantized vectors; the argmin
+    *    ranks by ‖c‖² − 2a·c (the ‖a‖² term is constant per row and
+    *    dropped), ties to the lower centroid id;
+    *  - re-rank is integer MIPS dot, top-k by (dot desc, id).
+    *
+    * The centroid table is nlist×dim longs collected once (tiny); the
+    * assignment and probe argmins are codegen'd expressions over centroid
+    * literals, so the per-row cost is O(nlist·dim) with NO shuffle until
+    * the cluster-keyed candidate join — the same 100 TB shape as
+    * [[ivfTopK]]. */
+  def ivfTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    scale: Int = 1000): DataFrame = {
+    val qv = vecs.select(col(idCol).as("vid"),
+      quantize(col(vecCol), scale).as("q"))
+    val centroids: Array[Array[Long]] = qv
+      .withColumn("h", graft.text.Dedup.shaTokenHash60(col("vid").cast("string")))
+      .orderBy(col("h"), col("vid")).limit(nlist)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    def nearestInt(v: Column, nprobe: Int): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cl = typedlit(c.toSeq)
+        val d2 = lit(c.map(x => x * x).sum) - lit(2L) * idot(v, cl)
+        struct(d2.as("dist"), lit(i.toLong).as("cid"))
+      }
+      transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+        s => s.getField("cid"))
+    }
+    val file = qv.select(col("vid").as("nn_id"), col("q").as("qb"),
+        nearestInt(col("q"), 1).getItem(0).as("cluster"))
+      .repartition(col("cluster"))
+    val probes = qv.select(col("vid").as("vec_id"), col("q").as("qa"),
+      explode(nearestInt(col("q"), nprobe)).as("cluster"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("nn_id"))
+    probes.join(file, "cluster")
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("dot", idot(col("qa"), col("qb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
+  }
+
   /** Approximate top-k via sign-random-projection LSH: `bands` bucket keys
     * of `bitsPerBand` hyperplane signs each; vectors sharing any band
     * bucket become candidates, re-ranked exactly. Recall rises with bands

@@ -75,4 +75,15 @@ object TextFunctions {
   def charShingles(text: Column, k: Int): Column =
     transform(sequence(lit(1), length(text) - (k - 1)),
       i => text.substr(i, lit(k)))
+
+  /** Word n-grams of a text column (whitespace tokens, space-joined
+    * n-grams, array with repeats). Guarded against short docs — see the
+    * [[charShingles]] descending-`sequence` footgun. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = split(trim(text), "\\s+")
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

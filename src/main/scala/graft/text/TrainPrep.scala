@@ -78,4 +78,87 @@ object TrainPrep {
       .when(h < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Deterministic stratified (balanced) downsampling: keep each row of
+    * stratum s with probability `targetPerStratum(s)`, decided by a
+    * sha-keyed hash of the row id — reproducible across engines and runs,
+    * exactly like [[hashSplit]]. The per-stratum fractions ride in on a
+    * broadcast join (one row per stratum), so the plan is one scan + one
+    * broadcast hash join + one filter; at 100 TB nothing shuffles.
+    *
+    * The canonical use is mixture balancing: compute per-stratum counts,
+    * derive keep-fractions toward a target composition (e.g. equal-size
+    * strata, or a published data-mixture table), then sample — the
+    * "undersample the over-represented language / domain" step every
+    * large-corpus pipeline runs before training. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: DataFrame, salt: String): DataFrame = {
+    // fractions: (stratum, keep_ppm) — parts-per-million keeps the
+    // threshold integral (float thresholds invite off-by-one-ulp skew)
+    val h = conv(substring(
+      sha2(concat(lit(salt + ":"), col(idCol).cast("string")), 256), 1, 15),
+      16, 10).cast("long") % 1000000L
+    df.join(broadcast(fractions),
+        df(stratumCol) === fractions("stratum"))
+      .filter(h < col("keep_ppm"))
+      .drop("stratum")
+  }
+
+  /** Benchmark-contamination check: for each corpus document, the number
+    * of DISTINCT word n-grams it shares with the benchmark set, keeping
+    * docs with >= `minShared` (the decontamination step every pretraining
+    * pipeline runs against eval sets). Scale shape: the benchmark n-gram
+    * set is small by definition (eval sets are thousands of docs), so it
+    * is deduplicated and BROADCAST — the corpus side is one scan +
+    * broadcast semi-join + per-doc count, no shuffle of corpus text. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 3, minShared: Long = 1L): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n)).as("g"))
+      .distinct()
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus-wide top-k n-grams by document frequency (distinct docs
+    * containing the gram), deterministic tie-break by gram — the corpus
+    * profiling / boilerplate-detection primitive. Two-phase: per-doc
+    * distinct grams (map-side combined), global count, top-k window. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    val freq = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    // distributed top-k FIRST (TakeOrdered — per-partition heaps, no
+    // global single-task window over every distinct gram); the rank
+    // window then runs over k rows only
+    val top = freq.orderBy(col("n_docs").desc, col("g")).limit(k)
+    val w = Window.orderBy(col("n_docs").desc, col("g"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Per-stratum mixture statistics and balancing weights: for each
+    * stratum, its row and token share plus the keep-fraction (ppm) that
+    * would downsample every stratum to the smallest one's row count —
+    * the input table for [[stratifiedSample]]. One aggregation plus a
+    * scalar broadcast; exact integer/decimal arithmetic. */
+  def mixtureStats(df: DataFrame, stratumCol: String,
+                   nTokensCol: Column): DataFrame = {
+    val agg = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokensCol).as("n_tokens"))
+    val mn = agg.agg(min(col("n_docs")).as("min_docs"))
+    agg.join(broadcast(mn))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        // integer division (`div`): Column./ on longs is DOUBLE division,
+        // whose floor can disagree with exact integer floor at the ulp
+        expr("min_docs * 1000000L div n_docs").as("keep_ppm"))
+  }
 }

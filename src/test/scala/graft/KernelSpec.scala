@@ -171,4 +171,103 @@ class KernelSpec extends SparkSpec {
         math.max(r.getLong(0), r.getLong(1)))).toSet
     assert(got === orig)
   }
+
+  test("personalized pagerank: teleport to seeds, allclose 1e-9; dangling to seeds") {
+    import spark.implicits._
+    // sample15 symmetric (no dangling) AND a directed graph with dangling
+    val cases = Seq(
+      (Oracles.sample15 ++ Oracles.sample15.map(_.swap), Set(1L, 5L)),
+      (Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 1L)), Set(1L)))
+    cases.foreach { case (es, seeds) =>
+      val expect = Oracles.personalizedPageRank(es, seeds, 12)
+      val got = PageRank.run(spark, es.toDF("src", "dst"),
+          fixedIter = Some(12), personalized = Some(seeds.toSeq.toDF("vid")))
+        .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === expect.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - expect(v)) < 1e-9, s"vid=$v $r vs ${expect(v)}")
+      }
+      // mass conservation: ranks sum to 1 (teleport+dangling recycled)
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("multi-source BFS distances match single-threaded BFS on every golden graph") {
+    import spark.implicits._
+    golden.foreach { case (name, es) =>
+      val sym = es ++ es.map(_.swap)
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .withDefaultValue(Seq.empty)
+      val verts = sym.map(_._1).distinct
+      val seedIds = verts.sorted.take(2)
+      val maxHop = 3
+      // oracle: synchronized multi-source BFS
+      val dist = scala.collection.mutable.HashMap(
+        seedIds.map(_ -> 0L): _*)
+      var frontier = seedIds
+      for (h <- 1 to maxHop) {
+        frontier = frontier.flatMap(adj(_)).distinct
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = h.toLong)
+      }
+      val got = Bfs.distances(Edges.symmetrize(edgeDF(es)),
+          seedIds.toDF("vid"), maxHop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === dist.toMap, s"graph=$name seeds=$seedIds")
+    }
+  }
+
+  test("bounded weighted SSSP matches min-over-paths oracle") {
+    import spark.implicits._
+    // weighted diamond + a shortcut that only pays off over 2 hops
+    val ew = Seq((1L, 2L, 1L), (2L, 4L, 1L), (1L, 3L, 5L), (3L, 4L, 1L),
+      (4L, 5L, 2L), (1L, 5L, 10L))
+    val sym = (ew ++ ew.map(e => (e._2, e._1, e._3)))
+    val rounds = 3
+    // oracle: min total weight over paths of <= rounds edges
+    def best(seeds: Set[Long]): Map[Long, Long] = {
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = sym.flatMap { case (u, v, w) =>
+          dist.get(u).map(du => v -> (du + w))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      dist
+    }
+    val got = Bfs.weightedDistances(
+        sym.toDF("src", "dst", "weight"), Seq(1L).toDF("vid"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === best(Set(1L)))
+    // the 2-hop route (1-2-4 cost 2) must beat both direct routes
+    assert(got(4L) === 2L && got(5L) === 4L)
+  }
+
+  test("eigenvector centrality: power-iteration walk counts, L1-normalized") {
+    golden.foreach { case (name, es) =>
+      val sym = es ++ es.map(_.swap)
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val verts = sym.map(_._1).distinct.sorted
+      var x = verts.map(_ -> 1.0).toMap
+      for (_ <- 1 to 6)
+        x = verts.map(v => v -> adj(v).map(x).sum).toMap
+      val tot = x.values.sum
+      val expect = x.map { case (v, s) => v -> s / tot }
+      val got = EigenCentrality.run(spark,
+          Edges.symmetrize(edgeDF(es)), 6)
+        .scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === expect.keySet, s"graph=$name")
+      got.foreach { case (v, s) =>
+        assert(math.abs(s - expect(v)) < 1e-12, s"graph=$name vid=$v")
+      }
+    }
+  }
+
+  test("BFS with no reachable frontier terminates at the seed set") {
+    import spark.implicits._
+    val got = Bfs.distances(Edges.symmetrize(edgeDF(Seq((1L, 2L)))),
+      Seq(7L).toDF("vid"), 4).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq === Seq(7L -> 0L))
+  }
 }

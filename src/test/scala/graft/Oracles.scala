@@ -88,6 +88,31 @@ object Oracles {
     r
   }
 
+  /** Personalized PageRank: teleport (and dangling) mass distributed
+    * uniformly over `seeds` instead of all vertices; rank0 = 1/|S| on
+    * seeds, 0 elsewhere. */
+  def personalizedPageRank(directed: Seq[(Long, Long)], seeds: Set[Long],
+                           iters: Int, teleport: Double = 0.15,
+                           damping: Double = 0.85): Map[Long, Double] = {
+    val verts = directed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = directed.groupBy(_._1).view
+      .mapValues(es => (es.map(_._2), es.size)).toMap
+    def tele(v: Long): Double = if (seeds(v)) 1.0 / seeds.size else 0.0
+    var r = verts.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to iters) {
+      val dangling = verts.filterNot(out.contains).map(r).sum
+      val contrib = scala.collection.mutable
+        .Map.empty[Long, Double].withDefaultValue(0.0)
+      out.foreach { case (u, (nbrs, d)) =>
+        nbrs.foreach(v => contrib(v) += r(u) / d)
+      }
+      r = verts.map(v => v ->
+        ((teleport + damping * dangling) * tele(v)
+          + damping * contrib(v))).toMap
+    }
+    r
+  }
+
   /** Synchronous LP, `iters` steps: adopt the mode of neighbor labels, ties
     * to the smallest label; start = own id. Symmetric neighbor relation. */
   def labelPropagation(edges: Seq[(Long, Long)], iters: Int)

@@ -301,4 +301,132 @@ class TextSimSpec extends SparkSpec {
     assert(got(2L) === ((4L, 16L, 0.4)))
     assert(got(3L) === ((8L, 8L, 1.0)))
   }
+
+  // ---- oracle-parity ANN twins (q57/q58): the test re-implements the
+  // whole pipeline single-threaded from the same public definitions —
+  // the in-JVM analog of the DuckDB replay ----
+
+  private def parityFixture(): (org.apache.spark.sql.DataFrame,
+      Map[Long, Array[Long]]) = {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    (emb, q)
+  }
+
+  private def idotL(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("parity LSH ANN (q57) equals a single-threaded replay") {
+    val (emb, q) = parityFixture()
+    val bands = 8; val bits = 8; val dim = 64; val k = 5
+    // signatures from the same sha-derived ±1 planes
+    val sig = q.map { case (vid, v) =>
+      (vid, (0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val dot = (0 until dim).map(d => v(d) * Ann.shaSign(b, j, d)).sum
+          if (dot > 0) 1L << j else 0L
+        }.sum
+      }.toArray)
+    }
+    val cands = (for {
+      (v1, s1) <- sig.toSeq; (v2, s2) <- sig.toSeq
+      if v1 != v2 && (0 until bands).exists(b => s1(b) == s2(b))
+    } yield (v1, v2)).toSet
+    val expected = cands.groupBy(_._1).flatMap { case (vid, ps) =>
+      ps.toSeq.map { case (_, nn) => (nn, idotL(q(vid), q(nn))) }
+        .sortBy { case (nn, d) => (-d, nn) }.take(k).zipWithIndex
+        .map { case ((nn, d), i) => (vid, nn, (i + 1).toLong, d) }
+    }.toSet
+    val got = Ann.lshTopKParity(emb, "vec_id", "embedding",
+        k = k, dim = dim, bands = bands, bitsPerBand = bits)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no candidate pairs")
+  }
+
+  test("parity IVF ANN (q58) equals a single-threaded replay") {
+    val (emb, q) = parityFixture()
+    val nlist = 16; val nprobe = 4; val k = 5
+    def sha60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val cent = q.keys.toSeq.sortBy(v => (sha60(v.toString), v)).take(nlist)
+      .map(q).toArray
+    def ranked(v: Array[Long]): Seq[Int] =
+      cent.indices.sortBy(c =>
+        (cent(c).map(x => x * x).sum - 2 * idotL(v, cent(c)), c))
+    val home = q.map { case (vid, v) => vid -> ranked(v).head }
+    val expected = q.keys.flatMap { vid =>
+      val probed = ranked(q(vid)).take(nprobe).toSet
+      q.keys.filter(nn => nn != vid && probed(home(nn)))
+        .map(nn => (nn, idotL(q(vid), q(nn)))).toSeq
+        .sortBy { case (nn, d) => (-d, nn) }.take(k).zipWithIndex
+        .map { case ((nn, d), i) => (vid, nn, (i + 1).toLong, d) }
+    }.toSet
+    val got = Ann.ivfTopKParity(emb, "vec_id", "embedding",
+        k = k, nlist = nlist, nprobe = nprobe)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no probed candidates")
+  }
+
+  test("word n-grams, contamination check, and corpus top-k n-grams") {
+    import graft.text.TrainPrep
+    // wordNgrams basics
+    val ng = docs(1L -> "a b c d", 2L -> "a b")
+      .select(col("doc_id"), TF.wordNgrams(col("text"), 3).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(ng(1L) === Seq("a b c", "b c d"))
+    assert(ng(2L) === Seq.empty, "short doc yields no n-grams, not a crash")
+    // contamination: doc 10 shares the trigram "x y z" with bench doc 1;
+    // doc 11 shares two distinct trigrams; doc 12 is clean
+    val bench = docs(1L -> "x y z w v u")
+    val corpus = docs(10L -> "p q x y z r", 11L -> "x y z w maybe",
+      12L -> "nothing shared at all here")
+    val cont = TrainPrep.contamination(corpus, "doc_id", "text",
+        bench, "text", n = 3, minShared = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cont === Map(10L -> 1L, 11L -> 2L))
+    // top-k bigrams by document frequency with deterministic tie-break
+    val d3 = docs(1L -> "a b c", 2L -> "a b x", 3L -> "a b c")
+    val top = TrainPrep.topNgrams(d3, "doc_id", "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq(("a b", 3L, 1L), ("b c", 2L, 2L)))
+  }
+
+  test("stratified sample: sha-decided keeps match the replay; mixture stats exact") {
+    import graft.text.TrainPrep
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 6 == 0) "de" else if (i % 3 == 0) "fr" else "en",
+        "w " * (i % 7 + 1).toInt))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val stats = TrainPrep.mixtureStats(df, "lang", TF.tokenCount(col("text")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // strata: en 200, fr 50, de 50 -> min 50
+    assert(stats("en")._1 === 200L && stats("fr")._1 === 50L
+      && stats("de")._1 === 50L)
+    assert(stats("en")._3 === 250000L, "keep_ppm = 50/200 of a million")
+    assert(stats("fr")._3 === 1000000L && stats("de")._3 === 1000000L)
+    def sha60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val expected = rows.filter { case (id, lang, _) =>
+      sha60(s"mix:$id") % 1000000L < stats(lang)._3
+    }.map(_._1).toSet
+    import org.apache.spark.sql.functions.{col => c}
+    val fr = TrainPrep.mixtureStats(df, "lang", TF.tokenCount(c("text")))
+      .select(c("stratum"), c("keep_ppm"))
+    val got = TrainPrep.stratifiedSample(df, "doc_id", "lang", fr, "mix")
+      .select(c("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < rows.size)
+  }
 }
