@@ -60,27 +60,35 @@ object BdgLayout {
     * what the q56 recursive-CTE oracle replays). Returns all colored
     * (vid, color) with lineage truncated, plus the hop count run.
     *
-    * One Spark job per hop: the adopt step is materialized by the SAME
-    * count that drives convergence (lazy localCheckpoint + count), and
-    * the accumulated color set stays a lazy union of checkpointed hop
-    * pieces instead of being re-materialized every hop (round-2 q38
-    * spent most of its wall on that per-hop driver chatter). */
+    * One Spark job per `checkEvery` hops: every hop's adopt step is a
+    * lazily-checkpointed piece, and a count (which doubles as the
+    * convergence probe) materializes the chain only every `checkEvery`
+    * hops — intermediate pieces are computed and cached transitively
+    * inside that job, so a 10-hop flood costs 5 driver roundtrips, not
+    * 10-20 (round-2 q38 spent most of its wall on per-hop chatter; the
+    * convergence check can lag a hop — an empty hop just yields one more
+    * empty piece, never a wrong color). */
   def floodColors(sym: DataFrame, seedColors: DataFrame,
-                  maxHop: Int): (DataFrame, Int) = {
+                  maxHop: Int, checkEvery: Int = 2): (DataFrame, Int) = {
     var pieces = List(seedColors.select(col("vid"), col("color"))
       .localCheckpoint(eager = true))
     def colors: DataFrame = pieces.reduce(_ union _)
     var hop = 0
     var grew = true
+    var pending = 0
     while (grew && hop < maxHop) {
       hop += 1
       val adopt = sym.join(colors.hint("SHUFFLE_HASH"),
           sym("src") === colors("vid"))
         .groupBy(sym("dst").as("vid")).agg(min(col("color")).as("color"))
         .join(colors, Seq("vid"), "left_anti")
-        .localCheckpoint(eager = false) // materialized by the count below
-      if (adopt.count() == 0L) grew = false
-      else pieces = adopt :: pieces
+        .localCheckpoint(eager = false) // cached when the probe job runs
+      pieces = adopt :: pieces
+      pending += 1
+      if (pending >= checkEvery || hop == maxHop) {
+        pending = 0
+        if (adopt.count() == 0L) { grew = false; pieces = pieces.tail }
+      }
     }
     (colors, hop)
   }
