@@ -6,7 +6,7 @@ import graft.kernels.{ConnectedComponents, LabelPropagation, PageRank, TriangleC
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Emits ONE JSON line with:
+/** Benchmark main. Emits the driver-contract JSON with:
   *
   *  - the north-rule headline: PageRank edges/sec per superstep on the
   *    deterministic source-code co-occurrence graph (BASELINE.json metric),
@@ -17,10 +17,31 @@ import org.apache.spark.sql.functions._
   *  - kernel timings (CC / LP / TC) on the bench graph,
   *  - per-query wall times over `SPARK_GRAFT_SF_DIR` (driver contract).
   *
+  * Artifact robustness (round-3 VERDICT item 1 — BENCH_r03 was rc=124
+  * with nothing recorded because all output was one end-of-run println):
+  *
+  *  - a GLOBAL WALL-CLOCK BUDGET (`SPARK_GRAFT_BUDGET_SEC`, default 2100)
+  *    degrades the protocol gracefully instead of overrunning the driver's
+  *    timeout: extra scaling-leg rounds go first, then extra TC rounds,
+  *    then the saturated 32-core leg and the in-session CC/LP/convergence
+  *    extras — never the headline N→4N pair, the first TC leg, the PR
+  *    pre-loop split, or the query suite (per-query timings stop early
+  *    only if the budget is already blown, with the skip count recorded);
+  *  - every section's result is appended to `target/bench_full.json` AS
+  *    IT COMPLETES and progress goes to stderr, so even a hard kill
+  *    leaves evidence;
+  *  - at the end (and from a shutdown hook, if the JVM is terminated
+  *    first) TWO stdout lines are emitted: the full JSON (complete
+  *    per-query map — can exceed a log-tail window) followed by a COMPACT
+  *    summary line (< ~1500 chars) carrying the headline metric, kernel
+  *    walls, scaling pairs and totals — sized so a tail-bounded parser
+  *    still finds one complete JSON line (round 2's full line was parseable
+  *    only in full stdout, not in a 2000-char tail).
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (4N cores, default 32),
   * SPARK_GRAFT_BENCH_ROWS (corpus rows, default 3200000),
   * SPARK_GRAFT_SUPERSTEPS (default 10), SPARK_GRAFT_SCALING=0 to skip the
-  * N-core run.
+  * N-core run, SPARK_GRAFT_BUDGET_SEC, SPARK_GRAFT_QUERIES_RESERVE.
   */
 object Bench {
 
@@ -166,6 +187,134 @@ object Bench {
     (field("tc_sec").toDouble, field("triangles").toLong)
   }
 
+  final case class Leg(edges: Long, secs: Seq[Double]) {
+    def median: Double = Bench.median(secs)
+    def best: Double = secs.min
+    def tpMedian: Double = edges.toDouble / median
+    def tpBest: Double = edges.toDouble / best
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0 // true even-count median
+  }
+
+  /** Mutable result store: every section writes here the moment it
+    * completes, and [[emit]] (called at the end of main AND from a
+    * shutdown hook, if the JVM is terminated first) assembles whatever
+    * exists into the output JSON — a kill at any point still yields a
+    * parseable artifact with every completed section (BENCH_r03 lost
+    * 100% of a timeout-long run to a single end-of-run println). */
+  private object S {
+    @volatile var sfDir = ""
+    @volatile var budget = 0
+    @volatile var base = 2
+    @volatile var coresN = 8
+    @volatile var cores4N = 32
+    @volatile var legSteps = 6
+    @volatile var legs: Map[Int, Leg] = Map.empty
+    @volatile var legsSkipped = 0
+    @volatile var tcRuns: Seq[(Double, Long)] = Nil
+    @volatile var tcRoundsRun = 0
+    @volatile var m = -1L
+    @volatile var prSec = -1.0
+    @volatile var prWall = -1.0
+    @volatile var prPreloopSec = -1.0
+    @volatile var prStepsSec = -1.0
+    @volatile var ccSec = -1.0
+    @volatile var ccIters = -1
+    @volatile var lpSec = -1.0
+    @volatile var convM = -1L
+    @volatile var convIters = -1
+    @volatile var convConverged = false
+    @volatile var convSec = -1.0
+    @volatile var convTp = -1L
+    @volatile var queries: Seq[(String, Double)] = Nil
+    @volatile var queriesSkipped = 0
+    @volatile var elapsedF: () => Double = () => -1.0
+    @volatile var emitted = false
+
+    def tcSec: Double = if (tcRuns.isEmpty) -1.0 else median(tcRuns.map(_._1))
+    def tcTotal: Long = tcRuns.headOption.map(_._2).getOrElse(-1L)
+    def value: Long =
+      legs.get(cores4N).map(_.tpMedian.toLong).getOrElse(
+        if (m > 0 && prSec > 0) (m.toDouble / prSec).toLong else -1L)
+
+    private def secsJson(l: Leg): String =
+      l.secs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    private def pairJson(cn: Int, c4: Int, tag: String,
+                         compact: Boolean): Option[String] =
+      for { lN <- legs.get(cn); l4 <- legs.get(c4) } yield {
+        val eff = l4.tpMedian / (4.0 * lN.tpMedian)
+        val effBest = l4.tpBest / (4.0 * lN.tpBest)
+        val runs = if (compact) ""
+          else f""""superstep_sec_n_runs":${secsJson(lN)},"superstep_sec_4n_runs":${secsJson(l4)},"""
+        f""""$tag":{"cores_n":$cn,"cores_4n":$c4,"directed_edges":${lN.edges},"supersteps":$legSteps,"rounds_n":${lN.secs.size},"rounds_4n":${l4.secs.size},"superstep_sec_n":${lN.median}%.2f,"superstep_sec_4n":${l4.median}%.2f,$runs"edges_per_sec_n":${lN.tpMedian.toLong},"edges_per_sec_4n":${l4.tpMedian.toLong},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f}"""
+      }
+    private def scalingJson(compact: Boolean): String =
+      (pairJson(base, coresN, "scaling", compact).toSeq ++
+        pairJson(coresN, cores4N, "scaling_saturated", compact).toSeq) match {
+        case Nil => ""
+        case ps  => "," + ps.mkString(",")
+      }
+    private def graphJson: String = {
+      val tcRunsJson = tcRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+      f""""graph":{"directed_edges":$m,"pagerank_superstep_sec":$prSec%.2f,"pagerank_wall_sec":$prWall%.2f,"pagerank_preloop_sec":$prPreloopSec%.2f,"pagerank_supersteps_wall_sec":$prStepsSec%.2f,"cc_sec":$ccSec%.2f,"cc_iters":$ccIters,"lp_sec":$lpSec%.2f,"tc_sec":$tcSec%.2f,"tc_sec_runs":$tcRunsJson,"tc_rounds":$tcRoundsRun,"triangles":$tcTotal}"""
+    }
+    private def convJson: String =
+      f""""pagerank_convergence":{"directed_edges":$convM,"iters":$convIters,"converged":$convConverged,"sec":$convSec%.2f,"edges_per_sec":$convTp}"""
+    private def head: String =
+      f"""{"metric":"pagerank_edges_per_sec_per_superstep","value":$value,"unit":"edges/sec","sf":"$sfDir","budget_sec":$budget,"elapsed_sec":${elapsedF()}%.0f,"legs_skipped":$legsSkipped,"queries_skipped":$queriesSkipped"""
+
+    def fullJson: String = {
+      val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val totalSec = queries.map(_._2).sum
+      head +
+        f""","queries":$qJson,"queries_total_sec":$totalSec%.1f,""" +
+        graphJson + "," + convJson + scalingJson(compact = false) + "}"
+    }
+
+    /** < ~1500 chars by construction: no per-query map, no raw run
+      * arrays — the line a tail-bounded log parser can always recover
+      * whole (the full line above it carries everything; round 2's full
+      * line was parseable only in full stdout, not in a 2000-char tail). */
+    def compactJson: String = {
+      val totalSec = queries.map(_._2).sum
+      head +
+        f""","n_queries":${queries.size},"queries_total_sec":$totalSec%.1f,""" +
+        graphJson + "," + convJson + scalingJson(compact = true) +
+        ""","note":"compact tail line; full per-query map on the preceding stdout line and in target/bench_full.json"}"""
+    }
+  }
+
+  /** Incremental evidence: rewrite target/bench_full.json after every
+    * completed section (stderr gets a one-line progress note), so even a
+    * hard kill leaves the completed sections on disk. */
+  private def checkpointSection(name: String): Unit = {
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, S.fullJson + "\n")
+    } catch { case _: Throwable => () }
+    System.err.println(f"[bench] section=$name elapsed=${S.elapsedF()}%.0fs")
+  }
+
+  private def emit(): Unit = S.synchronized {
+    if (!S.emitted) {
+      S.emitted = true
+      try {
+        val p = java.nio.file.Paths.get("target/bench_full.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, S.fullJson + "\n")
+      } catch { case _: Throwable => () }
+      println(S.fullJson)
+      println(S.compactJson)
+      Console.out.flush()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -184,41 +333,39 @@ object Bench {
       return
     }
 
-    // --- scaling legs, one fresh child JVM each ---
-    // Two 4x pairs: (base -> 4*base) in the pre-saturation regime and
-    // (4*base -> 16*base) approaching single-box memory-bandwidth
-    // saturation -- the same two regimes the reference reports (EuroSys
-    // §8.3: strong-scaling efficiency 0.96 at 2->8 cores, 0.56 at 2->24,
-    // "resources have become sufficient"). On a real N-vs-4N EXECUTOR
-    // cluster, per-core memory bandwidth is constant and the pre-saturation
-    // pair is the representative one.
-    // The graph is derived ONCE and written to tmpfs parquet; legs only
-    // read it (supersteps measured, not derivation). Each leg runs in 2
-    // interleaved fresh JVMs (N,4N,N,4N) and keeps its best run, so a slow
-    // background phase of the VM cannot land entirely on one leg.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2100").toInt
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    def remaining: Double = budget - elapsed
+
     val base = math.max(1, cores4N / 16)
     val legCores = Seq(base, coresN, cores4N).distinct.filter(_ <= cores4N)
-    // >= 3 interleaved fresh-JVM rounds per leg (N,4N,N,4N,...) so a slow
-    // background phase of the VM cannot land entirely on one leg; ALL raw
-    // runs are recorded in the JSON, the headline efficiency is computed
-    // from per-leg MEDIANS (robust + transparent), and a best-run
-    // efficiency is reported alongside as the capacity estimate
     val legRounds = sys.env.getOrElse("SPARK_GRAFT_LEG_ROUNDS", "3").toInt
     val legSteps = sys.env.getOrElse("SPARK_GRAFT_LEG_SUPERSTEPS", "6").toInt
-    final case class Leg(edges: Long, secs: Seq[Double]) {
-      def median: Double = {
-        val s = secs.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0 // true even-count median
-      }
-      def best: Double = secs.min
-      def tpMedian: Double = edges.toDouble / median
-      def tpBest: Double = edges.toDouble / best
-    }
     val tcRounds = sys.env.getOrElse("SPARK_GRAFT_TC_ROUNDS", "3").toInt
     val doTc = tcRounds > 0
-    // the bench graph is derived ONCE to tmpfs parquet; scaling legs and
-    // TC legs both read it from fresh child JVMs
+
+    S.sfDir = sfDir; S.budget = budget; S.base = base; S.coresN = coresN
+    S.cores4N = cores4N; S.legSteps = legSteps; S.elapsedF = () => elapsed
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
+
+    // degradation reserves (sec), refined by measurement as sections run:
+    // the budget trims extra leg rounds first, then extra TC rounds, then
+    // the in-session CC/LP/convergence extras — never the headline pair,
+    // the first TC leg, the PR kernel + pre-loop split, or the query suite
+    val queriesReserve =
+      if (!doQueries) 0.0
+      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "650").toDouble
+    val kernelsReserve = 280.0
+    var tcEst = 150.0 // per fresh-JVM TC leg incl. spawn + parquet load
+    // initial per-leg cost guesses (superstep time scales ~1/cores + a
+    // constant JVM/load overhead); replaced by measurement after round 1
+    val legCost = scala.collection.mutable.Map[Int, Double](
+      legCores.map(c => c -> (40.0 + legSteps * 64.0 / c)): _*)
+
+    // --- bench graph derived ONCE to tmpfs parquet; scaling legs and TC
+    // legs read it from fresh child JVMs (supersteps measured, not
+    // derivation) ---
     val edgesPath = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       "/dev/shm/graft-spark-local") + s"/bench_edges_$rows"
     if (doScaling || doTc) {
@@ -226,95 +373,131 @@ object Bench {
       Edges.symmetrize(benchEdges(prep, rows))
         .write.mode("overwrite").parquet(edgesPath)
       prep.stop()
+      checkpointSection("derive")
     }
-    val legs: Map[Int, Leg] = if (doScaling) {
-      val runs = (1 to legRounds).flatMap(_ =>
-        legCores.map(c => c -> spawnLeg(c, edgesPath, legSteps)))
-      runs.groupBy(_._1).map { case (c, rs) =>
-        c -> Leg(rs.head._2._1, rs.map(_._2._2))
+
+    // --- scaling legs, one fresh child JVM each, interleaved rounds ---
+    // Two 4x pairs: (base -> 4*base) pre-saturation — the representative
+    // N->4N-executor regime (per-core memory bandwidth constant on a real
+    // cluster) — and (4*base -> 16*base) approaching single-box
+    // memory-bandwidth saturation (the same two regimes the reference
+    // reports, EuroSys §8.3: 0.96 at 2->8 cores, 0.56 at 2->24, "the
+    // resources have become sufficient"). Rounds interleave
+    // (N,4N,N,4N,...) so a slow host phase cannot land entirely on one
+    // leg; ALL raw runs are recorded in the JSON, the headline efficiency
+    // uses per-leg MEDIANS, best-run efficiency alongside as the capacity
+    // estimate. Round 1 of the headline pair is unconditional; every
+    // further leg run must fit the budget net of the TC/kernels/queries
+    // reserves.
+    if (doScaling) {
+      val acc = scala.collection.mutable.Map[Int, (Long, Vector[Double])]()
+      for (round <- 1 to legRounds; c <- legCores) {
+        val mandatory = round == 1 && (c == base || c == coresN)
+        val reserveAfter = (if (doTc) tcEst else 0.0) +
+          kernelsReserve + queriesReserve
+        if (mandatory || remaining - reserveAfter > legCost(c) * 1.2) {
+          val t = System.nanoTime()
+          val (ed, sec, _) = spawnLeg(c, edgesPath, legSteps)
+          legCost(c) = (System.nanoTime() - t) / 1e9
+          val (e0, ss) = acc.getOrElse(c, (ed, Vector.empty[Double]))
+          acc(c) = (e0, ss :+ sec)
+          S.legs = acc.toMap.map { case (k, v) => k -> Leg(v._1, v._2) }
+          checkpointSection(s"leg-$c-round$round")
+        } else {
+          S.legsSkipped += 1
+          System.err.println(f"[bench] SKIP leg cores=$c round=$round " +
+            f"(remaining=$remaining%.0fs, reserve=$reserveAfter%.0fs)")
+        }
       }
-    } else Map.empty
+    }
+
     // --- TC: interleaved fresh-JVM rounds at 4N cores, median recorded
-    // (VERDICT r2 #1 — the same protocol as the scaling legs) ---
-    val tcRuns: Seq[(Double, Long)] =
-      (1 to tcRounds).map(_ => spawnTcLeg(cores4N, edgesPath))
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    // (VERDICT r2 #1 — the same protocol as the scaling legs). The first
+    // leg is unconditional; later legs must fit the budget. ---
+    if (doTc) {
+      var runs = Vector.empty[(Double, Long)]
+      for (i <- 1 to tcRounds) {
+        if (i == 1 ||
+            remaining - (kernelsReserve + queriesReserve) > tcEst * 1.2) {
+          val t = System.nanoTime()
+          runs = runs :+ spawnTcLeg(cores4N, edgesPath)
+          tcEst = (System.nanoTime() - t) / 1e9
+          S.tcRuns = runs; S.tcRoundsRun = i
+          checkpointSection(s"tc-round$i")
+        } else System.err.println(
+          f"[bench] SKIP tc round=$i (remaining=$remaining%.0fs)")
+      }
     }
 
     // --- 4N-core session: kernels, convergence, per-query timings ---
     val spark = session(cores4N)
     val sym = (if (doScaling || doTc) spark.read.parquet(edgesPath)
                else Edges.symmetrize(benchEdges(spark, rows))).persist()
-    val m = sym.count()
+    S.m = sym.count()
     val (prRes, prWall) = time {
       val r = PageRank.run(spark, sym, fixedIter = Some(supersteps),
         salts = salts, symmetric = true)
       r.ranks.count(); r
     }
-    val prSec = steadySec(prRes.metrics)
+    S.prWall = prWall
+    S.prSec = steadySec(prRes.metrics)
     // pre-loop wall (links/verts build + persists + hub collect) split
     // from superstep wall so a regression in either is attributable
     // (VERDICT r2 #6); the remainder also carries the final ranks count
-    val prStepsSec = prRes.metrics.map(_.wallMs).sum / 1000.0
-    val prPreloopSec = math.max(0.0, prWall - prStepsSec)
-    val tp4N = legs.get(cores4N).map(_.tpMedian).getOrElse(m.toDouble / prSec)
+    S.prStepsSec = prRes.metrics.map(_.wallMs).sum / 1000.0
+    S.prPreloopSec = math.max(0.0, prWall - S.prStepsSec)
+    checkpointSection("pagerank")
 
-    val (ccRes, ccSec) = time(ConnectedComponents.run(spark, sym))
-    val (_, lpSec) = time(LabelPropagation.run(spark, sym, 5).labels.count())
-    // TC: recorded number = median of the fresh-JVM legs above; an
-    // in-session run here would sit behind the PR/CC/LP caches and a
-    // long-lived heap, which is exactly what round 2 mismeasured
-    val tcSec = if (tcRuns.isEmpty) -1.0 else median(tcRuns.map(_._1))
-    val tcTotal = tcRuns.headOption.map(_._2).getOrElse(-1L)
+    // TC recorded = median of the fresh-JVM legs above; an in-session run
+    // here would sit behind the PR/CC/LP caches and a long-lived heap,
+    // which is exactly what round 2 mismeasured
+    if (remaining - queriesReserve > 100) {
+      val (ccRes, ccSec) = time(ConnectedComponents.run(spark, sym))
+      S.ccSec = ccSec; S.ccIters = ccRes.iterations
+      checkpointSection("cc")
+    } else System.err.println("[bench] SKIP cc (budget)")
+    if (remaining - queriesReserve > 60) {
+      val (_, lpSec) = time(LabelPropagation.run(spark, sym, 5).labels.count())
+      S.lpSec = lpSec
+      checkpointSection("lp")
+    } else System.err.println("[bench] SKIP lp (budget)")
 
     // convergence evidence at 1e-6 on the Small corpus graph
-    val smallSym = Edges.symmetrize(
-      EdgeDeriver.pathEdges(CorpusGen.corpus(spark, CorpusGen.Small),
-        minWeight = 1L, capPerGroup = 200).select(col("src"), col("dst")))
-      .persist()
-    val smallM = smallSym.count()
-    val (convRes, convSec) = time(
-      PageRank.run(spark, smallSym, tol = 1e-6, maxIter = 200,
-        symmetric = true))
-    val convTp = smallM.toDouble * convRes.iterations / convSec
-    smallSym.unpersist()
+    if (remaining - queriesReserve > 60) {
+      val smallSym = Edges.symmetrize(
+        EdgeDeriver.pathEdges(CorpusGen.corpus(spark, CorpusGen.Small),
+          minWeight = 1L, capPerGroup = 200).select(col("src"), col("dst")))
+        .persist()
+      S.convM = smallSym.count()
+      val (convRes, convSec) = time(
+        PageRank.run(spark, smallSym, tol = 1e-6, maxIter = 200,
+          symmetric = true))
+      S.convIters = convRes.iterations
+      S.convConverged = convRes.converged
+      S.convSec = convSec
+      S.convTp = (S.convM.toDouble * convRes.iterations / convSec).toLong
+      smallSym.unpersist()
+      checkpointSection("convergence")
+    } else System.err.println("[bench] SKIP convergence (budget)")
     sym.unpersist()
 
-    // per-query timings on the driver's sf dir
-    val queries =
-      if (!doQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (_, sec) = time {
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        }
-        name -> sec
+    // per-query timings on the driver's sf dir — runs to completion
+    // unless the budget is ALREADY blown (then the remaining names are
+    // skipped and counted; completed timings stay recorded per query)
+    if (doQueries) {
+      var qs = Vector.empty[(String, Double)]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (remaining > 10) {
+          val (_, sec) = time {
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          }
+          qs = qs :+ (name -> sec)
+          S.queries = qs
+        } else S.queriesSkipped += 1
       }
-    val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val totalSec = queries.map(_._2).sum
-
-    def secsJson(l: Leg): String =
-      l.secs.map(s => f"$s%.2f").mkString("[", ",", "]")
-    def pairJson(cn: Int, c4: Int, tag: String): Option[String] =
-      for { lN <- legs.get(cn); l4 <- legs.get(c4) } yield {
-        val eff = l4.tpMedian / (4.0 * lN.tpMedian)
-        val effBest = l4.tpBest / (4.0 * lN.tpBest)
-        f""""$tag":{"cores_n":$cn,"cores_4n":$c4,"directed_edges":${lN.edges},"supersteps":$legSteps,"rounds":$legRounds,"superstep_sec_n":${lN.median}%.2f,"superstep_sec_4n":${l4.median}%.2f,"superstep_sec_n_runs":${secsJson(lN)},"superstep_sec_4n_runs":${secsJson(l4)},"edges_per_sec_n":${lN.tpMedian.toLong},"edges_per_sec_4n":${l4.tpMedian.toLong},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f}"""
-      }
-    val scalingJson = (pairJson(base, coresN, "scaling").toSeq ++
-      pairJson(coresN, cores4N, "scaling_saturated").toSeq) match {
-      case Nil => ""
-      case ps  => "," + ps.mkString(",")
+      checkpointSection("queries")
     }
-    val tcRunsJson = tcRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"pagerank_edges_per_sec_per_superstep","value":${tp4N.toLong},"unit":"edges/sec","sf":"$sfDir","queries":$qJson,"queries_total_sec":$totalSec%.1f""" +
-      f""","graph":{"directed_edges":$m,"pagerank_superstep_sec":$prSec%.2f,"pagerank_wall_sec":$prWall%.2f,"pagerank_preloop_sec":$prPreloopSec%.2f,"pagerank_supersteps_wall_sec":$prStepsSec%.2f,"cc_sec":$ccSec%.2f,"cc_iters":${ccRes.iterations},"lp_sec":$lpSec%.2f,"tc_sec":$tcSec%.2f,"tc_sec_runs":$tcRunsJson,"tc_rounds":$tcRounds,"triangles":$tcTotal}""" +
-      f""","pagerank_convergence":{"directed_edges":$smallM,"iters":${convRes.iterations},"converged":${convRes.converged},"sec":$convSec%.2f,"edges_per_sec":${convTp.toLong}}""" +
-      scalingJson + "}")
+    emit()
     spark.stop()
   }
 }

@@ -656,7 +656,32 @@ object SparkEntry {
     // boilerplate detection; distributed TakeOrdered, no global window)
     "q66_top_ngrams" -> ((s, d) =>
       graft.text.TrainPrep.topNgrams(T(s, d, "documents"), "doc_id", "text",
-        n = 2, k = 20))
+        n = 2, k = 20)),
+
+    // A7 block info ALONE, hash-matched (round-4 promotion of the stage
+    // feeding q38's greedy packer, mirroring how q56 isolated the flood):
+    // per-color size + sorted neighbor-color set over the q56 flood colors
+    "q67_block_info" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 50)
+        .select(col("vid"), col("vid").as("color"))
+      val colors = graft.partition.BdgLayout.floodColors(sym, seeds,
+        maxHop = 4)._1
+      graft.partition.BdgLayout.blockInfo(sym, colors)
+        .select(col("color"), col("size"),
+          array_join(col("nbs").cast("array<string>"), ",").as("nbs"))
+    }),
+
+    // GC seed/core stage ALONE, hash-matched (round-4 promotion of q37's
+    // first stage — the greedy phi loop itself stays spec-covered): per
+    // qualifying seed, the strong-neighbor core on the SAME weighted
+    // graph and params as q37 (minWeight=2, minCore=10)
+    "q68_gc_seed_cores" -> ((s, d) =>
+      graft.kernels.FocusCluster.seedCores(
+        cooc(s, d).select(col("src"), col("dst"), col("weight")),
+        minWeight = 2.0, minCore = 10))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1406,6 +1431,44 @@ object SparkEntry {
         |SELECT g, n_docs,
         |       CAST(row_number() OVER (ORDER BY n_docs DESC, g) AS BIGINT) AS rnk
         |FROM fr
-        |QUALIFY rnk <= 20""".stripMargin
+        |QUALIFY rnk <= 20""".stripMargin,
+    // q56's flood replay extended one stage: per-color size + sorted
+    // neighbor-color CSV over colored-colored edges (A7 block info,
+    // reference partition/BDGPartitioner.tpp:5-135)
+    "q67_block_info" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 50),
+         |reach(vid, color, h) AS (
+         |  SELECT vid, vid, 0 FROM seeds
+         |  UNION
+         |  SELECT s.d, r.color, r.h + 1 FROM reach r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 4
+         |),
+         |md AS (SELECT vid, min(h) AS mh FROM reach GROUP BY 1),
+         |colors AS (SELECT r.vid, min(r.color) AS color
+         |           FROM reach r JOIN md ON r.vid = md.vid AND r.h = md.mh
+         |           GROUP BY 1),
+         |sizes AS (SELECT color, count(*) AS size FROM colors GROUP BY 1),
+         |nb AS (SELECT DISTINCT ca.color AS c1, cb.color AS c2
+         |       FROM sym s JOIN colors ca ON s.s = ca.vid
+         |                  JOIN colors cb ON s.d = cb.vid
+         |       WHERE ca.color <> cb.color)
+         |SELECT z.color, z.size,
+         |       coalesce(string_agg(CAST(n.c2 AS VARCHAR), ',' ORDER BY n.c2), '') AS nbs
+         |FROM sizes z LEFT JOIN nb n ON z.color = n.c1
+         |GROUP BY 1, 2""".stripMargin,
+    // GC seed rule: the CTE's sym IS the strong (weight >= 2) symmetric
+    // edge set of the q37 weighted graph, so core(seed) = {seed} ∪ its
+    // sym-neighbors, kept at size >= 10 (apps/focusCO.cpp:608-629)
+    "q68_gc_seed_cores" ->
+      s"""WITH $CTE,
+         |corem AS (SELECT s AS seed, d AS m FROM sym
+         |          UNION
+         |          SELECT s, s FROM sym),
+         |agg AS (SELECT seed, count(*) AS core_size,
+         |               string_agg(CAST(m AS VARCHAR), ',' ORDER BY m) AS core
+         |        FROM corem GROUP BY 1)
+         |SELECT seed, core_size, core FROM agg WHERE core_size >= 10""".stripMargin
   )
 }

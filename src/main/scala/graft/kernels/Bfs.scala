@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
 object Bfs {
 
   /** (vid, dist) for every vertex within `maxHop` of `seeds` (a `vid`
-    * column); dist = minimum hop count to any seed (seeds are dist 0). */
-  def distances(sym: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    * column); dist = minimum hop count to any seed (seeds are dist 0).
+    *
+    * `compactEvery` bounds the reached-set lineage on DEEP traversals:
+    * every anti-join scans the union of accumulated frontier pieces, so
+    * an h-hop walk over loose pieces costs O(h²) cached-piece scans; once
+    * the piece list reaches `compactEvery` it is folded into ONE eagerly
+    * re-checkpointed table (the fold re-writes O(|reached|) rows — cheap
+    * every K hops, and shallow fan-out traversals never trigger it). */
+  def distances(sym: DataFrame, seeds: DataFrame, maxHop: Int,
+                compactEvery: Int = 8): DataFrame = {
     var last = seeds.select(col("vid"), lit(0L).as("dist"))
       .localCheckpoint(eager = true)
     var pieces = List(last)
@@ -41,7 +49,11 @@ object Bfs {
         .select(col("vid"), lit(hop.toLong).as("dist"))
         .localCheckpoint(eager = false) // materialized by the count below
       if (frontier.count() == 0L) grew = false
-      else { last = frontier; pieces = frontier :: pieces }
+      else {
+        last = frontier; pieces = frontier :: pieces
+        if (pieces.size >= compactEvery)
+          pieces = List(pieces.reduce(_ union _).localCheckpoint(eager = true))
+      }
     }
     reached
   }

@@ -37,9 +37,23 @@ import org.apache.spark.sql.functions._
   * `maxCandidates` is the explicit guard for adversarial hubs:
   * candidates beyond it are dropped ascending-id-deterministically,
   * making the seed's answer a documented lower bound (the reference's
-  * own B&B is heuristic at `:322`). Default keeps the search exact.
+  * own B&B is heuristic at `:322`). The default is the finite
+  * [[DefaultMaxCandidates]] — exact on every non-adversarial graph,
+  * bounded on all of them; pass `Int.MaxValue` to force exactness.
   */
 object Community {
+
+  /** Default per-seed candidate cap. The reference-mandated id-orientation
+    * does NOT bound out-degree (see the skew note above), so an unguarded
+    * default hands an adversarial hub seed an exponential local search.
+    * 2048 is far above any attr-filtered candidate set the driver corpora
+    * produce (q36 answers are identical with or without the cap at sf0.1)
+    * while bounding worst-case per-seed work; beyond the cap the seed's
+    * answer is a documented lower bound, truncated ascending-id-
+    * deterministically. Pass `Int.MaxValue` for the exact-search path
+    * (the spec oracles run that way where they plant hubs above the cap).
+    */
+  val DefaultMaxCandidates: Int = 2048
 
   /** Exact max attribute-sharing clique containing the seed.
     * @param seedAttrs  seed's attribute set (sorted/deduped upstream)
@@ -105,7 +119,7 @@ object Community {
     * @param verts (vid, attrs array<string>) — attr-format vertices
     * @param edges canonical undirected edge table (src < dst) */
   def perSeed(spark: SparkSession, verts: DataFrame, edges: DataFrame,
-              k: Int = 3, maxCandidates: Int = Int.MaxValue)
+              k: Int = 3, maxCandidates: Int = DefaultMaxCandidates)
       : org.apache.spark.sql.Dataset[SeedCommunity] =
     perSeedWithRelease(spark, verts, edges, k, maxCandidates)._1
 
@@ -113,7 +127,7 @@ object Community {
     * the plan); [[run]] releases it after materializing. */
   def perSeedWithRelease(spark: SparkSession, verts: DataFrame,
                           edges: DataFrame, k: Int,
-                          maxCandidates: Int = Int.MaxValue)
+                          maxCandidates: Int = DefaultMaxCandidates)
       : (org.apache.spark.sql.Dataset[SeedCommunity], () => Unit) = {
     import spark.implicits._
     // id orientation — the reference's candidate rule keeps neighbors with
@@ -159,7 +173,7 @@ object Community {
     * localCheckpoint — never a driver collect (a hub-rich graph at scale
     * would funnel every community row through driver memory). */
   def run(spark: SparkSession, verts: DataFrame, edges: DataFrame,
-          k: Int = 3, maxCandidates: Int = Int.MaxValue): DataFrame = {
+          k: Int = 3, maxCandidates: Int = DefaultMaxCandidates): DataFrame = {
     val (perDs, release) =
       perSeedWithRelease(spark, verts, edges, k, maxCandidates)
     val result = perDs.toDF().select(

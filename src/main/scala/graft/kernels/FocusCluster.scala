@@ -175,6 +175,31 @@ object FocusCluster {
                                outliers: Array[Long], phi: Double,
                                rounds: Int)
 
+  /** The seed/core stage ALONE (`create_task`, `apps/focusCO.cpp:608-629`):
+    * per qualifying seed, its core = {seed} ∪ strong neighbors (edge
+    * weight ≥ `minWeight`), kept iff |core| ≥ `minCore` — plain SQL, so
+    * the stage feeding the greedy φ loop is hash-oracled (q68; the same
+    * promotion move that isolated the Voronoi flood as q56). The local
+    * loop itself stays spec-covered (MiningSpec hand-traced oracle).
+    * Input: canonical weighted edges (src, dst, weight), src < dst.
+    * Output: (seed, core_size, core) with core a sorted-id CSV. */
+  def seedCores(wedges: DataFrame, minWeight: Double,
+                minCore: Int): DataFrame = {
+    val e = wedges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+      col("w")))
+    val strong = sym.filter(col("w") >= minWeight)
+    strong.select(col("src").as("seed"), col("dst").as("m"))
+      .union(strong.select(col("src").as("seed"), col("src").as("m")))
+      .distinct()
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("core_size"),
+        array_join(sort_array(collect_set(col("m"))).cast("array<string>"),
+          ",").as("core"))
+      .filter(col("core_size") >= minCore)
+  }
+
   /** Per-seed focused clusters over a weighted canonical edge table
     * (src, dst, weight) with src < dst. Lazy; long-lived callers should
     * use [[perSeedWithRelease]] and invoke the hook after materializing. */

@@ -92,9 +92,12 @@ object MaxClique {
       .orderBy(col("n").desc, col("src")).limit(1).collect()
     if (top.isEmpty) return 1
     val seed = top.head.getLong(0)
-    val nbrs = e.filter(col("src") === seed)
-      .select(col("dst")).collect().map(_.getLong(0))
-    val kept = nbrs.sorted.take(cap) // deterministic cap
+    // cap applied IN the plan (TakeOrdered): the driver never receives
+    // more than `cap` rows even when the seed's out-neighborhood is O(|V|)
+    // (dense near-regular graphs defeat the degree-orientation √E bound)
+    val kept = e.filter(col("src") === seed)
+      .select(col("dst")).orderBy(col("dst")).limit(cap)
+      .collect().map(_.getLong(0))
     val keptSet = kept.toSet
     val induced = e
       .filter(col("src").isInCollection(kept) &&
@@ -121,9 +124,14 @@ object MaxClique {
 
   /** Same, returning the unpersist hook for the oriented edge cache (used
     * 4x in the plan — triple self-join + neighbor agg — so it IS persisted,
-    * and [[run]] releases it once the result is materialized). */
+    * and [[run]] releases it once the result is materialized).
+    *
+    * `globalBound` defaults OFF here: with it on, seeds whose
+    * out-neighborhood cannot reach the greedy global bound produce NO row
+    * — sound for [[run]]'s argmax (which opts in) but a silent semantic
+    * narrowing of the per-seed surface. */
   def perSeedWithRelease(spark: SparkSession, edges: DataFrame,
-                         globalBound: Boolean = true)
+                         globalBound: Boolean = false)
       : (org.apache.spark.sql.Dataset[SeedResult], () => Unit) = {
     import spark.implicits._
     val e = Edges.orientByDegree(edges).persist()

@@ -199,10 +199,17 @@ object PageRank {
             .groupBy("vid").agg(sum("c").as("s"))
         } else contribs.groupBy("vid").agg(sum("c").as("s"))
       // vertices receiving no contribution still get teleport + dangling
-      // share; both scale with the per-vertex teleport column
+      // share; both scale with the per-vertex teleport column. The uniform
+      // case keeps the SCALAR form teleport/n + damping·dm/n — the exact
+      // IEEE evaluation order the recursive-CTE oracles replay; the
+      // algebraically equal (teleport + damping·dm)·(1/n) can differ by
+      // 1 ulp and flake a round(…,8) hash boundary
+      val addTerm =
+        if (pers.isEmpty) lit(teleport / n + damping * danglingMass / n)
+        else (lit(teleport) + lit(damping * danglingMass)) * col("tele")
       vertsT.join(summed.hint("SHUFFLE_HASH"), Seq("vid"), "left")
         .select(col("vid"),
-          ((lit(teleport) + lit(damping * danglingMass)) * col("tele")
+          (addTerm
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
     }
 

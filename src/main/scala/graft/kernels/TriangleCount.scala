@@ -60,6 +60,12 @@ object TriangleCount {
   def triangles(edges: DataFrame, byDegree: Boolean = true): DataFrame =
     trianglesFrom(oriented(edges, byDegree))
 
+  /** Triangle triples over a caller-managed (persisted) oriented edge
+    * table — the per-round building block for iterative consumers like
+    * [[KTruss]] that must control the cache lifecycle themselves. */
+  def trianglesOriented(orientedEdges: DataFrame): DataFrame =
+    trianglesFrom(orientedEdges)
+
   /** Per-oriented-edge intersection sizes (src, dst, ncommon) — the count
     * fabric, WITHOUT materializing a row per triangle. Uses the native
     * codegen'd [[graft.functions.SortedIntersectCount]] merge loop over the

@@ -67,15 +67,23 @@ object BdgLayout {
     * inside that job, so a 10-hop flood costs 5 driver roundtrips, not
     * 10-20 (round-2 q38 spent most of its wall on per-hop chatter; the
     * convergence check can lag a hop — an empty hop just yields one more
-    * empty piece, never a wrong color). */
+    * empty piece, never a wrong color).
+    *
+    * The probe counts ALL pieces adopted since the previous probe, so the
+    * returned `colored` total (seed rows + every probe's sum) is exact and
+    * FREE — callers running a re-seed ladder (voronoiColors) previously
+    * re-counted the whole union per round, a full extra pass over the
+    * color table each round (round-3 VERDICT item 7). */
   def floodColors(sym: DataFrame, seedColors: DataFrame,
-                  maxHop: Int, checkEvery: Int = 2): (DataFrame, Int) = {
-    var pieces = List(seedColors.select(col("vid"), col("color"))
-      .localCheckpoint(eager = true))
+                  maxHop: Int, checkEvery: Int = 2): (DataFrame, Int, Long) = {
+    val seedPiece = seedColors.select(col("vid"), col("color"))
+      .localCheckpoint(eager = true)
+    var colored = seedPiece.count() // cached — a cheap metadata-ish job
+    var pieces = List(seedPiece)
     def colors: DataFrame = pieces.reduce(_ union _)
     var hop = 0
     var grew = true
-    var pending = 0
+    var pending: List[DataFrame] = Nil
     while (grew && hop < maxHop) {
       hop += 1
       val adopt = sym.join(colors.hint("SHUFFLE_HASH"),
@@ -84,13 +92,17 @@ object BdgLayout {
         .join(colors, Seq("vid"), "left_anti")
         .localCheckpoint(eager = false) // cached when the probe job runs
       pieces = adopt :: pieces
-      pending += 1
-      if (pending >= checkEvery || hop == maxHop) {
-        pending = 0
-        if (adopt.count() == 0L) { grew = false; pieces = pieces.tail }
+      pending = adopt :: pending
+      if (pending.size >= checkEvery || hop == maxHop) {
+        // ONE job: counting the union materializes every pending piece
+        // transitively and yields their combined row count
+        val grewBy = pending.reduce(_ union _).count()
+        colored += grewBy
+        pending = Nil
+        if (grewBy == 0L) { grew = false; pieces = pieces.tail }
       }
     }
-    (colors, hop)
+    (colors, hop, colored)
   }
 
   /** B3: Voronoi colors to fixpoint-or-fallback. Input: symmetric edge
@@ -103,12 +115,15 @@ object BdgLayout {
     var rate = p.seedRate
     var colors = sampled(verts, rate)
       .select(col("vid"), col("vid").as("color"))
-    var colored = -1L // counted by each flood round below
+    var colored = -1L // carried out of each flood round's probes below
     var continueRounds = true
     while (continueRounds) {
-      // flood <= maxHop hops: uncolored vertices adopt min neighbor color
-      colors = floodColors(sym, colors, p.maxHop)._1
-      colored = colors.count()
+      // flood <= maxHop hops: uncolored vertices adopt min neighbor color;
+      // the colored total rides out of the flood's own convergence probes
+      // (no per-round recount of the whole color table)
+      val (fc, _, fcColored) = floodColors(sym, colors, p.maxHop)
+      colors = fc
+      colored = fcColored
       if (colored >= (p.stopRatio * n).toLong || rate >= p.maxRate) {
         continueRounds = false
       } else {
@@ -145,10 +160,14 @@ object BdgLayout {
     out
   }
 
-  /** A7 + B5: per-color block info, collected and greedily packed into
-    * `workers` bins. Returns the driver-side block→worker map. */
-  def assignBlocks(sym: DataFrame, colors: DataFrame,
-                   p: Params = Params()): Map[Long, Int] = {
+  /** A7 alone: per-color block info — (color, size, sorted neighbor-color
+    * set) over the COLORED subgraph (`BDGPartitioner.tpp:5-135`; the
+    * reference's master-side block table). Plain SQL, so the stage feeding
+    * the greedy packer is hash-oracled end-to-end (q67 runs it over the
+    * q56 flood colors — the same promotion move that isolated the flood
+    * itself as q56). Edges with an uncolored endpoint do not contribute
+    * (during a partial flood they belong to no block yet). */
+  def blockInfo(sym: DataFrame, colors: DataFrame): DataFrame = {
     val sizes = colors.groupBy(col("color")).agg(count(lit(1)).as("size"))
     val withC = sym
       .join(colors.withColumnRenamed("vid", "src")
@@ -157,10 +176,17 @@ object BdgLayout {
         .withColumnRenamed("color", "cb"), "dst")
     val nbMap = withC.filter(col("ca") =!= col("cb"))
       .select(col("ca"), col("cb")).distinct()
-      .groupBy(col("ca")).agg(collect_set(col("cb")).as("nbs"))
-    val info = sizes.join(nbMap, sizes("color") === nbMap("ca"), "left")
+      .groupBy(col("ca")).agg(sort_array(collect_set(col("cb"))).as("nbs"))
+    sizes.join(nbMap, sizes("color") === nbMap("ca"), "left")
       .select(sizes("color"), col("size"),
         coalesce(col("nbs"), array().cast("array<long>")).as("nbs"))
+  }
+
+  /** A7 + B5: per-color block info, collected and greedily packed into
+    * `workers` bins. Returns the driver-side block→worker map. */
+  def assignBlocks(sym: DataFrame, colors: DataFrame,
+                   p: Params = Params()): Map[Long, Int] = {
+    val info = blockInfo(sym, colors)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSet))
     val total = info.map(_._2).sum

@@ -100,9 +100,14 @@ object Dedup {
     val sigs = minHashSignatures(shingles(docs, idCol, textCol, k),
         numHashes, hashFn)
       .persist()
+    // the bucket key is the band slice ITSELF (array<long> equality), not
+    // a hash of it: hashing the slice admits a ~2^-64 band-key collision
+    // that would surface a candidate pair the exact-banding oracle (q26)
+    // lacks; the r-long key costs a slightly wider bucket shuffle and
+    // removes the failure mode entirely
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+          b => slice(col("sig"), b * r + 1, lit(r)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // guard hot buckets (near-universal boilerplate) before the pair join
     val counts = banded.groupBy(col("band"), col("bucket"))

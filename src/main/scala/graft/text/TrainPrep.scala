@@ -101,7 +101,7 @@ object TrainPrep {
     df.join(broadcast(fractions),
         df(stratumCol) === fractions("stratum"))
       .filter(h < col("keep_ppm"))
-      .drop("stratum")
+      .drop("stratum").drop("keep_ppm") // output schema = df's columns
   }
 
   /** Benchmark-contamination check: for each corpus document, the number

@@ -264,6 +264,18 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("deep BFS (60-vertex path, maxHop 50) exercises reached-set compaction") {
+    import spark.implicits._
+    // a path graph forces one frontier vertex per hop — 50 hops crosses
+    // the compactEvery threshold multiple times, so the folded reached
+    // table (not the loose piece union) carries most of the traversal
+    val es = (0L until 59L).map(i => (i, i + 1))
+    val got = Bfs.distances(Edges.symmetrize(edgeDF(es)),
+        Seq(0L).toDF("vid"), 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 50L).map(i => i -> i).toMap)
+  }
+
   test("BFS with no reachable frontier terminates at the seed set") {
     import spark.implicits._
     val got = Bfs.distances(Edges.symmetrize(edgeDF(Seq((1L, 2L)))),

@@ -332,6 +332,41 @@ class MiningSpec extends SparkSpec {
     assert(clusters(0) === uncapped)
   }
 
+  test("GC seed/core stage (q68) matches direct strong-neighbor computation") {
+    import graft.kernels.FocusCluster
+    val wedges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 2.0),
+      (2L, 4L, 5.0), (3L, 4L, 2.0), (4L, 5L, 1.0))
+      .toDF("src", "dst", "weight")
+    val got = FocusCluster.seedCores(wedges, minWeight = 2.0, minCore = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // strong edges (w >= 2): (1,2),(2,3),(2,4),(3,4); cores: 1→{1,2},
+    // 2→{1,2,3,4}, 3→{2,3,4}, 4→{2,3,4}, 5→∅; minCore=3 keeps 2,3,4
+    val exp = Set((2L, 4L, "1,2,3,4"), (3L, 3L, "2,3,4"), (4L, 3L, "2,3,4"))
+    assert(got === exp)
+  }
+
+  test("CD hub guard: finite default cap, deterministic truncation semantics") {
+    import graft.kernels.Community
+    // planted hub: seed 0 adjacent to 1..40 (all sharing attr "a"), with
+    // the only candidate-candidate edge at the LOW-id end — the one the
+    // ascending-id truncation must keep
+    val verts = (0L to 40L).map(v => (v, Seq("a"))).toDF("vid", "attrs")
+    val edges = ((1L to 40L).map(i => (0L, i)) :+ ((1L, 2L)))
+      .toDF("src", "dst")
+    def commOf(cap: Int) =
+      Community.run(spark, verts, edges, 3, cap)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val exact = commOf(Int.MaxValue)
+    assert(exact === Set(("0,1,2", 3)))
+    // the finite default is exact on this hub (40 < DefaultMaxCandidates)
+    assert(Community.DefaultMaxCandidates < Int.MaxValue)
+    assert(commOf(Community.DefaultMaxCandidates) === exact)
+    // a binding cap keeps the ascending-id prefix {1,2} — still exact here
+    assert(commOf(2) === exact)
+    // a cap below the witness yields the documented lower bound (no row)
+    assert(commOf(1) === Set.empty)
+  }
+
   test("reference label-format parse") {
     val dir = Files.createTempDirectory("graft-lbl").toString
     Files.writeString(java.nio.file.Paths.get(dir, "g.adj"),

@@ -102,6 +102,38 @@ class PartitionSpec extends SparkSpec {
     sym.unpersist()
   }
 
+  test("floodColors probe-carried colored total equals the result count") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val seeds = Seq(0L, 50L, 100L).toDF("vid")
+      .select(col("vid"), col("vid").as("color"))
+    // odd maxHop + early convergence: the probe cadence (checkEvery=2)
+    // must still sum every adopted piece exactly once
+    val (colors, _, colored) = BdgLayout.floodColors(sym, seeds, maxHop = 7)
+    assert(colored === colors.count())
+    sym.unpersist()
+  }
+
+  test("blockInfo (A7) matches a locally computed block table") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val colors = BdgLayout.voronoiColors(spark, sym, p).persist()
+    val cmap = colors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expSizes = cmap.values.toSeq.groupBy(identity)
+      .map { case (c, v) => c -> v.size.toLong }
+    val expNbs = edges.flatMap { case (u, v) =>
+      for { cu <- cmap.get(u); cv <- cmap.get(v) if cu != cv } yield cu -> cv
+    }.distinct.groupBy(_._1)
+      .map { case (c, v) => c -> v.map(_._2).sorted.toSeq }
+    val got = BdgLayout.blockInfo(sym, colors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(got.map(_._1).toSet === expSizes.keySet)
+    got.foreach { case (c, size, nbs) =>
+      assert(size === expSizes(c), s"color $c size")
+      assert(nbs === expNbs.getOrElse(c, Seq.empty), s"color $c nbs")
+    }
+    colors.unpersist(); sym.unpersist()
+  }
+
   test("block re-shuffle (B6): repartition by worker co-locates blocks") {
     val sym = Edges.symmetrize(plantedGraph)
     val lay = BdgLayout.layout(spark, sym, p)
