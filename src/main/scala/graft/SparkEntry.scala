@@ -681,7 +681,20 @@ object SparkEntry {
     "q68_gc_seed_cores" -> ((s, d) =>
       graft.kernels.FocusCluster.seedCores(
         cooc(s, d).select(col("src"), col("dst"), col("weight")),
-        minWeight = 2.0, minCore = 10))
+        minWeight = 2.0, minCore = 10)),
+
+    // k-truss peel, 3 FIXED rounds (k=3: every surviving edge in >= 1
+    // triangle of the surviving subgraph — k=4 empties this sparse graph:
+    // only 2 of its 3445 edges reach support 2) — the cohesive-subgraph
+    // operator over the TC fabric; fixed rounds so DuckDB replays the
+    // identical staged SQL (the fixpoint path is spec-covered)
+    "q69_ktruss" -> ((s, d) =>
+      graft.kernels.KTruss.run(e2(s, d), k = 3, maxRounds = 3)),
+
+    // common-neighbor link prediction: top-5 non-edge candidates per
+    // vertex (wedge join via the co-occurrence derivation, exact scores)
+    "q70_link_predict" -> ((s, d) =>
+      graft.kernels.LinkPredict.commonNeighbors(e2(s, d), topK = 5))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1469,6 +1482,53 @@ object SparkEntry {
          |agg AS (SELECT seed, count(*) AS core_size,
          |               string_agg(CAST(m AS VARCHAR), ',' ORDER BY m) AS core
          |        FROM corem GROUP BY 1)
-         |SELECT seed, core_size, core FROM agg WHERE core_size >= 10""".stripMargin
+         |SELECT seed, core_size, core FROM agg WHERE core_size >= 10""".stripMargin,
+    // 3 staged peel rounds (q06's triangle join per round): keep edges in
+    // >= k-2 = 1 triangle of the current subgraph, recompute, repeat
+    "q69_ktruss" ->
+      s"""WITH $CTE,
+         |t0 AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |s0 AS (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t0 UNION ALL
+         |         SELECT x, z FROM t0 UNION ALL SELECT y, z FROM t0) u0
+         |       GROUP BY 1, 2),
+         |p1 AS (SELECT e.s, e.d FROM e JOIN s0 ON e.s = s0.s AND e.d = s0.d
+         |       WHERE s0.sup >= 1),
+         |t1 AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM p1 a JOIN p1 b ON a.d = b.s JOIN p1 c ON a.s = c.s AND b.d = c.d),
+         |s1 AS (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t1 UNION ALL
+         |         SELECT x, z FROM t1 UNION ALL SELECT y, z FROM t1) u1
+         |       GROUP BY 1, 2),
+         |p2 AS (SELECT p1.s, p1.d FROM p1 JOIN s1 ON p1.s = s1.s AND p1.d = s1.d
+         |       WHERE s1.sup >= 1),
+         |t2 AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM p2 a JOIN p2 b ON a.d = b.s JOIN p2 c ON a.s = c.s AND b.d = c.d),
+         |s2 AS (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t2 UNION ALL
+         |         SELECT x, z FROM t2 UNION ALL SELECT y, z FROM t2) u2
+         |       GROUP BY 1, 2)
+         |SELECT p2.s AS src, p2.d AS dst
+         |FROM p2 JOIN s2 ON p2.s = s2.s AND p2.d = s2.d
+         |WHERE s2.sup >= 1""".stripMargin,
+    // wedge join on the shared center = the cooc derivation over the
+    // symmetric edge table; non-edges only; per-vertex top-5 by
+    // (common-neighbor count desc, candidate id)
+    "q70_link_predict" ->
+      s"""WITH $CTE,
+         |wed AS (SELECT a.d AS x, b.d AS y
+         |        FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d),
+         |cn AS (SELECT x, y, count(*) AS cn FROM wed GROUP BY 1, 2),
+         |cd AS (SELECT cn.x, cn.y, cn.cn FROM cn
+         |       LEFT JOIN e ON cn.x = e.s AND cn.y = e.d
+         |       WHERE e.s IS NULL),
+         |bi AS (SELECT x AS vid, y AS cand, cn FROM cd
+         |       UNION ALL SELECT y, x, cn FROM cd)
+         |SELECT vid, cand, cn,
+         |       CAST(row_number() OVER (PARTITION BY vid
+         |                               ORDER BY cn DESC, cand) AS BIGINT) AS rnk
+         |FROM bi
+         |QUALIFY rnk <= 5""".stripMargin
   )
 }

@@ -264,6 +264,65 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("k-truss fixpoint matches a brute-force peeler on golden + random graphs") {
+    // brute-force: recount per-edge triangle support, drop < k-2, repeat
+    def trussOracle(es: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var cur = es.map { case (a, b) => (a min b, a max b) }.toSet
+      var changed = true
+      while (changed) {
+        val sup = scala.collection.mutable.Map.empty[(Long, Long), Int]
+          .withDefaultValue(0)
+        val vs = cur.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        for {
+          Seq(a, b, c) <- vs.combinations(3)
+          if cur((a, b)) && cur((a, c)) && cur((b, c))
+        } Seq((a, b), (a, c), (b, c)).foreach(e => sup(e) += 1)
+        val next = cur.filter(e => sup(e) >= k - 2)
+        changed = next != cur
+        cur = next
+      }
+      cur
+    }
+    val graphs = golden ++ Map(
+      "er20" -> Oracles.erdosRenyi(20, 0.35, seed = 7),
+      "k5bridge" -> (for { i <- 1L to 5L; j <- i + 1 to 5L } yield (i, j))
+        .++(Seq((5L, 6L), (6L, 7L))))
+    graphs.foreach { case (name, es) =>
+      for (k <- Seq(3, 4)) {
+        val got = KTruss.run(edgeDF(es), k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === trussOracle(es, k), s"graph=$name k=$k")
+      }
+    }
+  }
+
+  test("common-neighbor link prediction matches a hand oracle") {
+    import spark.implicits._
+    golden.foreach { case (name, es) =>
+      val sym = (es ++ es.map(_.swap)).distinct
+      val adj = sym.groupBy(_._1).map { case (v, n) => v -> n.map(_._2).toSet }
+        .withDefaultValue(Set.empty[Long])
+      val canon = es.map { case (a, b) => (a min b, a max b) }.toSet
+      val verts = sym.map(_._1).distinct
+      val topK = 2
+      val expect = (for {
+        u <- verts; v <- verts if u < v
+        if !canon((u, v))
+        cn = (adj(u) intersect adj(v)).size if cn > 0
+      } yield (u, v, cn.toLong)).flatMap { case (u, v, cn) =>
+        Seq((u, v, cn), (v, u, cn))
+      }.groupBy(_._1).flatMap { case (vid, cands) =>
+        cands.sortBy(c => (-c._3, c._2)).take(topK).zipWithIndex
+          .map { case ((_, cand, cn), i) => (vid, cand, cn, i + 1L) }
+      }.toSet
+      val got = LinkPredict.commonNeighbors(edgeDF(es), topK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expect, s"graph=$name")
+    }
+  }
+
   test("deep BFS (60-vertex path, maxHop 50) exercises reached-set compaction") {
     import spark.implicits._
     // a path graph forces one frontier vertex per hop — 50 hops crosses
