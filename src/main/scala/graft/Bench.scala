@@ -248,9 +248,15 @@ object Bench {
       for { lN <- legs.get(cn); l4 <- legs.get(c4) } yield {
         val eff = l4.tpMedian / (4.0 * lN.tpMedian)
         val effBest = l4.tpBest / (4.0 * lN.tpBest)
+        // per-round pairing: round i's N and 4N legs ran back-to-back, so
+        // their ratio shares one host phase — the estimator robust to the
+        // minutes-scale background drift that a cross-round median smears
+        val paired = lN.secs.zip(l4.secs)
+          .map { case (sN, s4) => (lN.edges / s4) / (4.0 * (lN.edges / sN)) }
+        val effPaired = if (paired.isEmpty) eff else median(paired)
         val runs = if (compact) ""
           else f""""superstep_sec_n_runs":${secsJson(lN)},"superstep_sec_4n_runs":${secsJson(l4)},"""
-        f""""$tag":{"cores_n":$cn,"cores_4n":$c4,"directed_edges":${lN.edges},"supersteps":$legSteps,"rounds_n":${lN.secs.size},"rounds_4n":${l4.secs.size},"superstep_sec_n":${lN.median}%.2f,"superstep_sec_4n":${l4.median}%.2f,$runs"edges_per_sec_n":${lN.tpMedian.toLong},"edges_per_sec_4n":${l4.tpMedian.toLong},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f}"""
+        f""""$tag":{"cores_n":$cn,"cores_4n":$c4,"directed_edges":${lN.edges},"supersteps":$legSteps,"rounds_n":${lN.secs.size},"rounds_4n":${l4.secs.size},"superstep_sec_n":${lN.median}%.2f,"superstep_sec_4n":${l4.median}%.2f,$runs"edges_per_sec_n":${lN.tpMedian.toLong},"edges_per_sec_4n":${l4.tpMedian.toLong},"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f,"efficiency_paired":$effPaired%.3f}"""
       }
     private def scalingJson(compact: Boolean): String =
       (pairJson(base, coresN, "scaling", compact).toSeq ++
@@ -333,7 +339,11 @@ object Bench {
       return
     }
 
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2100").toInt
+    // default sized against the driver's observed ceiling: its round-2 run
+    // completed at 2940 s wall, so 2700 + worst-case single-query overshoot
+    // stays under the kill limit while leaving ~30% more room than the
+    // round-3 default (2100) for the degraded-host regime
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2700").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     def remaining: Double = budget - elapsed
@@ -355,23 +365,38 @@ object Bench {
     // the first TC leg, the PR kernel + pre-loop split, or the query suite
     val queriesReserve =
       if (!doQueries) 0.0
-      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "650").toDouble
+      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "950").toDouble
     val kernelsReserve = 280.0
     var tcEst = 150.0 // per fresh-JVM TC leg incl. spawn + parquet load
     // initial per-leg cost guesses (superstep time scales ~1/cores + a
     // constant JVM/load overhead); replaced by measurement after round 1
     val legCost = scala.collection.mutable.Map[Int, Double](
-      legCores.map(c => c -> (40.0 + legSteps * 64.0 / c)): _*)
+      legCores.map(c => c -> (40.0 + legSteps * 32.0 / c)): _*)
 
     // --- bench graph derived ONCE to tmpfs parquet; scaling legs and TC
     // legs read it from fresh child JVMs (supersteps measured, not
     // derivation) ---
-    val edgesPath = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-      "/dev/shm/graft-spark-local") + s"/bench_edges_$rows"
+    val localBase = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      "/dev/shm/graft-spark-local")
+    val edgesPath = localBase + s"/bench_edges_$rows"
+    // the scaling legs use a half-size graph by default: efficiency is a
+    // RATIO of edges/sec at two core counts over one fixed input, so it is
+    // size-invariant as long as superstep time >> per-superstep fixed cost
+    // (2-core superstep ~15 s vs ~0.3 s barrier overhead at this size) —
+    // and cheaper legs buy more interleaved rounds inside the budget,
+    // which is what makes the median robust on a bursty host. TC and the
+    // in-session kernels keep the full-size graph (comparability with
+    // rounds 1-3 and BASELINE.md Table 3).
+    val legRows = sys.env.getOrElse("SPARK_GRAFT_LEG_ROWS",
+      (rows / 2).toString).toLong
+    val legEdgesPath = localBase + s"/bench_edges_$legRows"
     if (doScaling || doTc) {
       val prep = session(cores4N)
       Edges.symmetrize(benchEdges(prep, rows))
         .write.mode("overwrite").parquet(edgesPath)
+      if (doScaling && legRows != rows)
+        Edges.symmetrize(benchEdges(prep, legRows))
+          .write.mode("overwrite").parquet(legEdgesPath)
       prep.stop()
       checkpointSection("derive")
     }
@@ -397,7 +422,7 @@ object Bench {
           kernelsReserve + queriesReserve
         if (mandatory || remaining - reserveAfter > legCost(c) * 1.2) {
           val t = System.nanoTime()
-          val (ed, sec, _) = spawnLeg(c, edgesPath, legSteps)
+          val (ed, sec, _) = spawnLeg(c, legEdgesPath, legSteps)
           legCost(c) = (System.nanoTime() - t) / 1e9
           val (e0, ss) = acc.getOrElse(c, (ed, Vector.empty[Double]))
           acc(c) = (e0, ss :+ sec)

@@ -694,7 +694,25 @@ object SparkEntry {
     // common-neighbor link prediction: top-5 non-edge candidates per
     // vertex (wedge join via the co-occurrence derivation, exact scores)
     "q70_link_predict" -> ((s, d) =>
-      graft.kernels.LinkPredict.commonNeighbors(e2(s, d), topK = 5))
+      graft.kernels.LinkPredict.commonNeighbors(e2(s, d), topK = 5)),
+
+    // per-vertex local clustering coefficient over the thresholded graph
+    // (per-row exact-integer arithmetic on top of the q07 triangle plan)
+    "q71_clustering" -> ((s, d) =>
+      graft.kernels.GraphStats.localClustering(e2(s, d))),
+
+    // resource-allocation link scores in exact fixed-point ppm (integer
+    // parity discipline — the float Adamic-Adar twin is spec-covered)
+    "q72_link_ra" -> ((s, d) =>
+      graft.kernels.LinkPredict.resourceAllocation(e2(s, d), topK = 5)),
+
+    // degree assortativity: one row, integer sums + one double projection
+    "q73_assortativity" -> ((s, d) =>
+      graft.kernels.GraphStats.assortativity(e2(s, d))),
+
+    // per-edge embeddedness: triangle support + endpoint-degree Jaccard
+    "q74_embeddedness" -> ((s, d) =>
+      graft.kernels.GraphStats.edgeEmbeddedness(e2(s, d)))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1529,6 +1547,71 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY vid
          |                               ORDER BY cn DESC, cand) AS BIGINT) AS rnk
          |FROM bi
-         |QUALIFY rnk <= 5""".stripMargin
+         |QUALIFY rnk <= 5""".stripMargin,
+    // q07's triangle corners + degree table; lcc is one double division of
+    // exact integers (identical IEEE op both engines), round(8)
+    "q71_clustering" ->
+      s"""WITH $CTE,
+         |tri AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |        FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+         |tcv AS (SELECT v AS vid, count(*) AS tc FROM corners GROUP BY 1)
+         |SELECT deg.vid, deg.degree, coalesce(tcv.tc, 0) AS tc,
+         |       round(2.0 * coalesce(tcv.tc, 0) / (deg.degree * (deg.degree - 1)), 8) AS lcc
+         |FROM deg LEFT JOIN tcv ON deg.vid = tcv.vid
+         |WHERE deg.degree >= 2""".stripMargin,
+    // wedge join weighted by the center's floor-ppm inverse degree; the
+    // integer sum is order-independent, so the hash matches bit-for-bit
+    "q72_link_ra" ->
+      s"""WITH $CTE,
+         |sd AS (SELECT s.s AS c, s.d AS nbr, 1000000 // deg.degree AS w
+         |       FROM sym s JOIN deg ON s.s = deg.vid),
+         |sc AS (SELECT a.nbr AS x, b.nbr AS y, CAST(sum(a.w) AS BIGINT) AS ra_ppm
+         |       FROM sd a JOIN sd b ON a.c = b.c AND a.nbr < b.nbr GROUP BY 1, 2),
+         |cd AS (SELECT sc.x, sc.y, sc.ra_ppm FROM sc
+         |       LEFT JOIN e ON sc.x = e.s AND sc.y = e.d
+         |       WHERE e.s IS NULL),
+         |bi AS (SELECT x AS vid, y AS cand, ra_ppm FROM cd
+         |       UNION ALL SELECT y, x, ra_ppm FROM cd)
+         |SELECT vid, cand, ra_ppm,
+         |       CAST(row_number() OVER (PARTITION BY vid
+         |                               ORDER BY ra_ppm DESC, cand) AS BIGINT) AS rnk
+         |FROM bi
+         |QUALIFY rnk <= 5""".stripMargin,
+    // Newman's r over directed pairs: exact integer sums, one double
+    // projection replayed with the identical expression shape
+    "q73_assortativity" ->
+      s"""WITH $CTE,
+         |wd AS (SELECT da.degree AS di, db.degree AS dj
+         |       FROM sym s JOIN deg da ON s.s = da.vid JOIN deg db ON s.d = db.vid),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS pairs,
+         |                CAST(sum(di * dj) AS BIGINT) AS sxy,
+         |                CAST(sum(di) AS BIGINT) AS sx,
+         |                CAST(sum(di * di) AS BIGINT) AS sx2 FROM wd)
+         |SELECT pairs,
+         |       round((CAST(sxy AS DOUBLE) / CAST(pairs AS DOUBLE)
+         |               - (CAST(sx AS DOUBLE) / CAST(pairs AS DOUBLE))
+         |                 * (CAST(sx AS DOUBLE) / CAST(pairs AS DOUBLE)))
+         |             / (CAST(sx2 AS DOUBLE) / CAST(pairs AS DOUBLE)
+         |               - (CAST(sx AS DOUBLE) / CAST(pairs AS DOUBLE))
+         |                 * (CAST(sx AS DOUBLE) / CAST(pairs AS DOUBLE))), 8) AS r
+         |FROM sums""".stripMargin,
+    // q07's triangle corners charged to canonical edges; jaccard keeps u,v
+    // in the union (sup / (du + dv - sup)), one exact double division
+    "q74_embeddedness" ->
+      s"""WITH $CTE,
+         |tri AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |        FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |sup AS (SELECT s, d, count(*) AS sup FROM (
+         |          SELECT x AS s, y AS d FROM tri UNION ALL
+         |          SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri) u
+         |        GROUP BY 1, 2)
+         |SELECT e.s AS src, e.d AS dst,
+         |       coalesce(sup.sup, 0) AS sup,
+         |       round(CAST(coalesce(sup.sup, 0) AS DOUBLE) /
+         |             (da.degree + db.degree - coalesce(sup.sup, 0)), 8) AS jaccard
+         |FROM e LEFT JOIN sup ON e.s = sup.s AND e.d = sup.d
+         |JOIN deg da ON e.s = da.vid
+         |JOIN deg db ON e.d = db.vid""".stripMargin
   )
 }

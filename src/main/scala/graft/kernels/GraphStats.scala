@@ -1,0 +1,105 @@
+package graft.kernels
+
+import graft.graph.Edges
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph structural statistics — the profiling operators a link-graph
+  * training pipeline runs before/after filtering (density drift, hub decay).
+  *
+  * Both operators are single-pass aggregations over the edge fabric the
+  * kernels already share: one shuffle for degrees, one for the stat. All
+  * intermediate sums are INTEGER (exact, order-independent), so the results
+  * hash-match a SQL oracle bit-for-bit; the only floating arithmetic is a
+  * final deterministic scalar projection (reference analog: the per-app
+  * aggregate telemetry in `util/type.hpp:56-96`).
+  */
+object GraphStats {
+
+  /** Per-vertex local clustering coefficient (vid, degree, tc, lcc):
+    * lcc = 2*tc / (degree*(degree-1)) — how close each vertex's
+    * neighborhood is to a clique. Vertices with degree >= 2; tc from the
+    * degree-oriented triangle plan ([[TriangleCount.perVertex]]), so the
+    * heavy step stays the O(E^1.5) sorted-adjacency intersection.
+    * Per-row arithmetic on exact integers — no float-sum order hazard. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val deg = Edges.degrees(Edges.symmetrize(edges))
+    val tc = TriangleCount.perVertex(edges)
+      .withColumnRenamed("tc", "tc0")
+    deg.filter(col("degree") >= 2)
+      .join(tc, Seq("vid"), "left")
+      .select(
+        col("vid"), col("degree"),
+        coalesce(col("tc0"), lit(0L)).as("tc"),
+        round((lit(2.0) * coalesce(col("tc0"), lit(0L))) /
+          (col("degree") * (col("degree") - 1)), 8).as("lcc"))
+  }
+
+  /** Per-edge embeddedness (src, dst, sup, jaccard): sup = common
+    * neighbors of the endpoints (= the edge's triangle support, the
+    * quantity [[KTruss]] peels on), jaccard = sup / (deg(u)+deg(v)-sup)
+    * — the strong-tie/weak-tie feature (u and v themselves stay in the
+    * union). Every edge, including sup = 0 bridges. Heavy step is the
+    * oriented triangle plan; the rest is two degree joins and one exact
+    * double division per row. */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = Edges.degrees(Edges.symmetrize(e))
+    val oe = Edges.orientByDegree(e).persist()
+    val tri = TriangleCount.trianglesOriented(oe)
+    // canonical (least/greatest) charge, as in the truss peel
+    val charged = tri.select(
+        array(
+          struct(least(col("a"), col("b")).as("src"),
+            greatest(col("a"), col("b")).as("dst")),
+          struct(least(col("a"), col("c")).as("src"),
+            greatest(col("a"), col("c")).as("dst")),
+          struct(least(col("b"), col("c")).as("src"),
+            greatest(col("b"), col("c")).as("dst"))).as("es"))
+      .select(explode(col("es")).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"))
+    val support = charged.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("sup0"))
+    val out = e.join(support, Seq("src", "dst"), "left")
+      .join(deg.withColumnRenamed("vid", "src")
+        .withColumnRenamed("degree", "du"), "src")
+      .join(deg.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("degree", "dv"), "dst")
+      .select(
+        col("src"), col("dst"),
+        coalesce(col("sup0"), lit(0L)).as("sup"),
+        round(coalesce(col("sup0"), lit(0L)).cast("double") /
+          (col("du") + col("dv") - coalesce(col("sup0"), lit(0L))), 8)
+          .as("jaccard"))
+      .localCheckpoint(eager = true)
+    oe.unpersist()
+    out
+  }
+
+  /** Degree assortativity (Newman's r over the directed-pair view): one
+    * row (pairs, r). r > 0 — hubs link hubs; r < 0 — hubs link leaves
+    * (the usual web-graph signature). Sums Sxy=Σdi·dj, Sx=Σdi, Sx2=Σdi²
+    * run over the symmetric view as exact integers (one shuffle); the
+    * Pearson formula is a single double projection:
+    * r = (Sxy/m − μ²) / (Sx2/m − μ²), μ = Sx/m. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = Edges.symmetrize(edges)
+    val deg = Edges.degrees(sym)
+    val withDeg = sym
+      .join(deg.withColumnRenamed("vid", "src")
+        .withColumnRenamed("degree", "di"), "src")
+      .join(deg.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("degree", "dj"), "dst")
+    val sums = withDeg.agg(
+      count(lit(1)).as("pairs"),
+      sum(col("di") * col("dj")).as("sxy"),
+      sum(col("di")).as("sx"),
+      sum(col("di") * col("di")).as("sx2"))
+    val m = col("pairs").cast("double")
+    val mu = col("sx").cast("double") / m
+    sums.select(
+      col("pairs"),
+      round((col("sxy").cast("double") / m - mu * mu) /
+        (col("sx2").cast("double") / m - mu * mu), 8).as("r"))
+  }
+}

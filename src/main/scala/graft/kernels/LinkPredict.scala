@@ -47,4 +47,77 @@ object LinkPredict {
     bi.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
   }
+
+  /** Resource-allocation index (Zhou/Lü/Zhang 2009) in exact fixed-point:
+    * each wedge center c contributes 1/deg(c), carried as the INTEGER
+    * 1_000_000 / deg(c) (floor ppm) so the distributed sum is
+    * order-independent and bit-exactly replayable by a SQL oracle — the
+    * same integer-parity discipline as the ANN twins. Down-weights hub
+    * centers, the usual fix for common-neighbor's hub bias on web graphs.
+    *
+    * Output (vid, cand, ra_ppm, rnk): per-vertex top-k non-edge candidates
+    * by summed ppm score (ties to the lower candidate id). Same plan shape
+    * as [[commonNeighbors]]: one wedge shuffle on the center, one pair
+    * aggregation, an anti-join, a vertex-partitioned top-k window. */
+  def resourceAllocation(edges: DataFrame, topK: Int,
+                         capPerCenter: Int = Int.MaxValue): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val sym = Edges.symmetrize(e)
+    val deg = Edges.degrees(sym)
+    val sd = sym.join(deg.withColumnRenamed("vid", "src"), "src")
+      .select(col("src").as("c"), col("dst").as("nbr"),
+        (lit(1000000L) / col("degree")).cast("long").as("w"))
+    val capped =
+      if (capPerCenter == Int.MaxValue) sd
+      else {
+        val cw = Window.partitionBy(col("c"))
+          .orderBy(xxhash64(col("nbr")), col("nbr"))
+        sd.withColumn("rn", row_number().over(cw))
+          .filter(col("rn") <= capPerCenter).drop("rn")
+      }
+    val scored = capped.as("a")
+      .join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
+      .groupBy(col("a.nbr").as("src"), col("b.nbr").as("dst"))
+      .agg(sum(col("a.w")).as("ra_ppm"))
+    val cand = scored.join(e, Seq("src", "dst"), "left_anti")
+    val bi = cand.select(col("src").as("vid"), col("dst").as("cand"),
+        col("ra_ppm"))
+      .union(cand.select(col("dst").as("vid"), col("src").as("cand"),
+        col("ra_ppm")))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("ra_ppm").desc, col("cand"))
+    bi.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
+  /** Adamic–Adar index — the float production path: center weight
+    * 1/ln(deg(c)). Spec-tested against a hand oracle with tolerance; the
+    * driver-oracled twin is [[resourceAllocation]] (float sums are
+    * engine-order-dependent, the ppm path is not). Same bucketed shape. */
+  def adamicAdar(edges: DataFrame, topK: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val sym = Edges.symmetrize(e)
+    val deg = Edges.degrees(sym)
+    // degree-1 centers cannot form a wedge; filter BEFORE the weight
+    // projection (ANSI mode evaluates 1/ln(1) eagerly otherwise)
+    val sd = sym.join(deg.withColumnRenamed("vid", "src"), "src")
+      .filter(col("degree") >= 2)
+      .select(col("src").as("c"), col("dst").as("nbr"),
+        (lit(1.0) / log(col("degree"))).as("w"))
+    val scored = sd.as("a")
+      .join(sd.as("b"),
+        col("a.c") === col("b.c") && col("a.nbr") < col("b.nbr"))
+      .groupBy(col("a.nbr").as("src"), col("b.nbr").as("dst"))
+      .agg(round(sum(col("a.w")), 6).as("aa"))
+    val cand = scored.join(e, Seq("src", "dst"), "left_anti")
+    val bi = cand.select(col("src").as("vid"), col("dst").as("cand"),
+        col("aa"))
+      .union(cand.select(col("dst").as("vid"), col("src").as("cand"),
+        col("aa")))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("aa").desc, col("cand"))
+    bi.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
 }

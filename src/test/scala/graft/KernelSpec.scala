@@ -323,6 +323,114 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("local clustering coefficient matches the hand formula") {
+    (golden + ("er20" -> Oracles.erdosRenyi(20, 0.35, seed = 7)))
+      .foreach { case (name, es) =>
+        val sym = (es.map { case (a, b) => (a min b, a max b) }.distinct
+          .flatMap(e => Seq(e, e.swap)))
+        val adj = sym.groupBy(_._1).map { case (v, n) => v -> n.map(_._2).toSet }
+        val expect = adj.collect { case (v, nbrs) if nbrs.size >= 2 =>
+          val links = (for {
+            a <- nbrs.toSeq; b <- nbrs.toSeq if a < b
+            if adj(a).contains(b)
+          } yield 1).size
+          val d = nbrs.size
+          (v, d.toLong, links.toLong,
+            BigDecimal(2.0 * links / (d.toLong * (d - 1)))
+              .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+        val got = GraphStats.localClustering(edgeDF(es)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        assert(got === expect, s"graph=$name")
+      }
+  }
+
+  test("assortativity matches Newman's formula on golden graphs") {
+    // star5 is the classic disassortative extreme; k4 is degree-regular
+    // (denominator 0 -> NaN/NULL, skipped)
+    golden.filterNot { case (_, es) =>
+      val sym = es.flatMap(e => Seq(e, e.swap))
+      val deg = sym.groupBy(_._1).map { case (v, n) => v -> n.size }
+      deg.values.toSet.size == 1
+    }.foreach { case (name, es) =>
+      val sym = es.map { case (a, b) => (a min b, a max b) }.distinct
+        .flatMap(e => Seq(e, e.swap))
+      val deg = sym.groupBy(_._1).map { case (v, n) => v -> n.size.toLong }
+      val pairs = sym.map { case (u, v) => (deg(u), deg(v)) }
+      val m = pairs.size.toDouble
+      val sxy = pairs.map { case (a, b) => a * b }.sum.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sx2 = pairs.map { case (a, _) => a * a }.sum.toDouble
+      val mu = sx / m
+      val expect = (sxy / m - mu * mu) / (sx2 / m - mu * mu)
+      val row = GraphStats.assortativity(edgeDF(es)).head()
+      assert(row.getLong(0) === pairs.size.toLong, s"graph=$name pairs")
+      assert(math.abs(row.getDouble(1) - expect) < 1e-7, s"graph=$name r")
+    }
+  }
+
+  test("resource-allocation and Adamic-Adar match hand oracles") {
+    golden.foreach { case (name, es) =>
+      val canon = es.map { case (a, b) => (a min b, a max b) }.distinct
+      val sym = canon.flatMap(e => Seq(e, e.swap))
+      val adj = sym.groupBy(_._1).map { case (v, n) => v -> n.map(_._2).toSet }
+        .withDefaultValue(Set.empty[Long])
+      val verts = sym.map(_._1).distinct
+      val topK = 2
+      def topk(scoreOf: Long => Long): Set[(Long, Long, Long, Long)] = {
+        val cand = for {
+          u <- verts; v <- verts if u < v
+          if !canon.contains((u, v))
+          cns = adj(u) intersect adj(v) if cns.nonEmpty
+        } yield (u, v, cns.toSeq.map(scoreOf).sum)
+        cand.flatMap { case (u, v, s) => Seq((u, v, s), (v, u, s)) }
+          .groupBy(_._1).flatMap { case (vid, cs) =>
+            cs.sortBy(c => (-c._3, c._2)).take(topK).zipWithIndex
+              .map { case ((_, c, s), i) => (vid, c, s, i + 1L) }
+          }.toSet
+      }
+      val expectRa = topk(c => 1000000L / adj(c).size)
+      val gotRa = LinkPredict.resourceAllocation(edgeDF(es), topK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotRa === expectRa, s"graph=$name ra")
+      // AA: float scores, compare with tolerance on the score column
+      val expectAa = (for {
+        u <- verts; v <- verts if u < v
+        if !canon.contains((u, v))
+        cns = adj(u) intersect adj(v) if cns.nonEmpty
+      } yield ((u, v), cns.toSeq.map(c => 1.0 / math.log(adj(c).size.toDouble)).sum)).toMap
+      val gotAa = LinkPredict.adamicAdar(edgeDF(es), topK).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      gotAa.foreach { case (vid, cand, aa, _) =>
+        val key = (vid min cand, vid max cand)
+        assert(math.abs(aa - expectAa(key)) < 1e-5,
+          s"graph=$name aa($vid,$cand)")
+      }
+    }
+  }
+
+  test("edge embeddedness matches per-edge common-neighbor counts") {
+    (golden + ("er20" -> Oracles.erdosRenyi(20, 0.35, seed = 7)))
+      .foreach { case (name, es) =>
+        val canon = es.map { case (a, b) => (a min b, a max b) }.distinct
+        val sym = canon.flatMap(e => Seq(e, e.swap))
+        val adj = sym.groupBy(_._1).map { case (v, n) => v -> n.map(_._2).toSet }
+        val expect = canon.map { case (u, v) =>
+          val sup = (adj(u) intersect adj(v)).size.toLong
+          val j = sup.toDouble / (adj(u).size + adj(v).size - sup)
+          (u, v, sup,
+            BigDecimal(j).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+        val got = GraphStats.edgeEmbeddedness(edgeDF(es)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        assert(got === expect, s"graph=$name")
+      }
+  }
+
   test("deep BFS (60-vertex path, maxHop 50) exercises reached-set compaction") {
     import spark.implicits._
     // a path graph forces one frontier vertex per hop — 50 hops crosses
