@@ -712,7 +712,17 @@ object SparkEntry {
 
     // per-edge embeddedness: triangle support + endpoint-degree Jaccard
     "q74_embeddedness" -> ((s, d) =>
-      graft.kernels.GraphStats.edgeEmbeddedness(e2(s, d)))
+      graft.kernels.GraphStats.edgeEmbeddedness(e2(s, d))),
+
+    // deterministic DeepWalk corpus: one sha-steered 4-step walk per
+    // vertex (graph-embedding training data; every step SQL-replayable)
+    "q75_random_walks" -> ((s, d) =>
+      graft.kernels.RandomWalk.walks(e2(s, d), length = 4)),
+
+    // skip-gram (center, context) pairs within window 2 over q75's walks
+    "q76_skipgram_pairs" -> ((s, d) =>
+      graft.kernels.RandomWalk.skipGramPairs(
+        graft.kernels.RandomWalk.walks(e2(s, d), length = 4), window = 2))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1612,6 +1622,37 @@ object SparkEntry {
          |             (da.degree + db.degree - coalesce(sup.sup, 0)), 8) AS jaccard
          |FROM e LEFT JOIN sup ON e.s = sup.s AND e.d = sup.d
          |JOIN deg da ON e.s = da.vid
-         |JOIN deg db ON e.d = db.vid""".stripMargin
+         |JOIN deg db ON e.d = db.vid""".stripMargin,
+    // sha-steered walk replay: sorted adjacency lists + a recursive CTE
+    // stepping cur -> lst[sha(salt:walk:step:cur) mod len + 1]
+    "q75_random_walks" ->
+      s"""WITH RECURSIVE $CTE,
+         |adjl AS (SELECT s, list(d ORDER BY d) AS lst FROM sym GROUP BY s),
+         |walks(walk, step, cur) AS (
+         |  SELECT vid, CAST(0 AS BIGINT), vid FROM deg
+         |  UNION ALL
+         |  SELECT w.walk, w.step + 1,
+         |         a.lst[CAST(CAST(('0x' || substr(sha256('walk:' || CAST(w.walk AS VARCHAR) || ':' || CAST(w.step + 1 AS VARCHAR) || ':' || CAST(w.cur AS VARCHAR)), 1, 15)) AS BIGINT) % len(a.lst) AS INT) + 1]
+         |  FROM walks w JOIN adjl a ON w.cur = a.s
+         |  WHERE w.step < 4
+         |)
+         |SELECT walk, step, cur AS vid FROM walks""".stripMargin,
+    // q75's walk table self-joined within the window, pair counts
+    "q76_skipgram_pairs" ->
+      s"""WITH RECURSIVE $CTE,
+         |adjl AS (SELECT s, list(d ORDER BY d) AS lst FROM sym GROUP BY s),
+         |walks(walk, step, cur) AS (
+         |  SELECT vid, CAST(0 AS BIGINT), vid FROM deg
+         |  UNION ALL
+         |  SELECT w.walk, w.step + 1,
+         |         a.lst[CAST(CAST(('0x' || substr(sha256('walk:' || CAST(w.walk AS VARCHAR) || ':' || CAST(w.step + 1 AS VARCHAR) || ':' || CAST(w.cur AS VARCHAR)), 1, 15)) AS BIGINT) % len(a.lst) AS INT) + 1]
+         |  FROM walks w JOIN adjl a ON w.cur = a.s
+         |  WHERE w.step < 4
+         |)
+         |SELECT a.cur AS center, b.cur AS context, count(*) AS pairs
+         |FROM walks a JOIN walks b
+         |  ON a.walk = b.walk AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin
   )
 }

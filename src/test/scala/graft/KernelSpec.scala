@@ -431,6 +431,52 @@ class KernelSpec extends SparkSpec {
       }
   }
 
+  test("random walks replay the sha-steered choice exactly") {
+    def sha60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    (golden + ("er20" -> Oracles.erdosRenyi(20, 0.35, seed = 7)))
+      .foreach { case (name, es) =>
+        val sym = es.map { case (a, b) => (a min b, a max b) }.distinct
+          .flatMap(e => Seq(e, e.swap))
+        val adj = sym.groupBy(_._1)
+          .map { case (v, n) => v -> n.map(_._2).distinct.sorted }
+        val length = 4
+        val expect = adj.keys.flatMap { start =>
+          var cur = start
+          Seq((start, 0L, start)) ++ (1 to length).map { s =>
+            val lst = adj(cur)
+            val idx = (sha60(s"walk:$start:$s:$cur") % lst.size).toInt
+            cur = lst(idx)
+            (start, s.toLong, cur)
+          }
+        }.toSet
+        val got = RandomWalk.walks(edgeDF(es), length).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === expect, s"graph=$name")
+      }
+  }
+
+  test("skip-gram pairs match a hand count over the walk table") {
+    import spark.implicits._
+    val walkRows = Seq(
+      (1L, 0L, 10L), (1L, 1L, 11L), (1L, 2L, 12L), (1L, 3L, 10L),
+      (2L, 0L, 20L), (2L, 1L, 21L))
+    val df = walkRows.toDF("walk", "step", "vid")
+    val expect = (for {
+      (w1, s1, v1) <- walkRows; (w2, s2, v2) <- walkRows
+      if w1 == w2 && s1 != s2 && math.abs(s1 - s2) <= 2
+    } yield (v1, v2)).groupBy(identity).map { case ((c, x), l) =>
+      (c, x, l.size.toLong)
+    }.toSet
+    val got = RandomWalk.skipGramPairs(df, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("deep BFS (60-vertex path, maxHop 50) exercises reached-set compaction") {
     import spark.implicits._
     // a path graph forces one frontier vertex per hop — 50 hops crosses
