@@ -722,7 +722,49 @@ object SparkEntry {
     // skip-gram (center, context) pairs within window 2 over q75's walks
     "q76_skipgram_pairs" -> ((s, d) =>
       graft.kernels.RandomWalk.skipGramPairs(
-        graft.kernels.RandomWalk.walks(e2(s, d), length = 4), window = 2))
+        graft.kernels.RandomWalk.walks(e2(s, d), length = 4), window = 2)),
+
+    // Gopher-style repetition gates: top-token share + duplicate-bigram
+    // share as floor-ppm integers, keep flag at (12%, 2%) — thresholds
+    // calibrated so both classes appear at sf0.01
+    "q77_repetition" -> ((s, d) =>
+      graft.text.QualityRules.repetitionStats(
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // PII scrub over a deterministically planted corpus (~30% of docs get
+    // a synthetic email + dotted quad appended — the raw word-salad corpus
+    // has none, so the patterns are exercised both ways): match counts +
+    // the masked-text sha identity
+    "q78_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = T(s, d, "documents").select(id,
+        when(pmod(Dedup.shaTokenHash60(
+            concat(lit("pii:"), id.cast("string"))), lit(10L)) < 3,
+          concat(col("text"),
+            lit(" contact admin"), id.cast("string"),
+            lit("@example.com at 10.2."),
+            pmod(id, lit(256L)).cast("string"), lit("."),
+            pmod(id * 7, lit(256L)).cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.text.QualityRules.piiStats(planted, "doc_id", "text")
+    }),
+
+    // deterministic fixed-size per-language sample (reservoir semantics
+    // via sha order, two-phase top-k — no per-stratum window funnel)
+    "q79_reservoir" -> ((s, d) =>
+      graft.text.TrainPrep.reservoirSample(
+        T(s, d, "documents"), "doc_id", "lang", k = 8, salt = "rsv")
+        .select(col("doc_id"), col("lang"), col("rnk"))),
+
+    // harmonic centrality of the sha-sampled landmark set, 4-hop horizon:
+    // ONE labeled multi-source BFS shared across seeds, floor-ppm sums
+    "q80_harmonic" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      graft.kernels.GraphStats.harmonicCentrality(sym, seeds, maxHop = 4)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1653,6 +1695,88 @@ object SparkEntry {
          |FROM walks a JOIN walks b
          |  ON a.walk = b.walk AND a.step <> b.step
          |  AND abs(a.step - b.step) <= 2
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    // token mode via unnest + two-phase count; bigram stats as list
+    // arithmetic; all ratios floor-ppm integer division — bit-exact
+    "q77_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |      FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |md AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(max(c) AS BIGINT) AS top_cnt FROM tc GROUP BY 1),
+        |tt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |       FROM documents),
+        |bs AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 2 THEN CAST(len(t) - 1 AS BIGINT)
+        |              ELSE 0 END AS nbg,
+        |         CASE WHEN len(t) >= 2 THEN CAST(len(list_distinct(
+        |                [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]))
+        |              AS BIGINT) ELSE 0 END AS dbg
+        |       FROM tt)
+        |SELECT md.doc_id, n_tokens, top_cnt,
+        |       top_cnt * 1000000 // n_tokens AS top_tok_ppm,
+        |       CASE WHEN nbg > 0 THEN (nbg - dbg) * 1000000 // nbg
+        |            ELSE 0 END AS dup_bigram_ppm,
+        |       CAST(CASE WHEN top_cnt * 1000000 // n_tokens <= 120000
+        |                  AND (CASE WHEN nbg > 0
+        |                       THEN (nbg - dbg) * 1000000 // nbg
+        |                       ELSE 0 END) <= 20000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM md JOIN bs ON md.doc_id = bs.doc_id""".stripMargin,
+    // identical planting expression, RE2-safe patterns, email masked
+    // before dotted quads (an email host can look like a quad)
+    "q78_pii_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(sha256('pii:' ||
+        |             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 3
+        |      THEN text || ' contact admin' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com at 10.2.'
+        |           || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |           || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+        |    AS n_ipv4,
+        |  sha256(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'))
+        |    AS masked_sha
+        |FROM planted""".stripMargin,
+    // global top-8 per stratum by sha order — the two-phase plan's result
+    // is partitioning-independent, so one window replays it
+    "q79_reservoir" ->
+      """SELECT doc_id, lang, rnk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(('0x' || substr(sha256('rsv:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 8""".stripMargin,
+    // labeled BFS replay: recursive CTE over (seed, vid, dist), min-dist
+    // per pair, floor-ppm harmonic sums (exact integer aggregation)
+    "q80_harmonic" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)),
+         |                1, 15)) AS BIGINT) % 1000 < 20),
+         |walks(seed, vid, dist) AS (
+         |  SELECT vid, vid, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT w.seed, s.d, w.dist + 1
+         |  FROM walks w JOIN sym s ON w.vid = s.s
+         |  WHERE w.dist < 4
+         |),
+         |md AS (SELECT seed, vid, min(dist) AS dist FROM walks
+         |       GROUP BY 1, 2)
+         |SELECT seed, CAST(count(*) AS BIGINT) AS reached,
+         |       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+         |FROM md WHERE dist > 0 GROUP BY 1""".stripMargin
   )
 }

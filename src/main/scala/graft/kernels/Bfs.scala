@@ -58,6 +58,42 @@ object Bfs {
     reached
   }
 
+  /** Per-seed (labeled) BFS distances: (seed, vid, dist) for every seed
+    * and every vertex within `maxHop` of it — the landmark-distance
+    * feature table (harmonic/closeness centrality of the landmarks, "hops
+    * from doc X" features). Same frontier-only/piece-union/compaction
+    * discipline as [[distances]], with state keyed by (seed, vid): the
+    * per-seed traversals share every join and shuffle instead of running
+    * |seeds| separate jobs. State is bounded by |seeds|·|V| — callers
+    * bound the landmark set (that bound is the standard approximation for
+    * centrality at scale, Eppstein–Wang 2004). */
+  def perSeedDistances(sym: DataFrame, seeds: DataFrame, maxHop: Int,
+                       compactEvery: Int = 8): DataFrame = {
+    var last = seeds.select(col("vid").as("seed"), col("vid"),
+        lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var pieces = List(last)
+    def reached: DataFrame = pieces.reduce(_ union _)
+    var hop = 0
+    var grew = true
+    while (grew && hop < maxHop) {
+      hop += 1
+      val frontier = sym.join(last.hint("SHUFFLE_HASH"),
+          sym("src") === last("vid"))
+        .select(col("seed"), sym("dst").as("vid")).distinct()
+        .join(reached, Seq("seed", "vid"), "left_anti")
+        .select(col("seed"), col("vid"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(eager = false) // materialized by the count below
+      if (frontier.count() == 0L) grew = false
+      else {
+        last = frontier; pieces = frontier :: pieces
+        if (pieces.size >= compactEvery)
+          pieces = List(pieces.reduce(_ union _).localCheckpoint(eager = true))
+      }
+    }
+    reached
+  }
+
   /** Bounded-hop weighted single/multi-source shortest paths: dist(v) =
     * minimum total weight over paths of <= `rounds` edges from any seed
     * (synchronous Bellman-Ford, which computes exactly that closure —

@@ -76,6 +76,23 @@ object GraphStats {
     out
   }
 
+  /** Harmonic centrality of a landmark (seed) set, bounded horizon:
+    * (seed, reached, harmonic_ppm) where harmonic_ppm = Σ_v floor(1e6 /
+    * dist(seed, v)) over vertices within `maxHop` (the bounded-horizon
+    * landmark estimator — Eppstein–Wang 2004; exact APSP is off the table
+    * at web scale and for everyone else too). Distances come from ONE
+    * shared labeled multi-source BFS ([[Bfs.perSeedDistances]]) — not
+    * |seeds| traversals — and the contribution is floor-ppm integral, so
+    * the distributed sum is order-independent and bit-exactly replayable
+    * by a recursive-CTE oracle. */
+  def harmonicCentrality(sym: DataFrame, seeds: DataFrame,
+                         maxHop: Int): DataFrame =
+    Bfs.perSeedDistances(sym, seeds, maxHop)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("1000000L div dist")).as("harmonic_ppm"))
+
   /** Degree assortativity (Newman's r over the directed-pair view): one
     * row (pairs, r). r > 0 — hubs link hubs; r < 0 — hubs link leaves
     * (the usual web-graph signature). Sums Sxy=Σdi·dj, Sx=Σdi, Sx2=Σdi²

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repetition / PII quality gates — the document-level filter rules a
+  * pretraining pipeline runs after the cheap per-row stats (q19) and
+  * before dedup (the Gopher-style "repetition removal" family, Rae et al.
+  * 2021 §A1.1, and the PII scrub every public corpus release documents).
+  *
+  * Both operators follow the engine's exact-integer parity discipline:
+  * every ratio is a floor-ppm integer (`div`), every distributed sum is
+  * integral, so a SQL oracle replays the results bit-for-bit. No UDFs —
+  * the token mode needs a real aggregation (per-row array folds would
+  * re-sort each document inside one task), and everything else is per-row
+  * codegen.
+  */
+object QualityRules {
+
+  /** Per-document repetition statistics + keep gate:
+    * (id, n_tokens, top_cnt, top_tok_ppm, dup_bigram_ppm, keep).
+    *
+    *  - `top_tok_ppm`: most-frequent-token share of all tokens (floor ppm)
+    *    — the "single token dominates the document" rule;
+    *  - `dup_bigram_ppm`: duplicate word-bigram share, 1 − distinct/total
+    *    (floor ppm) — the duplicate-n-gram rule; short docs (< 2 tokens)
+    *    score 0;
+    *  - `keep` = 1 iff both shares are under their thresholds.
+    *
+    * Scale shape: the token mode is explode → two-phase count on
+    * (id, token) → max per id (both aggregations map-side combined, keyed
+    * by doc — no skew: a document's tokens are bounded by its length);
+    * the bigram stats are per-row array arithmetic inside whole-stage
+    * codegen; one join on the doc id brings them together. The document
+    * text itself never shuffles. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      topTokPpmMax: Long = 120000L,
+                      dupBigramPpmMax: Long = 20000L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val mode = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_cnt"))
+    val bg = df.select(col(idCol),
+        TextFunctions.wordNgrams(col(textCol), 2).as("bg"))
+      .select(col(idCol), size(col("bg")).cast("long").as("nbg"),
+        size(array_distinct(col("bg"))).cast("long").as("dbg"))
+    mode.join(bg, idCol)
+      .select(col(idCol), col("n_tokens"), col("top_cnt"),
+        expr("top_cnt * 1000000L div n_tokens").as("top_tok_ppm"),
+        when(col("nbg") > 0,
+          expr("(nbg - dbg) * 1000000L div nbg"))
+          .otherwise(lit(0L)).as("dup_bigram_ppm"))
+      .withColumn("keep",
+        (col("top_tok_ppm") <= topTokPpmMax &&
+          col("dup_bigram_ppm") <= dupBigramPpmMax).cast("long"))
+  }
+
+  /** Email-address pattern — deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the Java-regex Spark plan and an RE2-based oracle
+    * (DuckDB) or scrubber agree match-for-match. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern (syntactic — no octet range check), same
+    * RE2-compatible discipline. */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-document PII detection + scrub:
+    * (id, n_emails, n_ipv4, masked_sha) where masked_sha is the sha256 of
+    * the text with emails replaced by `<EMAIL>` first, then dotted quads
+    * by `<IP>` (order matters — an email's host part may itself look like
+    * a dotted quad; callers get the canonical masked identity without
+    * shipping the masked text).
+    *
+    * Pure per-row codegen (regexp count + replace + sha) — at 100 TB this
+    * is a single scan with no shuffle at all; the counts feed routing
+    * decisions and the masked sha feeds dedup-after-scrub. */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ipv4"),
+      sha2(regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"), 256).as("masked_sha"))
+  }
+}

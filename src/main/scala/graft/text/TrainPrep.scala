@@ -145,6 +145,40 @@ object TrainPrep {
     top.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic fixed-SIZE per-stratum sample ("reservoir" semantics
+    * without RNG state): the k rows of each stratum with the smallest
+    * sha256(salt:id) — a uniform-at-random choice under the
+    * random-oracle view of sha, reproducible across engines, runs, and
+    * cluster sizes. Complements [[stratifiedSample]] (fixed FRACTION):
+    * exact-count eval slices and per-domain audit samples want exactly-k.
+    *
+    * Scale shape: two-phase top-k. Phase 1 ranks within
+    * (stratum, input partition) — the shuffle key carries the partition
+    * id, so a hub stratum spreads over all tasks instead of funneling
+    * into one (the skew trap of a naive per-stratum window); survivors
+    * are <= k·partitions rows. Phase 2 re-ranks that small candidate set
+    * per stratum. The final top-k depends only on the hash order, never
+    * on the partitioning, so the result is deterministic even though the
+    * phase-1 candidate sets are not. */
+  def reservoirSample(df: DataFrame, idCol: String, stratumCol: String,
+                      k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(
+      sha2(concat(lit(salt + ":"), col(idCol).cast("string")), 256), 1, 15),
+      16, 10).cast("long")
+    val hashed = df.withColumn("smp_h", h)
+      .withColumn("smp_p", spark_partition_id())
+    val w1 = Window.partitionBy(col(stratumCol), col("smp_p"))
+      .orderBy(col("smp_h"), col(idCol))
+    val cand = hashed.withColumn("smp_r1", row_number().over(w1))
+      .filter(col("smp_r1") <= k)
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(col("smp_h"), col(idCol))
+    cand.withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+      .drop("smp_h", "smp_p", "smp_r1")
+  }
+
   /** Per-stratum mixture statistics and balancing weights: for each
     * stratum, its row and token share plus the keep-fraction (ppm) that
     * would downsample every stratum to the smallest one's row count —
