@@ -764,7 +764,30 @@ object SparkEntry {
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
       graft.kernels.GraphStats.harmonicCentrality(sym, seeds, maxHop = 4)
-    })
+    }),
+
+    // dedup END TO END: q26's LSH pairs collapsed into clusters (hash-min
+    // CC over the pair graph) with a canonical survivor per cluster — the
+    // rewrite table every dedup pipeline actually ships
+    "q81_dedup_canonical" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.7,
+        maxBucket = Int.MaxValue, hashFn = Dedup.shaSeededHash60)
+      Dedup.canonicalize(s, docs, "doc_id", pairs)
+    }),
+
+    // node-induced deterministic half-sample of the thresholded graph —
+    // the debug-subset / progressive-training subsample (edge survives
+    // iff both endpoints' sha-keeps fire; pushdown-friendly per-row
+    // predicate, zero shuffle)
+    "q82_subgraph_sample" -> ((s, d) =>
+      Edges.sampleInduced(e2(s, d), salt = "sg", keepPerMille = 500)),
+
+    // node2vec second-order walks (p = q = 2 as integer weights 1/2/1):
+    // sha-drawn into the per-step weight CDF — each step SQL-replayable
+    "q83_node2vec" -> ((s, d) =>
+      graft.kernels.RandomWalk.node2vecWalks(e2(s, d), length = 3))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1777,6 +1800,93 @@ object SparkEntry {
          |       GROUP BY 1, 2)
          |SELECT seed, CAST(count(*) AS BIGINT) AS reached,
          |       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
-         |FROM md WHERE dist > 0 GROUP BY 1""".stripMargin
+         |FROM md WHERE dist > 0 GROUP BY 1""".stripMargin,
+    // q26's exact LSH pair chain, then transitive-closure min-label CC
+    // over the pair graph (the q08 oracle pattern) and a corpus left join
+    "q81_dedup_canonical" ->
+      """WITH RECURSIVE pos AS (SELECT doc_id, text,
+        |      unnest(generate_series(1, length(text) - 2)) AS i
+        |    FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |       FROM pos),
+        |hx AS (SELECT doc_id, j,
+        |         min(CAST(('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' || g),
+        |             1, 15)) AS BIGINT)) AS m
+        |       FROM sh, (SELECT unnest(range(16)) AS j) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |               list(m ORDER BY j) AS key
+        |        FROM hx GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bnd a JOIN bnd b
+        |           ON a.band = b.band AND a.key = b.key
+        |              AND a.doc_id < b.doc_id),
+        |eq AS (SELECT c.d1, c.d2,
+        |              sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 16.0 AS est
+        |       FROM cand c JOIN hx x ON x.doc_id = c.d1
+        |                   JOIN hx y ON y.doc_id = c.d2 AND x.j = y.j
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT d1, d2 FROM eq WHERE est >= 0.7),
+        |psym AS (SELECT d1 AS s, d2 AS d FROM pr
+        |         UNION ALL SELECT d2, d1 FROM pr),
+        |verts AS (SELECT DISTINCT s AS vid FROM psym),
+        |reach(vid, lbl) AS (
+        |  SELECT vid, vid FROM verts
+        |  UNION
+        |  SELECT p.d, r.lbl FROM reach r JOIN psym p ON r.vid = p.s
+        |),
+        |comp AS (SELECT vid, min(lbl) AS c FROM reach GROUP BY vid)
+        |SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS canonical_id,
+        |       CAST(CASE WHEN coalesce(comp.c, d.doc_id) = d.doc_id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.vid""".stripMargin,
+    // identical sha-keep predicate on both endpoints of the e CTE
+    "q82_subgraph_sample" ->
+      s"""WITH $CTE
+         |SELECT s AS src, d AS dst FROM e
+         |WHERE CAST(('0x' || substr(sha256('sg:' || CAST(s AS VARCHAR)),
+         |        1, 15)) AS BIGINT) % 1000 < 500
+         |  AND CAST(('0x' || substr(sha256('sg:' || CAST(d AS VARCHAR)),
+         |        1, 15)) AS BIGINT) % 1000 < 500""".stripMargin,
+    // staged second-order replay: uniform step 1 via the sorted adjacency
+    // pick, then per step one candidate expansion + dist-1 flag + weight
+    // CDF window + sha draw — the exact plan, step by step
+    "q83_node2vec" ->
+      s"""WITH $CTE,
+         |adjl AS (SELECT s, list(d ORDER BY d) AS lst FROM sym GROUP BY s),
+         |w1 AS (SELECT a.s AS walk, a.s AS prev,
+         |         a.lst[CAST(CAST(('0x' || substr(sha256('n2v:' || CAST(a.s AS VARCHAR) || ':1:' || CAST(a.s AS VARCHAR)), 1, 15)) AS BIGINT) % len(a.lst) AS INT) + 1] AS cur
+         |       FROM adjl a),
+         |c2 AS (SELECT w.walk, w.prev, w.cur, s.d AS x
+         |       FROM w1 w JOIN sym s ON w.cur = s.s),
+         |f2 AS (SELECT c2.*, CASE WHEN c2.x = c2.prev THEN 1
+         |                         WHEN e.s IS NOT NULL THEN 2
+         |                         ELSE 1 END AS w
+         |       FROM c2 LEFT JOIN e ON least(c2.prev, c2.x) = e.s
+         |                          AND greatest(c2.prev, c2.x) = e.d),
+         |g2 AS (SELECT *,
+         |         sum(w) OVER (PARTITION BY walk ORDER BY x
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(w) OVER (PARTITION BY walk) AS tot FROM f2),
+         |r2 AS (SELECT *, CAST(('0x' || substr(sha256('n2v:' || CAST(walk AS VARCHAR) || ':2:' || CAST(prev AS VARCHAR) || ':' || CAST(cur AS VARCHAR)), 1, 15)) AS BIGINT) % tot AS r FROM g2),
+         |p2 AS (SELECT walk, cur AS prev, x AS cur FROM r2
+         |       WHERE r >= cum - w AND r < cum),
+         |c3 AS (SELECT w.walk, w.prev, w.cur, s.d AS x
+         |       FROM p2 w JOIN sym s ON w.cur = s.s),
+         |f3 AS (SELECT c3.*, CASE WHEN c3.x = c3.prev THEN 1
+         |                         WHEN e.s IS NOT NULL THEN 2
+         |                         ELSE 1 END AS w
+         |       FROM c3 LEFT JOIN e ON least(c3.prev, c3.x) = e.s
+         |                          AND greatest(c3.prev, c3.x) = e.d),
+         |g3 AS (SELECT *,
+         |         sum(w) OVER (PARTITION BY walk ORDER BY x
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(w) OVER (PARTITION BY walk) AS tot FROM f3),
+         |r3 AS (SELECT *, CAST(('0x' || substr(sha256('n2v:' || CAST(walk AS VARCHAR) || ':3:' || CAST(prev AS VARCHAR) || ':' || CAST(cur AS VARCHAR)), 1, 15)) AS BIGINT) % tot AS r FROM g3),
+         |p3 AS (SELECT walk, cur AS prev, x AS cur FROM r3
+         |       WHERE r >= cum - w AND r < cum)
+         |SELECT vid AS walk, CAST(0 AS BIGINT) AS step, vid FROM deg
+         |UNION ALL SELECT walk, 1, cur FROM w1
+         |UNION ALL SELECT walk, 2, cur FROM p2
+         |UNION ALL SELECT walk, 3, cur FROM p3""".stripMargin
   )
 }

@@ -97,4 +97,20 @@ object Edges {
 
   /** Salt expression for two-phase hub aggregation (SURVEY §4.3). */
   def saltOf(c: Column, salts: Int): Column = pmod(xxhash64(c), lit(salts))
+
+  /** Deterministic vertex-sampled induced subgraph: keep a vertex iff
+    * sha256(salt:vid) mod 1000 < keepPerMille, keep an edge iff BOTH
+    * endpoints survive — the standard debug-subset / multi-round-training
+    * subsample of a link graph (node-induced, so degree structure within
+    * the sample is unbiased). Pure per-row predicate on the edge table:
+    * no shuffle, the filter pushes into the scan, and the same vertex set
+    * is selected on any engine or cluster size (sha, not RNG). */
+  def sampleInduced(edges: DataFrame, salt: String,
+                    keepPerMille: Int): DataFrame = {
+    def keep(c: Column): Column =
+      pmod(conv(substring(
+        sha2(concat(lit(salt + ":"), c.cast("string")), 256), 1, 15),
+        16, 10).cast("long"), lit(1000L)) < keepPerMille
+    edges.filter(keep(col("src")) && keep(col("dst")))
+  }
 }

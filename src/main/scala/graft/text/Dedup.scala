@@ -132,6 +132,33 @@ object Dedup {
     out
   }
 
+  /** Near-duplicate canonicalization — the survivor-selection step a
+    * dedup pipeline runs after candidate generation: clusters are the
+    * connected components of the near-dup pair graph (hash-min CC, whose
+    * converged label IS each cluster's minimum doc id), the canonical
+    * survivor is that minimum, and docs in no pair are their own
+    * canonical. Output (id, canonical_id, is_canonical 1/0) for EVERY
+    * input doc — the rewrite table a corpus materialization joins on.
+    *
+    * Scale shape: CC runs over the PAIR graph only (near-dup candidates,
+    * orders of magnitude smaller than the corpus); the corpus-side cost
+    * is one left join on the doc id. Transitivity is deliberate — it is
+    * how production dedup collapses chains A~B~C where A and C alone
+    * would not collide (the standard MinHash-cluster semantics). */
+  def canonicalize(spark: org.apache.spark.sql.SparkSession,
+                   docs: DataFrame, idCol: String,
+                   pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    val comp = graft.kernels.ConnectedComponents
+      .run(spark, graft.graph.Edges.symmetrize(edges)).components
+    docs.select(col(idCol))
+      .join(comp, docs(idCol) === comp("vid"), "left")
+      .select(docs(idCol),
+        coalesce(col("component"), docs(idCol)).as("canonical_id"))
+      .withColumn("is_canonical",
+        (col(idCol) === col("canonical_id")).cast("long"))
+  }
+
   /** Token hash for oracle-parity SimHash: the top 60 bits of sha256,
     * parsed from the first 15 hex chars — the one 64-bit-ish hash both
     * Spark and DuckDB compute identically (`xxhash64` has no DuckDB

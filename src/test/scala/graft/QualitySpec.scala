@@ -87,6 +87,68 @@ class QualitySpec extends SparkSpec {
     assert(hm(4L) == ((4L, 2833333L)))
   }
 
+  test("sampleInduced: node-induced semantics, deterministic") {
+    val e = edgeDF((1L to 40L).flatMap(i => Seq((i, i + 1), (i, i + 2))))
+    val s1 = graft.graph.Edges.sampleInduced(e, "t", 500)
+    val s2 = graft.graph.Edges.sampleInduced(e.repartition(5), "t", 500)
+    val r1 = s1.as[(Long, Long)].collect().toSet
+    assert(r1 == s2.as[(Long, Long)].collect().toSet) // partition-invariant
+    assert(r1.nonEmpty && r1.size < 80) // a real half-ish sample
+    // node-induced: the kept vertex set explains every surviving edge
+    val kept = (1L to 42L).filter { v =>
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"t:$v".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 1000 < 500
+    }.toSet
+    assert(r1.forall { case (a, b) => kept(a) && kept(b) })
+    assert(e.as[(Long, Long)].collect()
+      .filter { case (a, b) => kept(a) && kept(b) }.toSet == r1)
+  }
+
+  test("canonicalize: chains collapse transitively, singletons stay") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // 2~3 and 3~5: one cluster {2,3,5} even though 2 and 5 never paired
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("d1", "d2")
+    val r = graft.text.Dedup.canonicalize(spark, docs, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 1L, 1L), (2L, 2L, 1L), (3L, 2L, 0L),
+      (4L, 4L, 1L), (5L, 2L, 0L)))
+  }
+
+  test("node2vecWalks: exact replay of an independent simulator") {
+    // triangle {1,2,3} with a tail 3-4: exercises all three weights
+    // (return, distance-1 via the triangle, distance-2 via the tail)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val eset = edges.toSet
+    val adjMap = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).sorted }
+    def sha60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    def pickStep(s: Int, walk: Long, prev: Long, cur: Long): Long = {
+      val cands = adjMap(cur)
+      val ws = cands.map(x =>
+        if (x == prev) 1L
+        else if (eset((math.min(prev, x), math.max(prev, x)))) 2L
+        else 1L)
+      val r = sha60(s"n2v:$walk:$s:$prev:$cur") % ws.sum
+      val cum = ws.scanLeft(0L)(_ + _).tail
+      cands(cum.indexWhere(r < _))
+    }
+    val expected = adjMap.keys.flatMap { v =>
+      val first = adjMap(v)((sha60(s"n2v:$v:1:$v") % adjMap(v).size).toInt)
+      val second = pickStep(2, v, v, first)
+      val third = pickStep(3, v, first, second)
+      Seq((v, 0L, v), (v, 1L, first), (v, 2L, second), (v, 3L, third))
+    }.toSet
+    val got = graft.kernels.RandomWalk.node2vecWalks(edgeDF(edges), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("deep perSeedDistances compacts its reached set (path, 12 hops)") {
     val sym = graft.graph.Edges.symmetrize(
       edgeDF((1L to 12L).map(i => (i, i + 1))))
