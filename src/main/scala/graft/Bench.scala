@@ -144,7 +144,17 @@ object Bench {
       canonical.count()
       val (tri, sec) = time(
         TriangleCount.total(canonical).head().getLong(0))
-      println(f"""LEGTC{"cores":$cores,"tc_sec":$sec%.3f,"triangles":$tri}""")
+      // optional second kernel run in the SAME JVM: the steady-state
+      // (JIT-warm) number a long-running production job sustains — the
+      // cold/warm split makes the host-phase vs JIT attribution visible
+      // in the driver artifact instead of only in builder-run probes
+      val warm =
+        if (sys.env.getOrElse("SPARK_GRAFT_TC_WARM", "0") == "1")
+          f""","tc_warm_sec":${time(
+            TriangleCount.total(canonical).head().getLong(0))._2}%.3f"""
+        else ""
+      println(
+        f"""LEGTC{"cores":$cores,"tc_sec":$sec%.3f,"triangles":$tri$warm}""")
     } finally spark.stop()
   }
 
@@ -152,7 +162,8 @@ object Bench {
     * given extra args; returns the first output line starting with
     * `marker` plus a numeric-field extractor over it. */
   private def spawnChild(args: Seq[String], edgesPath: String,
-                         supersteps: Int, marker: String)
+                         supersteps: Int, marker: String,
+                         extraEnv: Map[String, String] = Map.empty)
       : String => String = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -163,6 +174,7 @@ object Bench {
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_EDGES_PATH", edgesPath)
     pb.environment().put("SPARK_GRAFT_SUPERSTEPS", supersteps.toString)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark logs flow through
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
@@ -181,10 +193,15 @@ object Bench {
       field("edges_per_sec").toDouble)
   }
 
-  private def spawnTcLeg(cores: Int, edgesPath: String): (Double, Long) = {
+  /** @return (cold kernel sec, triangles, warm kernel sec if requested) */
+  private def spawnTcLeg(cores: Int, edgesPath: String,
+                         warm: Boolean = false)
+      : (Double, Long, Option[Double]) = {
     val field = spawnChild(Seq("--tcleg", cores.toString), edgesPath,
-      0, "LEGTC{")
-    (field("tc_sec").toDouble, field("triangles").toLong)
+      0, "LEGTC{",
+      if (warm) Map("SPARK_GRAFT_TC_WARM" -> "1") else Map.empty)
+    (field("tc_sec").toDouble, field("triangles").toLong,
+      if (warm) Some(field("tc_warm_sec").toDouble) else None)
   }
 
   final case class Leg(edges: Long, secs: Seq[Double]) {
@@ -217,6 +234,7 @@ object Bench {
     @volatile var legsSkipped = 0
     @volatile var tcRuns: Seq[(Double, Long)] = Nil
     @volatile var tcRoundsRun = 0
+    @volatile var tcWarmSec = -1.0
     @volatile var m = -1L
     @volatile var prSec = -1.0
     @volatile var prWall = -1.0
@@ -266,7 +284,7 @@ object Bench {
       }
     private def graphJson: String = {
       val tcRunsJson = tcRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
-      f""""graph":{"directed_edges":$m,"pagerank_superstep_sec":$prSec%.2f,"pagerank_wall_sec":$prWall%.2f,"pagerank_preloop_sec":$prPreloopSec%.2f,"pagerank_supersteps_wall_sec":$prStepsSec%.2f,"cc_sec":$ccSec%.2f,"cc_iters":$ccIters,"lp_sec":$lpSec%.2f,"tc_sec":$tcSec%.2f,"tc_sec_runs":$tcRunsJson,"tc_rounds":$tcRoundsRun,"triangles":$tcTotal}"""
+      f""""graph":{"directed_edges":$m,"pagerank_superstep_sec":$prSec%.2f,"pagerank_wall_sec":$prWall%.2f,"pagerank_preloop_sec":$prPreloopSec%.2f,"pagerank_supersteps_wall_sec":$prStepsSec%.2f,"cc_sec":$ccSec%.2f,"cc_iters":$ccIters,"lp_sec":$lpSec%.2f,"tc_sec":$tcSec%.2f,"tc_sec_runs":$tcRunsJson,"tc_rounds":$tcRoundsRun,"tc_warm_sec":$tcWarmSec%.2f,"triangles":$tcTotal}"""
     }
     private def convJson: String =
       f""""pagerank_convergence":{"directed_edges":$convM,"iters":$convIters,"converged":$convConverged,"sec":$convSec%.2f,"edges_per_sec":$convTp}"""
@@ -445,7 +463,12 @@ object Bench {
         if (i == 1 ||
             remaining - (kernelsReserve + queriesReserve) > tcEst * 1.2) {
           val t = System.nanoTime()
-          runs = runs :+ spawnTcLeg(cores4N, edgesPath)
+          // round 1 also times a SAME-JVM warm rerun: the steady-state
+          // number the cold/warm attribution in BENCH.md relies on
+          val (cold, tri, warmSec) =
+            spawnTcLeg(cores4N, edgesPath, warm = i == 1)
+          runs = runs :+ (cold -> tri)
+          warmSec.foreach(S.tcWarmSec = _)
           tcEst = (System.nanoTime() - t) / 1e9
           S.tcRuns = runs; S.tcRoundsRun = i
           checkpointSection(s"tc-round$i")
@@ -521,6 +544,38 @@ object Bench {
         } else S.queriesSkipped += 1
       }
       checkpointSection("queries")
+    }
+
+    // --- budget top-up: TC and leg rounds skipped mid-run (where the
+    // queries/kernels reserves must be assumed, not known) re-attempt now
+    // that `remaining` is the exact leftover — the reserves were pessimistic
+    // in round 4's dry run (950 s reserved, 454 s spent at the 39-query
+    // mark), which silently cost two TC rounds while 700+ s went unused ---
+    if (doTc) {
+      while (S.tcRoundsRun < tcRounds && remaining > tcEst * 1.2 + 20) {
+        val t = System.nanoTime()
+        val (cold, tri, _) = spawnTcLeg(cores4N, edgesPath)
+        S.tcRuns = S.tcRuns :+ (cold -> tri)
+        tcEst = (System.nanoTime() - t) / 1e9
+        S.tcRoundsRun += 1
+        checkpointSection(s"tc-topup${S.tcRoundsRun}")
+      }
+    }
+    if (doScaling && S.legsSkipped > 0) {
+      // one more interleaved (N, 4N) round per pass while it fits — the
+      // headline pair benefits most from extra samples on a bursty host
+      var pass = 0
+      while (S.legsSkipped > 0 && pass < 3 &&
+             remaining > (legCost(coresN) + legCost(cores4N)) * 1.2 + 20) {
+        pass += 1
+        for (c <- Seq(coresN, cores4N)) {
+          val (ed, sec, _) = spawnLeg(c, legEdgesPath, legSteps)
+          val prev = S.legs.getOrElse(c, Leg(ed, Vector.empty))
+          S.legs = S.legs.updated(c, Leg(prev.edges, prev.secs :+ sec))
+          S.legsSkipped = math.max(0, S.legsSkipped - 1)
+          checkpointSection(s"leg-$c-topup$pass")
+        }
+      }
     }
     emit()
     spark.stop()
