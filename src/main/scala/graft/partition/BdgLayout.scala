@@ -51,6 +51,16 @@ object BdgLayout {
     df.filter(pmod(xxhash64(col("vid")), lit(1000000L))
       < lit((rate * 1000000L).toLong))
 
+  /** Persist `df` unless the caller already did, returning the handle and
+    * whether WE own the persist (and so must unpersist). The layout passes
+    * a DERIVED edge table (e.g. a co-occurrence self-join) through dozens
+    * of flood-hop/stat joins — without pinning it once at the outermost
+    * entry point, every hop re-derives it from the raw scan (the round-4
+    * q38 profile: ~20 redundant derivations dominated the wall clock). */
+  private def pinned(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel.useMemory || df.storageLevel.useDisk) (df, false)
+    else (df.persist(), true)
+
   /** Synchronous min-color flood from `seedColors` (vid, color), frozen
     * adoption: per hop, every UNCOLORED vertex adjacent to a colored one
     * adopts the minimum neighboring color; colored vertices never change
@@ -74,8 +84,9 @@ object BdgLayout {
     * FREE — callers running a re-seed ladder (voronoiColors) previously
     * re-counted the whole union per round, a full extra pass over the
     * color table each round (round-3 VERDICT item 7). */
-  def floodColors(sym: DataFrame, seedColors: DataFrame,
+  def floodColors(symIn: DataFrame, seedColors: DataFrame,
                   maxHop: Int, checkEvery: Int = 2): (DataFrame, Int, Long) = {
+    val (sym, ownSym) = pinned(symIn)
     val seedPiece = seedColors.select(col("vid"), col("color"))
       .localCheckpoint(eager = true)
     var colored = seedPiece.count() // cached — a cheap metadata-ish job
@@ -102,13 +113,17 @@ object BdgLayout {
         if (grewBy == 0L) { grew = false; pieces = pieces.tail }
       }
     }
+    // every piece was materialized by a probe job, so `colors` no longer
+    // depends on sym and the pin (if ours) can be released here
+    if (ownSym) sym.unpersist()
     (colors, hop, colored)
   }
 
   /** B3: Voronoi colors to fixpoint-or-fallback. Input: symmetric edge
     * table (src, dst). Output: (vid, color), every vertex colored. */
-  def voronoiColors(spark: SparkSession, sym: DataFrame,
+  def voronoiColors(spark: SparkSession, symIn: DataFrame,
                     p: Params = Params()): DataFrame = {
+    val (sym, ownSym) = pinned(symIn)
     val verts = sym.select(col("src").as("vid")).distinct()
       .repartition(col("vid")).persist()
     val n = verts.count()
@@ -157,6 +172,7 @@ object BdgLayout {
       }
     val out = result.localCheckpoint(true)
     verts.unpersist(); uncolored.unpersist()
+    if (ownSym) sym.unpersist()
     out
   }
 
@@ -184,11 +200,13 @@ object BdgLayout {
 
   /** A7 + B5: per-color block info, collected and greedily packed into
     * `workers` bins. Returns the driver-side block→worker map. */
-  def assignBlocks(sym: DataFrame, colors: DataFrame,
+  def assignBlocks(symIn: DataFrame, colors: DataFrame,
                    p: Params = Params()): Map[Long, Int] = {
+    val (sym, ownSym) = pinned(symIn)
     val info = blockInfo(sym, colors)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSet))
+    if (ownSym) sym.unpersist()
     val total = info.map(_._2).sum
     val capacity = ((1 + p.eps) * total / p.workers)
     val assigned = Array.fill(p.workers)(0L)
@@ -218,11 +236,13 @@ object BdgLayout {
   /** Full layout: (vid, color, worker), with the block→worker map shipped
     * as a broadcast join (J7 — `blk_to_slv` broadcast,
     * `BDGPartitioner.tpp:131-135`). */
-  def layout(spark: SparkSession, sym: DataFrame,
+  def layout(spark: SparkSession, symIn: DataFrame,
              p: Params = Params()): DataFrame = {
     import spark.implicits._
+    val (sym, ownSym) = pinned(symIn)
     val colors = voronoiColors(spark, sym, p)
     val blk2w = assignBlocks(sym, colors, p)
+    if (ownSym) sym.unpersist() // blk2w is driver-side; colors checkpointed
     val mapDf = blk2w.toSeq.toDF("color", "worker")
     colors.join(broadcast(mapDf), "color")
       .select(col("vid"), col("color"), col("worker"))
@@ -233,8 +253,9 @@ object BdgLayout {
     * Output: (worker, n_blocks, n_vertices, cross_edges,
     *          hash_cross_edges) — cross counts are directed edge counts
     * leaving the worker under each assignment. */
-  def crossEdgeStats(spark: SparkSession, sym: DataFrame,
+  def crossEdgeStats(spark: SparkSession, symIn: DataFrame,
                      p: Params = Params()): DataFrame = {
+    val (sym, ownSym) = pinned(symIn)
     val lay = layout(spark, sym, p).persist()
     val wA = sym
       .join(lay.select(col("vid").as("src"), col("worker").as("wa")), "src")
@@ -269,6 +290,7 @@ object BdgLayout {
     // multi-row results through driver memory) — then release the cache
     val eager = out.localCheckpoint(eager = true)
     lay.unpersist()
+    if (ownSym) sym.unpersist()
     eager
   }
 }
