@@ -787,7 +787,53 @@ object SparkEntry {
     // node2vec second-order walks (p = q = 2 as integer weights 1/2/1):
     // sha-drawn into the per-step weight CDF — each step SQL-replayable
     "q83_node2vec" -> ((s, d) =>
-      graft.kernels.RandomWalk.node2vecWalks(e2(s, d), length = 3))
+      graft.kernels.RandomWalk.node2vecWalks(e2(s, d), length = 3)),
+
+    // as-of (point-in-time) join: every event annotated with the LATEST
+    // at-or-before purchase of the same user — the single-shuffle
+    // union+window plan (no range-join row explosion); -1/'' sentinels
+    // for events with no prior purchase
+    "q84_asof" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin.asofBackward(ev, right, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_ts", "purchase_value"))
+        .select(col("event_id"), col("event_type"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("")).as("purchase_ts"),
+          round(coalesce(col("purchase_value"), lit(-1.0)), 6)
+            .as("purchase_value"))
+    }),
+
+    // corpus-driven boilerplate: word 5-grams whose document frequency is
+    // >= 5 are boilerplate phrases (C4-style frequent-phrase rule — the
+    // phrase table comes from the corpus itself, unlike q65 where it is
+    // an external benchmark); per-doc floor-ppm share + keep gate
+    "q85_boilerplate" -> ((s, d) =>
+      graft.text.QualityRules.frequentPhraseStats(
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // per-doc top-3 salient terms by tf-idf with the exact-integer
+    // idf = 1000000*N div df (parity twin of the ln(N/df) production
+    // scoring — same plan, bit-replayable ranking)
+    "q86_tfidf" -> ((s, d) =>
+      graft.text.TfIdf.topTermsIdfPpm(
+        T(s, d, "documents"), "doc_id", "text", k = 3)),
+
+    // sliding event-time windows (1 h window, 15 min slide): per-row
+    // 4-way Expand + one hash aggregation — no self-join, no range join
+    "q87_sliding" -> ((s, d) =>
+      graft.streaming.Streaming.slidingAgg(T(s, d, "events"), 60, 15)
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value")))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -1887,6 +1933,78 @@ object SparkEntry {
          |SELECT vid AS walk, CAST(0 AS BIGINT) AS step, vid FROM deg
          |UNION ALL SELECT walk, 1, cur FROM w1
          |UNION ALL SELECT walk, 2, cur FROM p2
-         |UNION ALL SELECT walk, 3, cur FROM p3""".stripMargin
+         |UNION ALL SELECT walk, 3, cur FROM p3""".stripMargin,
+    // the same union+running-last plan the Spark operator compiles to
+    // (DuckDB's ASOF JOIN has unspecified tie order, so the oracle spells
+    // out the deterministic at-or-before semantics instead)
+    "q84_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS tag, event_id, event_type,
+        |         NULL::BIGINT AS pid, NULL::TIMESTAMP AS pts,
+        |         NULL::DOUBLE AS pval
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, event_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(pid IGNORE NULLS) OVER win AS lpid,
+        |    last_value(pts IGNORE NULLS) OVER win AS lpts,
+        |    last_value(pval IGNORE NULLS) OVER win AS lpval
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, pid, pts, pval
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |       coalesce(lpid, -1) AS purchase_id,
+        |       coalesce(strftime(lpts, '%Y-%m-%d %H:%M:%S'), '') AS purchase_ts,
+        |       round(coalesce(lpval, -1), 6) AS purchase_value
+        |FROM w WHERE tag = 1""".stripMargin,
+    "q85_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM tok WHERE len(t) >= 5),
+        |pg AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g, count(*) AS c
+        |       FROM pos GROUP BY 1, 2),
+        |dfq AS (SELECT g, count(*) AS df FROM pg GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_phrases,
+        |               CAST(sum(CASE WHEN df >= 5 THEN c ELSE 0 END) AS BIGINT)
+        |                 AS n_boiler
+        |        FROM pg JOIN dfq USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_phrases, 0) AS n_phrases,
+        |       coalesce(n_boiler, 0) AS n_boiler,
+        |       CASE WHEN coalesce(n_phrases, 0) > 0
+        |            THEN coalesce(n_boiler, 0) * 1000000 // n_phrases
+        |            ELSE 0 END AS boiler_ppm,
+        |       CASE WHEN (CASE WHEN coalesce(n_phrases, 0) > 0
+        |                       THEN coalesce(n_boiler, 0) * 1000000 // n_phrases
+        |                       ELSE 0 END) <= 500000
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q86_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |         CAST(tf * ((1000000 * nn.n) // df) AS BIGINT) AS score
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |       FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM rk WHERE rank <= 3""".stripMargin,
+    // sliding windows are epoch-aligned on the 15-min slide, so each event
+    // lands in exactly 4 windows: base bucket minus k slides, k = 0..3
+    "q87_sliding" ->
+      """SELECT strftime(make_timestamp(
+        |         (900 * (CAST(floor(epoch(ts)) AS BIGINT) // 900) - 900 * k)
+        |           * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events, (SELECT unnest(range(4)) AS k)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -30,6 +30,25 @@ object Streaming {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (length `windowMin`, step `slideMin`) per
+    * event type — each event lands in windowMin/slideMin overlapping
+    * windows, all epoch-aligned on the slide like Spark's `window()`
+    * semantics on a real cluster. Works on a batch DataFrame or a
+    * streaming one unchanged (add a watermark upstream for streams).
+    *
+    * Scale shape: the window expansion is a per-row generator (Expand,
+    * inside codegen — windowMin/slideMin rows per event, a small constant)
+    * followed by ONE hash aggregation keyed by (window, type) with
+    * map-side combine; no self-join, no range join, no global sort. */
+  def slidingAgg(events: DataFrame, windowMin: Int, slideMin: Int)
+      : DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowMin minutes",
+        s"$slideMin minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** File-source stream over a directory of event parquet files. */
   def eventStream(spark: SparkSession, dir: String,
                   schema: StructType): DataFrame =

@@ -87,4 +87,44 @@ object QualityRules {
         regexp_replace(t, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"), 256).as("masked_sha"))
   }
+
+  /** Corpus-driven boilerplate (frequent-phrase) statistics — the C4-style
+    * cleaning rule where phrases repeated across MANY documents (headers,
+    * footers, licence blurbs, navigation chrome) are flagged from the
+    * corpus itself, unlike q65's decontamination where the n-gram set
+    * comes from an external benchmark. Output per document:
+    * (id, n_phrases, n_boiler, boiler_ppm, keep) where a "phrase" is a
+    * word `n`-gram occurrence, "boiler" counts occurrences of phrases
+    * whose document frequency is >= `minDf`, boiler_ppm is the floor-ppm
+    * share (exact-integer parity discipline), and keep = 1 iff the share
+    * is <= `boilerPpmMax`. Documents shorter than `n` tokens have zero
+    * phrases and score 0 (kept).
+    *
+    * Scale shape: explode to (doc, phrase) with per-pair counts (map-side
+    * combined, keyed by doc — no skew), derive the phrase df table from
+    * those pairs (second aggregation, keyed by phrase; hot phrases are
+    * exactly the point and a count is skew-proof), join back on phrase,
+    * re-aggregate by doc. The document text itself never shuffles; only
+    * (id, phrase-hash, count) triples move. */
+  def frequentPhraseStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, minDf: Long = 5L,
+                          boilerPpmMax: Long = 500000L): DataFrame = {
+    val pg = df.select(col(idCol),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val dfreq = pg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = pg.join(dfreq, "g")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_phrases"),
+        sum(when(col("df") >= minDf, col("c")).otherwise(lit(0L)))
+          .as("n_boiler"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm",
+        when(col("n_phrases") > 0,
+          expr("n_boiler * 1000000L div n_phrases")).otherwise(lit(0L)))
+      .withColumn("keep", (col("boiler_ppm") <= boilerPpmMax).cast("long"))
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.AsofJoin
+import graft.streaming.Streaming
+import graft.text.{QualityRules, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** Round-4 operators: as-of join, frequent-phrase boilerplate, tf-idf
+  * top terms, sliding event-time windows. */
+class TemporalTextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofBackward: latest at-or-before row per key, outer nulls, ties") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (1L, ts("2024-01-01 09:00:00"), "pre"), // before any right row
+      (2L, ts("2024-01-01 10:30:00"), "c"),
+      (3L, ts("2024-01-01 10:00:00"), "lonely") // key with no right rows
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // equal ts: visible to "a"
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 10:00:00"), 200L),
+      (2L, ts("2024-01-01 10:00:00"), 201L)  // tie: larger payload wins
+    ).toDF("k", "rts", "pay")
+    val out = AsofJoin.asofBackward(left, right, "k", "ts", "rts",
+        Seq("pay"))
+      .select(col("tag"), col("pay")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map("a" -> 100L, "b" -> 101L, "pre" -> -1L,
+      "c" -> 201L, "lonely" -> -1L))
+  }
+
+  test("frequentPhraseStats: df threshold, short docs, ppm and gate") {
+    // phrase "a b c d e" appears in docs 1,2,3 (df=3 >= 2 -> boilerplate,
+    // twice in doc 3); "v w x y z" only in doc 4 (df=1); doc 5 too short
+    val docs = Seq(
+      (1L, "a b c d e tail1"),
+      (2L, "head2 a b c d e"),
+      (3L, "a b c d e a b c d e"),
+      (4L, "v w x y z"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val r = QualityRules.frequentPhraseStats(docs, "doc_id", "text",
+        n = 5, minDf = 2L, boilerPpmMax = 400000L)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L, 6L, 1L, 0L)) // n_phrases
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 1L, 2L, 0L, 0L)) // n_boiler
+    assert(r.map(_.getLong(3)).toSeq ==
+      Seq(500000L, 500000L, 333333L, 0L, 0L))
+    assert(r.map(_.getLong(4)).toSeq == Seq(0L, 0L, 1L, 1L, 1L)) // keep
+  }
+
+  test("tfidf topTermsIdfPpm: rare terms outrank common, ties by term") {
+    // N=3; 'common' df=3 (idf 1000000), 'rare' df=1 (idf 3000000)
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common zeta zeta"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val r = TfIdf.topTermsIdfPpm(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "score").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, "rare", 3000000L),   // 1 * 3000000 > 2 * 1000000
+      (1L, 2L, "common", 2000000L),
+      (2L, 1L, "zeta", 6000000L),   // 2 * 3000000
+      (2L, 2L, "common", 1000000L),
+      (3L, 1L, "common", 1000000L)))
+  }
+
+  test("slidingAgg: each event in exactly window/slide epoch-aligned windows") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "x", 1.0),
+      (2L, ts("2024-01-01 00:20:00"), "x", 10.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val r = Streaming.slidingAgg(ev, 60, 15)
+      .orderBy("win_start")
+      .select(date_format(col("win_start"), "HH:mm").as("w"), col("n"),
+        col("sum_value")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    // event1 windows start 23:15..00:00 (+00:00); event2 23:30..00:15;
+    // overlap on 23:30, 23:45, 00:00
+    assert(r.toSeq == Seq(
+      ("23:15", 1L, 1.0), ("23:30", 2L, 11.0), ("23:45", 2L, 11.0),
+      ("00:00", 2L, 11.0), ("00:15", 1L, 10.0)))
+  }
+}
