@@ -397,16 +397,19 @@ object Bench {
     val localBase = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       "/dev/shm/graft-spark-local")
     val edgesPath = localBase + s"/bench_edges_$rows"
-    // the scaling legs use a half-size graph by default: efficiency is a
-    // RATIO of edges/sec at two core counts over one fixed input, so it is
-    // size-invariant as long as superstep time >> per-superstep fixed cost
-    // (2-core superstep ~15 s vs ~0.3 s barrier overhead at this size) —
-    // and cheaper legs buy more interleaved rounds inside the budget,
-    // which is what makes the median robust on a bursty host. TC and the
-    // in-session kernels keep the full-size graph (comparability with
-    // rounds 1-3 and BASELINE.md Table 3).
+    // the scaling legs use the FULL-size graph: efficiency is a RATIO of
+    // edges/sec at two core counts over one fixed input, so it is
+    // size-invariant only while superstep time >> per-superstep fixed cost.
+    // Round 4 tried half-size legs to buy more interleaved rounds and
+    // measured the artifact directly: at 25M directed edges the fixed
+    // per-superstep cost (~0.5-1.7 s of job scheduling + barrier) is a
+    // visible share of the 8-core ~3.2 s superstep and drags
+    // phase-consistent efficiency to 0.67-0.70, while the SAME binary on
+    // the SAME idle host at 50.5M edges measures 0.96/0.84 across two
+    // interleaved pairs (2-core 19.3/17.1 s, 8-core 5.03/5.11 s). Fewer,
+    // honest rounds beat many rounds of a biased ratio.
     val legRows = sys.env.getOrElse("SPARK_GRAFT_LEG_ROWS",
-      (rows / 2).toString).toLong
+      rows.toString).toLong
     val legEdgesPath = localBase + s"/bench_edges_$legRows"
     if (doScaling || doTc) {
       val prep = session(cores4N)
@@ -562,14 +565,23 @@ object Bench {
       }
     }
     if (doScaling && S.legsSkipped > 0) {
-      // one more interleaved (N, 4N) round per pass while it fits — the
-      // headline pair benefits most from extra samples on a bursty host
+      // one more interleaved round of the HEADLINE pair (base, 4·base) per
+      // pass while it fits, plus the saturated leg when there is room.
+      // Round 4's first cut topped up (coresN, cores4N) instead: the
+      // 2-core leg then had samples only from the run's early phase while
+      // the 8-core leg got extra late-phase samples — a host whose early
+      // phase is slow inflates the recorded efficiency. Both legs of a
+      // pair must sample the same phases.
       var pass = 0
       while (S.legsSkipped > 0 && pass < 3 &&
-             remaining > (legCost(coresN) + legCost(cores4N)) * 1.2 + 20) {
+             remaining > (legCost(base) + legCost(coresN)) * 1.2 + 20) {
         pass += 1
-        for (c <- Seq(coresN, cores4N)) {
+        for (c <- Seq(base, coresN, cores4N)
+             if c == base || c == coresN ||
+               remaining > legCost(c) * 1.2 + 20) {
+          val t = System.nanoTime()
           val (ed, sec, _) = spawnLeg(c, legEdgesPath, legSteps)
+          legCost(c) = (System.nanoTime() - t) / 1e9
           val prev = S.legs.getOrElse(c, Leg(ed, Vector.empty))
           S.legs = S.legs.updated(c, Leg(prev.edges, prev.secs :+ sec))
           S.legsSkipped = math.max(0, S.legsSkipped - 1)
