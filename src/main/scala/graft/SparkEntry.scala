@@ -833,7 +833,34 @@ object SparkEntry {
           date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss")
             .as("win_start"),
           col("event_type"), col("n"),
-          round(col("sum_value"), 6).as("sum_value")))
+          round(col("sum_value"), 6).as("sum_value"))),
+
+    // span-level corpus rewrite (CCNet line-dedup analog): 3-word spans
+    // occurring in > 2 docs are boilerplate and removed; docs reassembled
+    "q88_span_dedup" -> ((s, d) =>
+      Dedup.dedupSpans(T(s, d, "documents"), "doc_id", "text",
+        spanWords = 3, maxDf = 2)),
+
+    // HITS hubs/authorities on the DIRECTED co-occurrence edges, 4 full
+    // iterations, deferred normalization (integer path counts until the
+    // final division — half-step-replayable in a recursive CTE)
+    "q89_hits" -> ((s, d) => {
+      val r = graft.kernels.Hits.run(s, e2(s, d), iters = 4).scores
+      r.select(col("vid"), round(col("hub"), 8).as("hub"),
+        round(col("auth"), 8).as("auth"))
+    }),
+
+    // GNN-style 2-layer neighborhood aggregation (GraphSAGE-sum with
+    // degree as the input feature) — per-node structural features for
+    // training export; integer sums end to end
+    "q90_khop" -> ((s, d) =>
+      graft.kernels.GraphStats.khopFeatures(
+        Edges.symmetrize(e2(s, d)), hops = 2)),
+
+    // calibrated int8 embedding compression: per-dimension min/max →
+    // affine map onto [-127,127] + max reconstruction error per vector
+    "q91_quantize_int8" -> ((s, d) =>
+      Ann.calibratedInt8(T(s, d, "embeddings"), "vec_id", "embedding"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2005,6 +2032,85 @@ object SparkEntry {
         |           * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events, (SELECT unnest(range(4)) AS k)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // span i = words [i*3+1, i*3+3] (1-indexed inclusive slice == Spark's
+    // slice(t, i*3+1, 3)); boilerplate = span text in > 2 distinct docs
+    "q88_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |sp0 AS (SELECT doc_id, t,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(t) / 3.0) AS BIGINT) - 1)) AS i
+        |        FROM tok),
+        |sp AS (SELECT doc_id, i,
+        |         array_to_string(t[(i*3 + 1):(i*3 + 3)], ' ') AS span
+        |       FROM sp0),
+        |dfq AS (SELECT span, count(DISTINCT doc_id) AS ndocs
+        |        FROM sp GROUP BY 1),
+        |kept AS (SELECT doc_id, i, span FROM sp JOIN dfq USING (span)
+        |         WHERE ndocs <= 2),
+        |re AS (SELECT doc_id, count(*) AS kept_spans,
+        |              string_agg(span, ' ' ORDER BY i) AS kept_text
+        |       FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+        |SELECT t.doc_id AS id, n_spans,
+        |       coalesce(kept_spans, 0) AS kept_spans,
+        |       coalesce(kept_text, '') AS kept_text
+        |FROM tot t LEFT JOIN re USING (doc_id)""".stripMargin,
+    // HITS by half-steps: odd iters hold authority (pull hub across src→dst),
+    // even iters hold hub (pull authority back); iter 7 = a_4, iter 8 = h_4
+    "q89_hits" ->
+      s"""WITH RECURSIVE $CTE,
+         |hv AS (SELECT DISTINCT v AS vid FROM
+         |         (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+         |st(iter, vid, x) AS (
+         |  SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM hv
+         |  UNION ALL
+         |  SELECT s.iter + 1,
+         |         CASE WHEN s.iter % 2 = 0 THEN ed.d ELSE ed.s END,
+         |         sum(s.x)
+         |  FROM st s JOIN e ed
+         |    ON (CASE WHEN s.iter % 2 = 0 THEN ed.s ELSE ed.d END) = s.vid
+         |  WHERE s.iter < 8
+         |  GROUP BY 1, 2),
+         |hub AS (SELECT vid, x FROM st WHERE iter = 8),
+         |auth AS (SELECT vid, x FROM st WHERE iter = 7)
+         |SELECT coalesce(h.vid, a.vid) AS vid,
+         |       round(coalesce(h.x / (SELECT sum(x) FROM hub), 0), 8) AS hub,
+         |       round(coalesce(a.x / (SELECT sum(x) FROM auth), 0), 8) AS auth
+         |FROM hub h FULL JOIN auth a ON h.vid = a.vid""".stripMargin,
+    "q90_khop" ->
+      s"""WITH $CTE,
+         |l1 AS (SELECT s.s AS vid, CAST(sum(d.degree) AS BIGINT) AS f1
+         |       FROM sym s JOIN deg d ON s.d = d.vid GROUP BY 1),
+         |l2 AS (SELECT s.s AS vid, CAST(sum(l1.f1) AS BIGINT) AS f2
+         |       FROM sym s JOIN l1 ON s.d = l1.vid GROUP BY 1)
+         |SELECT deg.vid, deg.degree,
+         |       coalesce(l1.f1, 0) AS f1, coalesce(l2.f2, 0) AS f2
+         |FROM deg LEFT JOIN l1 USING (vid) LEFT JOIN l2 USING (vid)""".stripMargin,
+    // identical double op order as the Spark plan: ((x-lo)/(hi-lo))*254,
+    // floor, -127; recon = lo + ((q+127)*(hi-lo))/254
+    "q91_quantize_int8" ->
+      """WITH dims AS (
+        |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
+        |          FROM dims GROUP BY 1),
+        |q AS (SELECT vec_id, dims.pos, x, lo, hi,
+        |        CASE WHEN hi > lo
+        |             THEN CAST(floor((x - lo) / (hi - lo) * 254.0) AS BIGINT)
+        |                  - 127
+        |             ELSE 0 END AS qv
+        |      FROM dims JOIN stats ON dims.pos = stats.pos),
+        |r AS (SELECT vec_id, pos, x, qv,
+        |        CASE WHEN hi > lo
+        |             THEN lo + CAST(qv + 127 AS DOUBLE) * (hi - lo) / 254.0
+        |             ELSE lo END AS recon
+        |      FROM q)
+        |SELECT vec_id AS id, array_agg(qv ORDER BY pos) AS qvec,
+        |       round(max(abs(x - recon)), 8) AS max_abs_err
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

@@ -119,4 +119,38 @@ object GraphStats {
       round((col("sxy").cast("double") / m - mu * mu) /
         (col("sx2").cast("double") / m - mu * mu), 8).as("r"))
   }
+
+  /** GNN-style k-hop neighborhood aggregation (GraphSAGE-sum layers with
+    * degree as the input feature): layer 0 is each vertex's degree,
+    * layer i+1(v) = Σ_{u∈N(v)} layer i(u). Returns
+    * (vid, degree, f1, ..., fk) — the structural feature vector a
+    * training pipeline exports per node before embedding.
+    *
+    * Every layer is ONE join+aggregate over the shared symmetric edge
+    * fabric with integer sums (exact, order-independent, hash-oracle
+    * replayable); k layers = k shuffles, each reusing the src-partitioned
+    * persisted edge table — the same scale shape as a superstep. */
+  def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
+    val e = sym.select(col("src"), col("dst")).repartition(col("src"))
+      .persist()
+    val d0 = e.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("degree")).persist()
+    var out = d0
+    var layer = d0.select(col("vid"), col("degree").as("f"))
+    for (i <- 1 to hops) {
+      val st = layer.select(col("vid").as("sv"), col("f"))
+        .hint("SHUFFLE_HASH")
+      layer = e.join(st, e("dst") === st("sv"))
+        .groupBy(e("src").as("vid")).agg(sum(col("f")).as("f"))
+        .localCheckpoint()
+      out = out.join(layer.select(col("vid"), col("f").as(s"f$i")),
+        Seq("vid"), "left_outer")
+    }
+    val cols = col("vid") +: col("degree") +:
+      (1 to hops).map(i => coalesce(col(s"f$i"), lit(0L)).as(s"f$i"))
+    val res = out.select(cols: _*)
+    val materialized = res.localCheckpoint()
+    e.unpersist(); d0.unpersist()
+    materialized
+  }
 }

@@ -178,6 +178,45 @@ object Ann {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
+  /** Calibrated int8 embedding compression — the 4× storage cut a 100 TB
+    * vector store takes before indexing. Per-DIMENSION min/max calibration
+    * (one tiny stats aggregate, broadcast back), then each component maps
+    * affinely onto [-127, 127]:
+    *
+    *   q = floor((x - min_d) / (max_d - min_d) * 254) - 127   (constant
+    *   dimensions map to 0), reconstruction x̂ = min_d + (q+127)·range/254.
+    *
+    * Returns (id, q int8-range array ordered by dimension, max_abs_err).
+    * All arithmetic is double on float-derived values with a fixed
+    * operation order, and the error statistic is a MAX (order-independent)
+    * — never a float SUM — so results hash-match a SQL oracle exactly.
+    * Scale shape: posexplode → per-dim stats (|dims| rows, broadcast) →
+    * one per-doc reassembly shuffle. */
+  def calibratedInt8(vecs: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val dims = vecs.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val q = dims.join(broadcast(stats), Seq("pos"))
+      .withColumn("q",
+        when(col("hi") > col("lo"),
+          floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 254.0)
+            .cast("long") - 127L)
+          .otherwise(0L))
+      .withColumn("recon",
+        when(col("hi") > col("lo"),
+          col("lo") + (col("q") + 127L).cast("double") *
+            (col("hi") - col("lo")) / 254.0)
+          .otherwise(col("lo")))
+    q.groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+          s => s("q")).as("qvec"),
+        round(max(abs(col("x") - col("recon"))), 8).as("max_abs_err"))
+  }
+
   /** ±1 Rademacher hyperplane component from sha256 — the oracle-parity
     * plane family: component (band, bit, dim) is +1 iff the first hex
     * nibble of sha256("band:bit:dim") is odd, which any engine with sha256

@@ -236,4 +236,48 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Span-level (CCNet-style line-level) dedup: docs are cut into
+    * consecutive `spanWords`-word spans, a span whose EXACT text occurs in
+    * more than `maxDf` distinct docs is corpus boilerplate and is removed,
+    * and each doc is reassembled from its surviving spans in order.
+    * Returns (id, n_spans, kept_spans, kept_text) — one row per input doc,
+    * `kept_text` empty when every span was boilerplate.
+    *
+    * Unlike [[graft.text.QualityRules.frequentPhraseStats]] (which only
+    * SCORES docs by frequent-phrase share) this REWRITES the corpus, the
+    * way CCNet drops duplicated lines before quality filtering. Two
+    * shuffles at any scale: span-hash df aggregation, then the per-doc
+    * reassembly groupBy; the df side could be broadcast when the
+    * over-threshold span set is small. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spanWords: Int = 3, maxDf: Long = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    // span i = words [i*spanWords, (i+1)*spanWords); the tail span may be
+    // shorter — identical slice semantics in DuckDB's t[a:b]
+    val spans = toks.select(col("id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("t")).cast("double") / spanWords).cast("long") - 1),
+          i => array_join(
+            slice(col("t"), (i * spanWords + 1).cast("int"),
+              lit(spanWords)),
+            " "))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "span")
+    val df = spans.groupBy(col("span"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+    val kept = spans.join(df.filter(col("ndocs") <= maxDf),
+      Seq("span"), "left_semi")
+    val reassembled = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("kept_spans"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("span")))),
+          s => s("span")), " ").as("kept_text"))
+    spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+      .join(reassembled, Seq("id"), "left_outer")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -495,4 +495,35 @@ class KernelSpec extends SparkSpec {
       Seq(7L).toDF("vid"), 4).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.toSeq === Seq(7L -> 0L))
   }
+
+  test("HITS matches the hand-traced alternating power iteration") {
+    import spark.implicits._
+    // directed: 1→3, 2→3, 3→4. By hand with h0 ≡ 1:
+    //   a1 = {3:2, 4:1}      h1 = {1:2, 2:2, 3:1}
+    //   a2 = {3:4, 4:1}      h2 = {1:4, 2:4, 3:1}
+    // hub = h2/9, auth = a2/5; missing scores coalesce to 0
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Hits.run(spark, e, iters = 2).scores.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val expect = Map(
+      1L -> (4.0 / 9, 0.0), 2L -> (4.0 / 9, 0.0),
+      3L -> (1.0 / 9, 4.0 / 5), 4L -> (0.0, 1.0 / 5))
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (v, (h, a)) =>
+      assert(math.abs(got(v)._1 - h) < 1e-12, s"hub($v)")
+      assert(math.abs(got(v)._2 - a) < 1e-12, s"auth($v)")
+    }
+  }
+
+  test("k-hop features: star5 layers are exact integer sums") {
+    // star: center 1 (degree 4), leaves degree 1
+    // f1(center) = 4·1 = 4, f1(leaf) = 4; f2(center) = 4·4 = 16, f2(leaf) = 4
+    val got = GraphStats.khopFeatures(
+        Edges.symmetrize(edgeDF(golden("star5"))), hops = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === ((4L, 4L, 16L)))
+    (2L to 5L).foreach(v => assert(got(v) === ((1L, 4L, 4L)), s"leaf $v"))
+  }
 }

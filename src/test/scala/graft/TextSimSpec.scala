@@ -429,4 +429,44 @@ class TextSimSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty && got.size < rows.size)
   }
+
+  test("span dedup removes corpus-frequent spans and reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),
+      (3L, "a b c q r"),     // tail span shorter than spanWords
+      (4L, "u v w"),
+      (5L, "a b c")          // entirely boilerplate -> empty kept_text
+    ).toDF("doc_id", "text")
+    // "a b c" occurs in 4 docs > maxDf=2 -> removed everywhere
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", spanWords = 3,
+        maxDf = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 1L, "d e f")))
+    assert(got(2L) === ((2L, 1L, "x y z")))
+    assert(got(3L) === ((2L, 1L, "q r")))
+    assert(got(4L) === ((1L, 1L, "u v w")))
+    assert(got(5L) === ((1L, 0L, "")))
+  }
+
+  test("calibrated int8 quantization: exact codes, bounded reconstruction") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(1.0f, 10.0f)),
+      (3L, Seq(0.3f, 10.0f))).toDF("vec_id", "embedding")
+    val got = Ann.calibratedInt8(vecs, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getDouble(2)))).toMap
+    // dim0: lo=0, hi=1 -> codes -127 / 127 / floor(0.3·254)-127 = -51;
+    // dim1 constant -> code 0, zero error
+    assert(got(1L)._1 === Seq(-127L, 0L))
+    assert(got(2L)._1 === Seq(127L, 0L))
+    assert(got(3L)._1 === Seq(-51L, 0L))
+    // floor quantization: error < one grid cell = (hi-lo)/254
+    got.values.foreach { case (_, err) =>
+      assert(err >= 0.0 && err < 1.0 / 254.0 + 1e-9) }
+    assert(got(1L)._2 === 0.0 && got(2L)._2 === 0.0)
+    assert(got(3L)._2 > 0.0)
+  }
 }
