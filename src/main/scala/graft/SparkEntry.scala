@@ -860,7 +860,20 @@ object SparkEntry {
     // calibrated int8 embedding compression: per-dimension min/max →
     // affine map onto [-127,127] + max reconstruction error per vector
     "q91_quantize_int8" -> ((s, d) =>
-      Ann.calibratedInt8(T(s, d, "embeddings"), "vec_id", "embedding"))
+      Ann.calibratedInt8(T(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // deterministic Luby MIS (sha priorities), 2-round prefix — the
+    // symmetry-breaking primitive; each round is a min-aggregate over
+    // the shrinking undecided subgraph, staged-SQL-replayable
+    "q92_mis" -> ((s, d) =>
+      graft.kernels.Mis.run(s, Edges.symmetrize(e2(s, d)),
+        maxRounds = 2)),
+
+    // PMI-family collocations: top adjacent word pairs by exact-integer
+    // lift ppm over the bigram contingency table (hapax pairs dropped)
+    "q93_collocations" -> ((s, d) =>
+      graft.text.TfIdf.collocationLiftPpm(T(s, d, "documents"), "doc_id", "text",
+        minCount = 2, k = 20))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2111,6 +2124,51 @@ object SparkEntry {
         |      FROM q)
         |SELECT vec_id AS id, array_agg(qv ORDER BY pos) AS qvec,
         |       round(max(abs(x - recon)), 8) AS max_abs_err
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+    // staged 2-round Luby replay: sha60 priorities, strict-less winner
+    // rule (ties block both sides — well-defined on every engine),
+    // winners + their neighbors leave the undecided set between rounds
+    "q92_mis" ->
+      s"""WITH $CTE,
+         |pr AS (SELECT vid, CAST(('0x' || substr(sha256('mis:' ||
+         |         CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+         |       FROM (SELECT DISTINCT s AS vid FROM sym)),
+         |nm1 AS (SELECT sym.s AS vid, min(pr.p) AS minp
+         |        FROM sym JOIN pr ON sym.d = pr.vid GROUP BY 1),
+         |w1 AS (SELECT pr.vid FROM pr LEFT JOIN nm1 USING (vid)
+         |       WHERE nm1.minp IS NULL OR pr.p < nm1.minp),
+         |rem1 AS (SELECT vid FROM w1 UNION
+         |         SELECT sym.d FROM sym JOIN w1 ON sym.s = w1.vid),
+         |u1 AS (SELECT pr.vid, pr.p FROM pr
+         |       WHERE pr.vid NOT IN (SELECT vid FROM rem1)),
+         |e1 AS (SELECT s, d FROM sym
+         |       WHERE s IN (SELECT vid FROM u1)
+         |         AND d IN (SELECT vid FROM u1)),
+         |nm2 AS (SELECT e1.s AS vid, min(u1.p) AS minp
+         |        FROM e1 JOIN u1 ON e1.d = u1.vid GROUP BY 1),
+         |w2 AS (SELECT u1.vid FROM u1 LEFT JOIN nm2 USING (vid)
+         |       WHERE nm2.minp IS NULL OR u1.p < nm2.minp)
+         |SELECT vid, 1 AS round FROM w1
+         |UNION ALL SELECT vid, 2 AS round FROM w2""".stripMargin,
+    // exact-integer lift over the bigram contingency table, identical
+    // staged-div associativity as the Spark expression
+    "q93_collocations" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |pos AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok WHERE len(t) >= 2),
+        |bg AS (SELECT t[i] AS x, t[i+1] AS y, count(*) AS n_xy
+        |       FROM pos GROUP BY 1, 2),
+        |b AS (SELECT sum(n_xy) AS b FROM bg),
+        |lx AS (SELECT x, sum(n_xy) AS n_x FROM bg GROUP BY 1),
+        |ry AS (SELECT y, sum(n_xy) AS n_y FROM bg GROUP BY 1),
+        |sc AS (SELECT bg.x, bg.y, bg.n_xy,
+        |         CAST(((1000000 * bg.n_xy) // lx.n_x) * b.b // ry.n_y
+        |           AS BIGINT) AS lift_ppm
+        |       FROM bg JOIN lx USING (x) JOIN ry USING (y) CROSS JOIN b
+        |       WHERE bg.n_xy >= 2),
+        |rk AS (SELECT *, row_number() OVER
+        |         (ORDER BY lift_ppm DESC, x, y) AS rnk FROM sc)
+        |SELECT x, y, n_xy, lift_ppm FROM rk WHERE rnk <= 20""".stripMargin
   )
 }

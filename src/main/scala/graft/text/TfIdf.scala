@@ -64,4 +64,44 @@ object TfIdf {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
     topK(scored, idCol, k)
   }
+
+  /** PMI-family collocation mining: the top-k adjacent word pairs by
+    * LIFT — n_xy·B / (n_x·n_y) over the bigram contingency table (n_x =
+    * x's count as a bigram LEFT, n_y = y's count as a bigram RIGHT, B =
+    * total bigrams). Lift is the monotone exp(PMI) transform, computed as
+    * staged exact-integer ppm (`((10^6·n_xy) div n_x)·B div n_y` — fixed
+    * associativity, identical on any engine, no libm log in the ranking)
+    * so the result hash-matches a SQL oracle; consumers take ln at read
+    * time if they want the PMI scale. This is the phrase/collocation
+    * detector of a pretraining corpus profile (word2vec-style phrase
+    * merging, Mikolov et al. 2013's score is the same ratio with a
+    * discount).
+    *
+    * `minCount` drops hapax pairs before the marginals join (the classic
+    * noise filter — a 1-occurrence pair otherwise tops any lift ranking).
+    *
+    * Scale shape: one map-side-combined bigram count keyed by the pair,
+    * two marginal aggregations OF THE COUNTED TABLE (tiny vs the corpus),
+    * two joins keyed by x then y, distributed TakeOrdered for the top-k —
+    * the corpus text shuffles once (the bigram count), everything after
+    * is vocabulary-sized. Magnitude bound: 10^6·n_xy and the staged
+    * quotient·B both stay under 2^63 while B < ~9·10^12 bigrams per run
+    * (shard the corpus profile beyond that). */
+  def collocationLiftPpm(docs: DataFrame, idCol: String, textCol: String,
+                         minCount: Long = 2, k: Int = 20): DataFrame = {
+    val bg = docs
+      .select(explode(TextFunctions.wordNgrams(col(textCol), 2)).as("g"))
+      .select(split(col("g"), " ").as("xy"))
+      .select(col("xy").getItem(0).as("x"), col("xy").getItem(1).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val b = bg.agg(sum(col("n_xy"))).first().getLong(0)
+    val lx = bg.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ry = bg.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    bg.filter(col("n_xy") >= minCount)
+      .join(lx, "x").join(ry, "y")
+      .withColumn("lift_ppm",
+        expr(s"((1000000L * n_xy) div n_x) * ${b}L div n_y"))
+      .select(col("x"), col("y"), col("n_xy"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("x"), col("y")).limit(k)
+  }
 }

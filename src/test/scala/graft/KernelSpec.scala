@@ -515,6 +515,39 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("MIS is independent and maximal on golden + random graphs") {
+    val graphs = golden.toSeq.map { case (n, es) => (n, es) } :+
+      ("er", Oracles.erdosRenyi(60, 0.07, seed = 7)) :+
+      ("pl", Oracles.powerLaw(80, seed = 8))
+    graphs.foreach { case (name, es) =>
+      val mis = Mis.run(spark, Edges.symmetrize(edgeDF(es)))
+        .select("vid").collect().map(_.getLong(0)).toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2).toSet }
+      es.foreach { case (a, b) =>
+        assert(!(mis(a) && mis(b)), s"graph=$name edge ($a,$b) inside MIS")
+      }
+      (verts -- mis).foreach { v =>
+        assert(adj(v).exists(mis), s"graph=$name vertex $v undominated")
+      }
+    }
+  }
+
+  test("MIS fixed-round prefix: round-1 winners are the local sha minima") {
+    // path4 1-2-3-4: a vertex wins round 1 iff its sha60 priority is
+    // strictly below all neighbors' — replayed here by hand
+    val es = golden("path4")
+    val p = (1L to 4L).map(v => v -> Oracles.sha60(s"mis:$v")).toMap
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (v, ps) => v -> ps.map(_._2) }
+    val expect = (1L to 4L).filter(v => adj(v).forall(u => p(v) < p(u)))
+    val got = Mis.run(spark, Edges.symmetrize(edgeDF(es)), maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._2).forall(_ == 1))
+    assert(got.map(_._1).sorted.toSeq === expect.sorted.toSeq)
+  }
+
   test("k-hop features: star5 layers are exact integer sums") {
     // star: center 1 (degree 4), leaves degree 1
     // f1(center) = 4·1 = 4, f1(leaf) = 4; f2(center) = 4·4 = 16, f2(leaf) = 4

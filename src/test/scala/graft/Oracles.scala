@@ -161,6 +161,13 @@ object Oracles {
     edges.toSeq.sorted
   }
 
+  /** 60-bit sha priority — parity with the engine's sha60 column form
+    * (first 15 hex chars of sha256, base-16 → long). */
+  def sha60(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.take(15), 16)
+
   /** The reference's 15-vertex sample graph
     * (`sample-datasets/normal_sample.adj` — 27 undirected edges). */
   val sample15: Seq[(Long, Long)] = Seq(

@@ -91,4 +91,23 @@ class TemporalTextSpec extends SparkSpec {
       ("23:15", 1L, 1.0), ("23:30", 2L, 11.0), ("23:45", 2L, 11.0),
       ("00:00", 2L, 11.0), ("00:15", 1L, 10.0)))
   }
+
+  test("collocationLiftPpm: hand-traced contingency table, hapax dropped") {
+    val docs = Seq(
+      (1L, "new york is big"),
+      (2L, "new york new york"),
+      (3L, "big apple is big")
+    ).toDF("doc_id", "text")
+    // bigrams: (new,york)x3 (york,is) (is,big)x2 (york,new) (big,apple)
+    // (apple,is) -> B=9; left marginals new=3 is=2; right york=3 big=2
+    // kept (n_xy>=2): (new,york) lift=((3e6 div 3)*9) div 3 = 3,000,000
+    //                 (is,big)   lift=((2e6 div 2)*9) div 2 = 4,500,000
+    val r = TfIdf.collocationLiftPpm(docs, "doc_id", "text",
+        minCount = 2, k = 20)
+      .collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("is", "big", 2L, 4500000L),
+      ("new", "york", 3L, 3000000L)))
+  }
 }
