@@ -873,7 +873,18 @@ object SparkEntry {
     // lift ppm over the bigram contingency table (hapax pairs dropped)
     "q93_collocations" -> ((s, d) =>
       graft.text.TfIdf.collocationLiftPpm(T(s, d, "documents"), "doc_id", "text",
-        minCount = 2, k = 20))
+        minCount = 2, k = 20)),
+
+    // landmark betweenness (Brandes from sha-sampled seeds, horizon 2):
+    // forward integer path counts + one backward dependency level —
+    // staged-SQL-replayable; the spec covers deeper horizons
+    "q94_betweenness" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      graft.kernels.Betweenness.landmark(s, sym, seeds, maxHop = 2)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2169,6 +2180,37 @@ object SparkEntry {
         |       WHERE bg.n_xy >= 2),
         |rk AS (SELECT *, row_number() OVER
         |         (ORDER BY lift_ppm DESC, x, y) AS rnk FROM sc)
-        |SELECT x, y, n_xy, lift_ppm FROM rk WHERE rnk <= 20""".stripMargin
+        |SELECT x, y, n_xy, lift_ppm FROM rk WHERE rnk <= 20""".stripMargin,
+    // staged horizon-2 Brandes replay: forward sigma levels l1/l2 (exact
+    // integers), one backward dependency level (delta at the horizon is
+    // 0), bc = per-vertex sum over seeds of delta at dist >= 1
+    "q94_betweenness" ->
+      s"""WITH $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)),
+         |                1, 15)) AS BIGINT) % 1000 < 20),
+         |l0 AS (SELECT vid AS seed, vid, CAST(1 AS BIGINT) AS sigma
+         |       FROM seeds),
+         |l1 AS (SELECT l0.seed, s.d AS vid, sum(l0.sigma) AS sigma
+         |       FROM l0 JOIN sym s ON l0.vid = s.s
+         |       WHERE s.d <> l0.seed
+         |       GROUP BY 1, 2),
+         |l2 AS (SELECT l1.seed, s.d AS vid, sum(l1.sigma) AS sigma
+         |       FROM l1 JOIN sym s ON l1.vid = s.s
+         |       WHERE s.d <> l1.seed
+         |         AND NOT EXISTS (SELECT 1 FROM l1 r
+         |                         WHERE r.seed = l1.seed AND r.vid = s.d)
+         |       GROUP BY 1, 2),
+         |d1 AS (SELECT l1.seed, l1.vid,
+         |         coalesce(sum(CAST(l1.sigma AS DOUBLE) / l2.sigma), 0.0)
+         |           AS delta
+         |       FROM l1
+         |       LEFT JOIN sym s ON l1.vid = s.s
+         |       LEFT JOIN l2 ON l2.seed = l1.seed AND l2.vid = s.d
+         |       GROUP BY 1, 2),
+         |alldeps AS (SELECT seed, vid, delta FROM d1
+         |            UNION ALL SELECT seed, vid, 0.0 FROM l2)
+         |SELECT vid, round(sum(delta), 8) AS bc
+         |FROM alldeps GROUP BY 1""".stripMargin
   )
 }

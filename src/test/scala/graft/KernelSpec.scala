@@ -548,6 +548,27 @@ class KernelSpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq === expect.sorted.toSeq)
   }
 
+  test("landmark betweenness matches single-threaded Brandes (bounded)") {
+    import spark.implicits._
+    val graphs = Seq(
+      ("path4", golden("path4"), Seq(1L)),       // classic: 2,3 are cut points
+      ("bowtie", golden("bowtie"), Seq(1L, 4L)), // hub 3 dominates
+      ("sample15", golden("sample15"), Seq(1L, 7L, 13L)),
+      ("er", Oracles.erdosRenyi(50, 0.08, seed = 11), Seq(1L, 2L, 3L)))
+    graphs.foreach { case (name, es, seeds) =>
+      val expect = Oracles.brandesLandmark(es, seeds, maxHop = 3)
+      val got = Betweenness.landmark(spark, Edges.symmetrize(edgeDF(es)),
+          seeds.toDF("vid"), maxHop = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val verts = es.flatMap(e => Seq(e._1, e._2)).toSet
+      verts.foreach { v =>
+        val e0 = expect.getOrElse(v, 0.0)
+        val g0 = got.getOrElse(v, 0.0) // unreached vertices have no row
+        assert(math.abs(g0 - e0) < 1e-8, s"graph=$name bc($v): $g0 vs $e0")
+      }
+    }
+  }
+
   test("k-hop features: star5 layers are exact integer sums") {
     // star: center 1 (degree 4), leaves degree 1
     // f1(center) = 4·1 = 4, f1(leaf) = 4; f2(center) = 4·4 = 16, f2(leaf) = 4

@@ -161,6 +161,41 @@ object Oracles {
     edges.toSeq.sorted
   }
 
+  /** Single-threaded bounded-horizon Brandes from a landmark seed set:
+    * bc(v) = Σ_s δ_s(v) over reached v ≠ s, with δ truncated at maxHop
+    * (dependencies of horizon vertices are 0 — the same cut as the
+    * engine's [[graft.kernels.Betweenness]]). */
+  def brandesLandmark(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                      maxHop: Int): Map[Long, Double] = {
+    val adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (v, ps) => v -> ps.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    val bc = scala.collection.mutable.Map[Long, Double]()
+      .withDefaultValue(0.0)
+    for (s <- seeds) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Seq(s)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      for (l <- 1 to maxHop) {
+        val next = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        for (v <- frontier; w <- adj(v) if !dist.contains(w))
+          next(w) = next.getOrElse(w, 0L) + sigma(v)
+        next.foreach { case (w, sg) =>
+          dist(w) = l; sigma(w) = sg; order += w
+        }
+        frontier = next.keys.toSeq
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (v <- order.reverse;
+           w <- adj(v) if dist.get(w).contains(dist(v) + 1))
+        delta(v) += sigma(v).toDouble / sigma(w) * (1.0 + delta(w))
+      for (v <- order if v != s) bc(v) += delta(v)
+    }
+    bc.toMap
+  }
+
   /** 60-bit sha priority — parity with the engine's sha60 column form
     * (first 15 hex chars of sha256, base-16 → long). */
   def sha60(s: String): Long = java.lang.Long.parseLong(
