@@ -875,6 +875,15 @@ object SparkEntry {
       graft.text.TfIdf.collocationLiftPpm(T(s, d, "documents"), "doc_id", "text",
         minCount = 2, k = 20)),
 
+    // Newman modularity decomposition of the brand partition over the
+    // co-occurrence graph — integer counts, one double projection per
+    // community row (Q = sum of contributions)
+    "q95_modularity" -> ((s, d) => {
+      val brands = broadcast(T(s, d, "part")
+        .select(col("p_partkey").as("vid"), col("p_brand").as("label")))
+      graft.kernels.GraphStats.modularity(e2(s, d), brands)
+    }),
+
     // landmark betweenness (Brandes from sha-sampled seeds, horizon 2):
     // forward integer path counts + one backward dependency level —
     // staged-SQL-replayable; the spec covers deeper horizons
@@ -2181,6 +2190,27 @@ object SparkEntry {
         |rk AS (SELECT *, row_number() OVER
         |         (ORDER BY lift_ppm DESC, x, y) AS rnk FROM sc)
         |SELECT x, y, n_xy, lift_ppm FROM rk WHERE rnk <= 20""".stripMargin,
+    // identical per-row double projection order: e_c/m - (d_c/2m)^2
+    "q95_modularity" ->
+      s"""WITH $CTE,
+         |lbl AS (SELECT p_partkey AS vid, p_brand AS label FROM part),
+         |m AS (SELECT count(*) AS m FROM e),
+         |internal AS (SELECT a.label, count(*) AS internal_edges
+         |             FROM e JOIN lbl a ON e.s = a.vid
+         |                    JOIN lbl b ON e.d = b.vid
+         |             WHERE a.label = b.label GROUP BY 1),
+         |ds AS (SELECT lbl.label, count(*) AS n_vertices,
+         |         CAST(sum(deg.degree) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN lbl ON deg.vid = lbl.vid GROUP BY 1)
+         |SELECT ds.label, ds.n_vertices,
+         |       coalesce(internal.internal_edges, 0) AS internal_edges,
+         |       ds.degree_sum,
+         |       round(CAST(coalesce(internal.internal_edges, 0) AS DOUBLE)
+         |               / m.m
+         |             - (CAST(ds.degree_sum AS DOUBLE) / (2.0 * m.m))
+         |               * (CAST(ds.degree_sum AS DOUBLE) / (2.0 * m.m)), 8)
+         |         AS contribution
+         |FROM ds LEFT JOIN internal USING (label) CROSS JOIN m""".stripMargin,
     // staged horizon-2 Brandes replay: forward sigma levels l1/l2 (exact
     // integers), one backward dependency level (delta at the horizon is
     // 0), bc = per-vertex sum over seeds of delta at dist >= 1

@@ -120,6 +120,49 @@ object GraphStats {
         (col("sx2").cast("double") / m - mu * mu), 8).as("r"))
   }
 
+  /** Newman modularity decomposition of a vertex partition: per community
+    * (label, n_vertices, internal_edges, degree_sum, contribution) with
+    *
+    *   contribution(c) = e_c/m − (d_c/2m)²,    Q = Σ_c contribution(c)
+    *
+    * — the standard quality metric for a community assignment (LP labels,
+    * CD cliques, or any attribute partition). The whole computation is
+    * exact integers (internal-edge counts keyed by community, degree sums)
+    * until one per-row double projection, so it hash-matches a SQL oracle;
+    * callers sum `contribution` for the scalar Q. Vertices without a
+    * label row are outside every community (their edges count toward m
+    * but no e_c — the usual treatment of unlabeled background).
+    *
+    * Scale shape: one count, two label joins on the canonical edge table
+    * (broadcast when the label table is dimension-sized), two integer
+    * aggregations keyed by community. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m = e.count()
+    val deg = Edges.degrees(Edges.symmetrize(e))
+    val l = labels.select(col("vid"), col("label"))
+    val internal = e
+      .join(l.withColumnRenamed("vid", "src")
+        .withColumnRenamed("label", "ls"), "src")
+      .join(l.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("label", "ld"), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    deg.join(l, "vid")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("degree")).as("degree_sum"))
+      .join(internal, Seq("label"), "left")
+      .select(col("label"), col("n_vertices"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L)).cast("double") / m
+          - (col("degree_sum").cast("double") / (2.0 * m))
+            * (col("degree_sum").cast("double") / (2.0 * m)), 8)
+          .as("contribution"))
+  }
+
   /** GNN-style k-hop neighborhood aggregation (GraphSAGE-sum layers with
     * degree as the input feature): layer 0 is each vertex's degree,
     * layer i+1(v) = Σ_{u∈N(v)} layer i(u). Returns

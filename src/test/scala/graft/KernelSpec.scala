@@ -548,6 +548,28 @@ class KernelSpec extends SparkSpec {
     assert(got.map(_._1).sorted.toSeq === expect.sorted.toSeq)
   }
 
+  test("modularity decomposition matches hand arithmetic") {
+    import spark.implicits._
+    // twoComp: triangle {1,2,3} (m_A=3, d_A=6) + path {10,11,12}
+    // (m_B=2, d_B=4), m=5: both contribute 3/5-(6/10)^2 = 2/5-(4/10)^2 = 0.24
+    val e = edgeDF(golden("twoComp"))
+    val byComp = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (10L, "B"), (11L, "B"), (12L, "B")).toDF("vid", "label")
+    val got = GraphStats.modularity(e, byComp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("A") === ((3L, 3L, 6L, 0.24)))
+    assert(got("B") === ((3L, 2L, 4L, 0.24)))
+    // unlabeled vertex 12: B={10,11} keeps edge 10-11 only, d_B=3
+    // -> 1/5 - (3/10)^2 = 0.11; A unchanged
+    val partial = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (10L, "B"), (11L, "B")).toDF("vid", "label")
+    val got2 = GraphStats.modularity(e, partial).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got2("A") === 0.24)
+    assert(got2("B") === 0.11)
+  }
+
   test("landmark betweenness matches single-threaded Brandes (bounded)") {
     import spark.implicits._
     val graphs = Seq(
