@@ -893,6 +893,40 @@ object SparkEntry {
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
       graft.kernels.Betweenness.landmark(s, sym, seeds, maxHop = 2)
+    }),
+
+    // B5 greedy block->worker packing, hash-matched (round-4 promotion of
+    // the LAST spec-only §2 stage): the integer parity twin of q38's
+    // packer over the q56 flood colors; a DuckDB recursive CTE replays
+    // every placement (one iteration per block, list-carried state)
+    "q96_bdg_assign" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 50)
+        .select(col("vid"), col("vid").as("color"))
+      val colors = graft.partition.BdgLayout.floodColors(sym, seeds,
+        maxHop = 4)._1
+      graft.partition.BdgLayout.assignBlocksExact(s, sym, colors,
+        workers = 8)
+    }),
+
+    // B7 cross-edge statistics, hash-matched: per-worker blocks/vertices/
+    // cross edges for the q96 assignment, with the sha-hash-partition
+    // baseline on the same colored subgraph (the number BDG must beat —
+    // EuroSys §8.4; at sf0.01 BDG crosses 2756 directed edges vs 5952)
+    "q97_bdg_cross" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 50)
+        .select(col("vid"), col("vid").as("color"))
+      val colors = graft.partition.BdgLayout.floodColors(sym, seeds,
+        maxHop = 4)._1
+      val assign = graft.partition.BdgLayout.assignBlocksExact(s, sym,
+        colors, workers = 8)
+      graft.partition.BdgLayout.crossEdgeStatsExact(s, sym, colors, assign,
+        workers = 8)
     })
   )
 
@@ -2241,6 +2275,151 @@ object SparkEntry {
          |alldeps AS (SELECT seed, vid, delta FROM d1
          |            UNION ALL SELECT seed, vid, 0.0 FROM l2)
          |SELECT vid, round(sum(delta), 8) AS bc
-         |FROM alldeps GROUP BY 1""".stripMargin
+         |FROM alldeps GROUP BY 1""".stripMargin,
+
+    // B5 greedy packer replay: q67's block table (q56 flood colors ->
+    // per-color size + neighbor LIST), ranked size-desc/color-asc, then a
+    // recursive CTE places ONE block per iteration carrying (hist, loads)
+    // as list state — priority s*(cap-load) encoded *8+(7-j) so max-p/
+    // min-j ties break exactly like the Scala loop; fallback min-load/
+    // min-j. MATERIALIZED hints keep DuckDB 1.0 from re-inlining the
+    // flood into every recursion step. All-integer, so the replay is
+    // bit-exact (see BdgLayout.assignBlocksExact).
+    "q96_bdg_assign" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 50),
+         |reach(vid, color, h) AS (
+         |  SELECT vid, vid, 0 FROM seeds
+         |  UNION
+         |  SELECT s.d, r.color, r.h + 1 FROM reach r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 4
+         |),
+         |md AS (SELECT vid, min(h) AS mh FROM reach GROUP BY 1),
+         |colors AS MATERIALIZED (
+         |  SELECT r.vid, min(r.color) AS color
+         |  FROM reach r JOIN md ON r.vid = md.vid AND r.h = md.mh GROUP BY 1),
+         |sizes AS (SELECT color, count(*) AS size FROM colors GROUP BY 1),
+         |nbp AS (SELECT DISTINCT ca.color AS c1, cb.color AS c2
+         |        FROM sym s JOIN colors ca ON s.s = ca.vid
+         |                   JOIN colors cb ON s.d = cb.vid
+         |        WHERE ca.color <> cb.color),
+         |binfo AS (SELECT z.color, z.size,
+         |                 coalesce(list(n.c2 ORDER BY n.c2)
+         |                          FILTER (n.c2 IS NOT NULL), []) AS nbs
+         |          FROM sizes z LEFT JOIN nbp n ON z.color = n.c1
+         |          GROUP BY 1, 2),
+         |blocks AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY size DESC, color) AS rk,
+         |         color, size, nbs FROM binfo),
+         |nblocks AS MATERIALIZED (
+         |  SELECT count(*) AS nb_cnt, (11*sum(size))//(10*8) AS cap FROM blocks),
+         |st(i, hist, loads) AS (
+         |  SELECT 0, CAST([] AS STRUCT(c BIGINT, w BIGINT, z BIGINT)[]),
+         |         CAST([0,0,0,0,0,0,0,0] AS BIGINT[])
+         |  UNION ALL
+         |  SELECT t.i + 1,
+         |         list_append(t.hist, {'c': t.color, 'w': t.chosen, 'z': t.size}),
+         |         [t.loads[j+1] + CASE WHEN j = t.chosen THEN t.size ELSE 0 END FOR j IN range(8)]
+         |  FROM (
+         |    SELECT s.i, s.hist, s.loads, b.color, b.size,
+         |      coalesce(
+         |        7 - (list_max([
+         |           coalesce(list_sum([h.z FOR h IN s.hist IF h.w = j AND list_contains(b.nbs, h.c)]), 0)
+         |             * (n.cap - s.loads[j+1]) * 8 + (7 - j)
+         |           FOR j IN range(8)
+         |           IF s.loads[j+1] + b.size <= n.cap
+         |              AND coalesce(list_sum([h.z FOR h IN s.hist IF h.w = j AND list_contains(b.nbs, h.c)]), 0)
+         |                  * (n.cap - s.loads[j+1]) > 0]) % 8),
+         |        list_min([s.loads[j+1] * 8 + j FOR j IN range(8)]) % 8) AS chosen
+         |    FROM st s JOIN blocks b ON b.rk = s.i + 1 CROSS JOIN nblocks n
+         |  ) t
+         |)
+         |SELECT h.c AS color, h.w AS worker
+         |FROM (SELECT unnest(hist) AS h FROM st, nblocks
+         |      WHERE st.i = nblocks.nb_cnt)""".stripMargin,
+
+    // B7 replay: the q96 assignment joined back onto the colors, per-
+    // worker blocks/vertices/cross edges over colored-colored sym edges,
+    // sha-hash baseline on the SAME subset, full 0..7 worker universe
+    "q97_bdg_cross" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 50),
+         |reach(vid, color, h) AS (
+         |  SELECT vid, vid, 0 FROM seeds
+         |  UNION
+         |  SELECT s.d, r.color, r.h + 1 FROM reach r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 4
+         |),
+         |md AS (SELECT vid, min(h) AS mh FROM reach GROUP BY 1),
+         |colors AS MATERIALIZED (
+         |  SELECT r.vid, min(r.color) AS color
+         |  FROM reach r JOIN md ON r.vid = md.vid AND r.h = md.mh GROUP BY 1),
+         |sizes AS (SELECT color, count(*) AS size FROM colors GROUP BY 1),
+         |nbp AS (SELECT DISTINCT ca.color AS c1, cb.color AS c2
+         |        FROM sym s JOIN colors ca ON s.s = ca.vid
+         |                   JOIN colors cb ON s.d = cb.vid
+         |        WHERE ca.color <> cb.color),
+         |binfo AS (SELECT z.color, z.size,
+         |                 coalesce(list(n.c2 ORDER BY n.c2)
+         |                          FILTER (n.c2 IS NOT NULL), []) AS nbs
+         |          FROM sizes z LEFT JOIN nbp n ON z.color = n.c1
+         |          GROUP BY 1, 2),
+         |blocks AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY size DESC, color) AS rk,
+         |         color, size, nbs FROM binfo),
+         |nblocks AS MATERIALIZED (
+         |  SELECT count(*) AS nb_cnt, (11*sum(size))//(10*8) AS cap FROM blocks),
+         |st(i, hist, loads) AS (
+         |  SELECT 0, CAST([] AS STRUCT(c BIGINT, w BIGINT, z BIGINT)[]),
+         |         CAST([0,0,0,0,0,0,0,0] AS BIGINT[])
+         |  UNION ALL
+         |  SELECT t.i + 1,
+         |         list_append(t.hist, {'c': t.color, 'w': t.chosen, 'z': t.size}),
+         |         [t.loads[j+1] + CASE WHEN j = t.chosen THEN t.size ELSE 0 END FOR j IN range(8)]
+         |  FROM (
+         |    SELECT s.i, s.hist, s.loads, b.color, b.size,
+         |      coalesce(
+         |        7 - (list_max([
+         |           coalesce(list_sum([h.z FOR h IN s.hist IF h.w = j AND list_contains(b.nbs, h.c)]), 0)
+         |             * (n.cap - s.loads[j+1]) * 8 + (7 - j)
+         |           FOR j IN range(8)
+         |           IF s.loads[j+1] + b.size <= n.cap
+         |              AND coalesce(list_sum([h.z FOR h IN s.hist IF h.w = j AND list_contains(b.nbs, h.c)]), 0)
+         |                  * (n.cap - s.loads[j+1]) > 0]) % 8),
+         |        list_min([s.loads[j+1] * 8 + j FOR j IN range(8)]) % 8) AS chosen
+         |    FROM st s JOIN blocks b ON b.rk = s.i + 1 CROSS JOIN nblocks n
+         |  ) t
+         |),
+         |asg AS MATERIALIZED (
+         |  SELECT h.c AS color, h.w AS worker
+         |  FROM (SELECT unnest(hist) AS h FROM st, nblocks
+         |        WHERE st.i = nblocks.nb_cnt)),
+         |lay AS MATERIALIZED (
+         |  SELECT c.vid, c.color, a.worker
+         |  FROM colors c JOIN asg a ON c.color = a.color),
+         |wedges AS MATERIALIZED (
+         |  SELECT s.s, s.d, la.worker AS wa, lb.worker AS wb
+         |  FROM sym s JOIN lay la ON s.s = la.vid JOIN lay lb ON s.d = lb.vid),
+         |crossx AS (SELECT wa AS worker, count(*) AS cross_edges
+         |           FROM wedges WHERE wa <> wb GROUP BY 1),
+         |hcross AS (SELECT CAST(('0x' || substr(sha256(CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS worker,
+         |                  count(*) AS sha_cross_edges
+         |           FROM wedges
+         |           WHERE CAST(('0x' || substr(sha256(CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         |              <> CAST(('0x' || substr(sha256(CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         |           GROUP BY 1),
+         |perw AS (SELECT worker, count(DISTINCT color) AS n_blocks,
+         |                count(*) AS n_vertices FROM lay GROUP BY 1)
+         |SELECT u.worker,
+         |       coalesce(p.n_blocks, 0) AS n_blocks,
+         |       coalesce(p.n_vertices, 0) AS n_vertices,
+         |       coalesce(c.cross_edges, 0) AS cross_edges,
+         |       coalesce(h.sha_cross_edges, 0) AS sha_cross_edges
+         |FROM (SELECT unnest(range(8)) AS worker) u
+         |LEFT JOIN perw p ON u.worker = p.worker
+         |LEFT JOIN crossx c ON u.worker = c.worker
+         |LEFT JOIN hcross h ON u.worker = h.worker""".stripMargin
   )
 }

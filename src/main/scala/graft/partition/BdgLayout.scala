@@ -1,6 +1,6 @@
 package graft.partition
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BDG (Voronoi + greedy bin-packing) graph layout — the reference's
@@ -231,6 +231,104 @@ object BdgLayout {
         countmap(wid)(c) = countmap(wid).getOrElse(c, 0L) + size)
     }
     blk2w.toMap
+  }
+
+  /** B5 parity twin (q96): the SAME KDD'13 greedy packer as
+    * [[assignBlocks]] re-expressed in pure-integer arithmetic, so a DuckDB
+    * recursive CTE (one iteration per block, state carried as lists)
+    * replays every placement bit-for-bit — the move that promoted the
+    * float ANN fast paths via q57/q58. Order-equivalence to the float
+    * formula: ranking workers by s·(1 − a/c) is identical to ranking by
+    * the integer s·(c − a) because the capacity c is constant across
+    * workers; the two can differ only on rounding-induced ties, which is
+    * exactly why the oracle-checked twin is the integer one. Capacity is
+    * the integer floor (capNum·total)/(capDen·workers) — the float path's
+    * (1+eps)·total/workers with eps = capNum/capDen − 1. The priority
+    * product s·(c − a) is bounded by |V|² — fine for any driver-side
+    * block table (the packer is O(blocks·workers) on the driver either
+    * way); the float [[assignBlocks]] stays the production default.
+    * Returns the (color, worker) assignment as a small DataFrame.
+    * Reference: `partition/BDGPartitioner.tpp:139-235`. */
+  def assignBlocksExact(spark: SparkSession, symIn: DataFrame,
+                        colors: DataFrame, workers: Int = 8,
+                        capNum: Long = 11L, capDen: Long = 10L): DataFrame = {
+    import spark.implicits._
+    val (sym, ownSym) = pinned(symIn)
+    val info = blockInfo(sym, colors)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSet))
+    if (ownSym) sym.unpersist()
+    val total = info.map(_._2).sum
+    val capacity = (capNum * total) / (capDen * workers)
+    val assigned = Array.fill(workers)(0L)
+    val countmap = Array.fill(workers)(
+      scala.collection.mutable.HashMap.empty[Long, Long])
+    val out = Seq.newBuilder[(Long, Long)]
+    info.sortBy(b => (-b._2, b._1)).foreach { case (color, size, nbs) =>
+      var best = 0L; var wid = -1
+      for (j <- 0 until workers) {
+        val p = countmap(j).getOrElse(color, 0L) * (capacity - assigned(j))
+        if (p > best && assigned(j) + size <= capacity) { best = p; wid = j }
+      }
+      if (wid < 0) wid = assigned.zipWithIndex.minBy(_._1)._2
+      out += ((color, wid.toLong))
+      assigned(wid) += size
+      nbs.foreach(c =>
+        countmap(wid)(c) = countmap(wid).getOrElse(c, 0L) + size)
+    }
+    out.result().toDF("color", "worker")
+  }
+
+  /** B7 parity twin (q97): per-worker layout stats + cross-edge counts for
+    * an EXPLICIT (color, worker) assignment over an explicit color table —
+    * plain SQL end-to-end, unlike [[crossEdgeStats]] whose layout embeds
+    * the float packer. The hash baseline uses the sha-derived hash family
+    * (the one DuckDB shares; xxhash64 has no DuckDB counterpart) and is
+    * computed over the SAME colored-colored edge subset as the BDG count,
+    * so the reduction claim is apples-to-apples and driver-verifiable.
+    * Output: (worker, n_blocks, n_vertices, cross_edges, sha_cross_edges);
+    * cross counts are directed edges leaving the worker. */
+  def crossEdgeStatsExact(spark: SparkSession, symIn: DataFrame,
+                          colors: DataFrame, assign: DataFrame,
+                          workers: Int): DataFrame = {
+    import spark.implicits._
+    val (sym, ownSym) = pinned(symIn)
+    val lay = colors.join(broadcast(assign), "color")
+      .select(col("vid"), col("color"), col("worker")).persist()
+    // edges with both endpoints colored, tagged with both workers; reused
+    // by the BDG count and the hash baseline so both see one subgraph
+    val wEdges = sym
+      .join(lay.select(col("vid").as("src"), col("worker").as("wa")), "src")
+      .join(lay.select(col("vid").as("dst"), col("worker").as("wb")), "dst")
+      .persist()
+    val cross = wEdges.filter(col("wa") =!= col("wb"))
+      .groupBy(col("wa").as("worker")).agg(count(lit(1)).as("cross_edges"))
+    val shaW = (c: Column) => pmod(
+      graft.text.Dedup.shaTokenHash60(c.cast("string")),
+      lit(workers.toLong))
+    val hashCross = wEdges
+      .filter(shaW(col("src")) =!= shaW(col("dst")))
+      .groupBy(shaW(col("src")).as("worker"))
+      .agg(count(lit(1)).as("sha_cross_edges"))
+    val perW = lay.groupBy(col("worker")).agg(
+      countDistinct(col("color")).as("n_blocks"),
+      count(lit(1)).as("n_vertices"))
+    // full worker-id universe: the greedy packer may leave workers empty,
+    // and the hash baseline must not be undercounted on those rows
+    val universe = (0L until workers.toLong).toDF("worker")
+    val res = universe
+      .join(perW, Seq("worker"), "left")
+      .join(cross, Seq("worker"), "left")
+      .join(hashCross, Seq("worker"), "left")
+      .select(col("worker"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_vertices"), lit(0L)).as("n_vertices"),
+        coalesce(col("cross_edges"), lit(0L)).as("cross_edges"),
+        coalesce(col("sha_cross_edges"), lit(0L)).as("sha_cross_edges"))
+    val eager = res.localCheckpoint(eager = true)
+    lay.unpersist(); wEdges.unpersist()
+    if (ownSym) sym.unpersist()
+    eager
   }
 
   /** Full layout: (vid, color, worker), with the block→worker map shipped

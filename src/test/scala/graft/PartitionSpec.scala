@@ -134,6 +134,60 @@ class PartitionSpec extends SparkSpec {
     colors.unpersist(); sym.unpersist()
   }
 
+  test("assignBlocksExact (B5 parity twin) replays the greedy bit-for-bit") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val colors = BdgLayout.voronoiColors(spark, sym, p).persist()
+    val workers = 4
+    val got = BdgLayout.assignBlocksExact(spark, sym, colors, workers)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local replay of the integer greedy over the (verified) block table
+    val info = BdgLayout.blockInfo(sym, colors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSet))
+    val total = info.map(_._2).sum
+    val cap = (11L * total) / (10L * workers)
+    val loads = Array.fill(workers)(0L)
+    val cm = Array.fill(workers)(
+      scala.collection.mutable.HashMap.empty[Long, Long])
+    val exp = scala.collection.mutable.HashMap.empty[Long, Long]
+    info.sortBy(b => (-b._2, b._1)).foreach { case (c, z, nbs) =>
+      var best = 0L; var wid = -1
+      for (j <- 0 until workers) {
+        val pr = cm(j).getOrElse(c, 0L) * (cap - loads(j))
+        if (pr > best && loads(j) + z <= cap) { best = pr; wid = j }
+      }
+      if (wid < 0) wid = loads.zipWithIndex.minBy(_._1)._2
+      exp(c) = wid.toLong; loads(wid) += z
+      nbs.foreach(n => cm(wid)(n) = cm(wid).getOrElse(n, 0L) + z)
+    }
+    assert(got === exp.toMap)
+    // every block placed, workers in range, loads capacity-bounded with
+    // at most the fallback slack (one max block over)
+    assert(got.keySet === info.map(_._1).toSet)
+    assert(got.values.forall(w => w >= 0 && w < workers))
+    val maxBlock = info.map(_._2).max
+    loads.foreach(l => assert(l <= cap + maxBlock))
+    colors.unpersist(); sym.unpersist()
+  }
+
+  test("crossEdgeStatsExact (B7 parity twin): totals and hash-beating") {
+    val sym = Edges.symmetrize(plantedGraph).persist()
+    val colors = BdgLayout.voronoiColors(spark, sym, p).persist()
+    val assign = BdgLayout.assignBlocksExact(spark, sym, colors, p.workers)
+    val rows = BdgLayout.crossEdgeStatsExact(spark, sym, colors, assign,
+      p.workers).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length === p.workers)
+    // vertex total = colored vertices; block total = #blocks
+    assert(rows.map(_._3).sum === colors.count())
+    assert(rows.map(_._2).sum ===
+      colors.select("color").distinct().count())
+    // the planted clique blocks must beat the sha-hash layout handily
+    val bdg = rows.map(_._4).sum; val sha = rows.map(_._5).sum
+    assert(bdg < sha, s"BDG cross $bdg should beat sha-hash cross $sha")
+    colors.unpersist(); sym.unpersist()
+  }
+
   test("block re-shuffle (B6): repartition by worker co-locates blocks") {
     val sym = Edges.symmetrize(plantedGraph)
     val lay = BdgLayout.layout(spark, sym, p)
