@@ -927,7 +927,15 @@ object SparkEntry {
         colors, workers = 8)
       graft.partition.BdgLayout.crossEdgeStatsExact(s, sym, colors, assign,
         workers = 8)
-    })
+    }),
+
+    // strongly connected components of the sha-directed derivation —
+    // FW-BW-Trim coloring (trim peels the acyclic mass, forward hash-min
+    // colors the cyclic core, backward sweep extracts mutual-reach
+    // classes); the directed analog hash-min CC cannot see. Oracle:
+    // full transitive closure + mutual-reach min in DuckDB.
+    "q98_scc" -> ((s, d) =>
+      graft.kernels.Scc.run(s, graft.kernels.Scc.shaDirect(e2(s, d))))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2420,6 +2428,26 @@ object SparkEntry {
          |FROM (SELECT unnest(range(8)) AS worker) u
          |LEFT JOIN perw p ON u.worker = p.worker
          |LEFT JOIN crossx c ON u.worker = c.worker
-         |LEFT JOIN hcross h ON u.worker = h.worker""".stripMargin
+         |LEFT JOIN hcross h ON u.worker = h.worker""".stripMargin,
+
+    // SCC ground truth: sha-steered orientation (h%3: 0 fwd, 1 bwd,
+    // 2 both — Scc.shaDirect's exact rule), full transitive closure,
+    // scc id = min over mutually-reachable vertices (incl. self)
+    "q98_scc" ->
+      s"""WITH RECURSIVE $CTE,
+         |eh AS (SELECT s, d,
+         |         CAST(('0x' || substr(sha256('dir:' || CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS h
+         |       FROM e),
+         |dedges AS (SELECT s, d FROM eh WHERE h <> 1
+         |           UNION ALL SELECT d, s FROM eh WHERE h <> 0),
+         |dverts AS (SELECT DISTINCT s AS vid FROM dedges
+         |           UNION SELECT DISTINCT d FROM dedges),
+         |reach(a, b) AS (
+         |  SELECT vid, vid FROM dverts
+         |  UNION
+         |  SELECT r.a, de.d FROM reach r JOIN dedges de ON r.b = de.s)
+         |SELECT r1.a AS vid, min(r1.b) AS scc_id
+         |FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -591,6 +591,52 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("scc matches Tarjan on directed golden graphs") {
+    import spark.implicits._
+    def dDF(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      // simple 3-cycle: one SCC
+      "cycle3" -> Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      // DAG path: all singletons (trim must peel it fast)
+      "dagPath" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      // two cycles bridged one-way: two SCCs + the bridge is no merge
+      "twoCycles" -> Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+        (10L, 11L), (11L, 12L), (12L, 10L)),
+      // figure-eight: shared vertex fuses both cycles into ONE SCC
+      "figure8" -> Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+        (4L, 5L), (5L, 3L)),
+      // 2-cycle with in/out tails: tails are singletons
+      "tailed" -> Seq((1L, 2L), (2L, 1L), (0L, 1L), (2L, 9L)),
+      // nested layers: SCC behind an SCC (coloring needs 2 rounds)
+      "layered" -> Seq((1L, 2L), (2L, 1L), (2L, 5L), (5L, 6L), (6L, 5L)))
+    graphs.foreach { case (name, es) =>
+      val got = Scc.run(spark, dDF(es))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Oracles.stronglyConnected(es), s"graph=$name")
+    }
+  }
+
+  test("scc on sha-directed seeded random graphs matches Tarjan") {
+    import spark.implicits._
+    Seq(Oracles.erdosRenyi(60, 0.06, seed = 7),
+        Oracles.powerLaw(80, seed = 3)).zipWithIndex.foreach {
+      case (und, gi) =>
+        val canon = und.map { case (a, b) =>
+          (math.min(a, b), math.max(a, b)) }.distinct
+        // replicate shaDirect's rule locally
+        val directed = canon.flatMap { case (s, d) =>
+          Oracles.sha60(s"dir:$s:$d") % 3 match {
+            case 0 => Seq((s, d))
+            case 1 => Seq((d, s))
+            case _ => Seq((s, d), (d, s))
+          }
+        }
+        val got = Scc.run(spark, Scc.shaDirect(edgeDF(canon)))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === Oracles.stronglyConnected(directed), s"graph=$gi")
+    }
+  }
+
   test("k-hop features: star5 layers are exact integer sums") {
     // star: center 1 (degree 4), leaves degree 1
     // f1(center) = 4·1 = 4, f1(leaf) = 4; f2(center) = 4·4 = 16, f2(leaf) = 4

@@ -203,6 +203,58 @@ object Oracles {
       .digest(s.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString.take(15), 16)
 
+  /** Tarjan SCC (iterative) on a directed edge list; scc id = min member. */
+  def stronglyConnected(directed: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = directed.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = directed.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    def strong(v0: Long): Unit = {
+      // explicit work stack: (vertex, next-child index)
+      val work = scala.collection.mutable.Stack((v0, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.pop()
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack.push(v); onStack += v
+        }
+        var recursed = false
+        var i = ci
+        val children = adj(v)
+        while (i < children.length && !recursed) {
+          val w = children(i)
+          if (!index.contains(w)) {
+            work.push((v, i + 1)); work.push((w, 0)); recursed = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            do { w = stack.pop(); onStack -= w; members += w }
+            while (w != v)
+            val id = members.min
+            members.foreach(m => comp(m) = id)
+          }
+          if (work.nonEmpty) {
+            val (p, _) = work.top
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    verts.foreach(v => if (!index.contains(v)) strong(v))
+    comp.toMap
+  }
+
   /** The reference's 15-vertex sample graph
     * (`sample-datasets/normal_sample.adj` — 27 undirected edges). */
   val sample15: Seq[(Long, Long)] = Seq(
