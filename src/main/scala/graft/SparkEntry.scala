@@ -935,7 +935,14 @@ object SparkEntry {
     // classes); the directed analog hash-min CC cannot see. Oracle:
     // full transitive closure + mutual-reach min in DuckDB.
     "q98_scc" -> ((s, d) =>
-      graft.kernels.Scc.run(s, graft.kernels.Scc.shaDirect(e2(s, d))))
+      graft.kernels.Scc.run(s, graft.kernels.Scc.shaDirect(e2(s, d)))),
+
+    // minimum spanning forest by Borůvka contraction over unique sha
+    // weights — oracle replays KRUSKAL edge-by-edge in a recursive CTE
+    // (list-carried union-find): two different MST algorithms must agree
+    // because unique weights make the forest unique
+    "q99_mst" -> ((s, d) =>
+      graft.kernels.Mst.boruvka(s, graft.kernels.Mst.shaWeights(e2(s, d))))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2448,6 +2455,44 @@ object SparkEntry {
          |  SELECT r.a, de.d FROM reach r JOIN dedges de ON r.b = de.s)
          |SELECT r1.a AS vid, min(r1.b) AS scc_id
          |FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // MSF ground truth: Kruskal replay — edges in unique-sha-weight
+    // order, one per recursion step, union-find carried as a fully
+    // flattened representative list (merge = rewrite hi→lo), an edge
+    // joins the forest iff its endpoints' representatives differ
+    "q99_mst" ->
+      s"""WITH RECURSIVE $CTE,
+         |we AS (SELECT s, d,
+         |         CAST(('0x' || substr(sha256('w:' || CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+         |       FROM e),
+         |vert AS MATERIALIZED (
+         |  SELECT vid, row_number() OVER (ORDER BY vid) AS ix
+         |  FROM (SELECT DISTINCT s AS vid FROM we UNION SELECT d FROM we)),
+         |ordered AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY w, s, d) AS rk,
+         |         we.s, we.d, we.w, vs.ix AS si, vd.ix AS di
+         |  FROM we JOIN vert vs ON we.s = vs.vid
+         |          JOIN vert vd ON we.d = vd.vid),
+         |ne AS (SELECT count(*) AS n FROM ordered),
+         |st(i, comp, mst) AS (
+         |  SELECT 0, (SELECT list(vid ORDER BY vid) FROM vert),
+         |         CAST([] AS STRUCT(s BIGINT, d BIGINT, w BIGINT)[])
+         |  UNION ALL
+         |  SELECT t.i + 1,
+         |         CASE WHEN t.ra <> t.rb
+         |              THEN [CASE WHEN x = t.hi THEN t.lo ELSE x END FOR x IN t.comp]
+         |              ELSE t.comp END,
+         |         CASE WHEN t.ra <> t.rb
+         |              THEN list_append(t.mst, {'s': t.s, 'd': t.d, 'w': t.w})
+         |              ELSE t.mst END
+         |  FROM (SELECT s0.i, s0.comp, s0.mst, o.s, o.d, o.w,
+         |               s0.comp[o.si] AS ra, s0.comp[o.di] AS rb,
+         |               least(s0.comp[o.si], s0.comp[o.di]) AS lo,
+         |               greatest(s0.comp[o.si], s0.comp[o.di]) AS hi
+         |        FROM st s0 JOIN ordered o ON o.rk = s0.i + 1) t
+         |)
+         |SELECT m.s AS src, m.d AS dst, m.w AS w
+         |FROM (SELECT unnest(mst) AS m FROM st, ne WHERE st.i = ne.n)""".stripMargin
   )
 }

@@ -637,6 +637,23 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("boruvka msf equals kruskal on golden and random graphs") {
+    val graphs = Seq(
+      golden("triangle"), golden("path4"), golden("twoComp"),
+      golden("bowtie"), golden("k4"), golden("sample15"),
+      Oracles.erdosRenyi(60, 0.07, seed = 5),
+      Oracles.powerLaw(80, seed = 9))
+    graphs.zipWithIndex.foreach { case (es, gi) =>
+      val canon = es.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val weighted = canon.map { case (s, d) =>
+        (s, d, Oracles.sha60(s"w:$s:$d")) }
+      val got = Mst.boruvka(spark, Mst.shaWeights(edgeDF(canon)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Oracles.mstKruskal(weighted), s"graph=$gi")
+    }
+  }
+
   test("k-hop features: star5 layers are exact integer sums") {
     // star: center 1 (degree 4), leaves degree 1
     // f1(center) = 4·1 = 4, f1(leaf) = 4; f2(center) = 4·4 = 16, f2(leaf) = 4

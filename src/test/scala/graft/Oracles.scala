@@ -203,6 +203,21 @@ object Oracles {
       .digest(s.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString.take(15), 16)
 
+  /** Kruskal MSF on (src, dst, w) with unique weights → MST edge set. */
+  def mstKruskal(weighted: Seq[(Long, Long, Long)]): Set[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    weighted.sortBy { case (s, d, w) => (w, s, d) }.flatMap {
+      case (s, d, _) =>
+        val (rs, rd) = (find(s), find(d))
+        if (rs == rd) None
+        else { parent(math.max(rs, rd)) = math.min(rs, rd); Some((s, d)) }
+    }.toSet
+  }
+
   /** Tarjan SCC (iterative) on a directed edge list; scc id = min member. */
   def stronglyConnected(directed: Seq[(Long, Long)]): Map[Long, Long] = {
     val verts = directed.flatMap(e => Seq(e._1, e._2)).distinct
