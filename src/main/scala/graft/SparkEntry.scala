@@ -942,7 +942,23 @@ object SparkEntry {
     // (list-carried union-find): two different MST algorithms must agree
     // because unique weights make the forest unique
     "q99_mst" -> ((s, d) =>
-      graft.kernels.Mst.boruvka(s, graft.kernels.Mst.shaWeights(e2(s, d))))
+      graft.kernels.Mst.boruvka(s, graft.kernels.Mst.shaWeights(e2(s, d)))),
+
+    // incremental PageRank: 6 supersteps on the full graph, drill-down
+    // deletion (vid % 7 == 0 — the q46 predicate), then 4 WARM-START
+    // supersteps on the survivor graph seeded from the pre-deletion
+    // ranks — the resume-after-deletion path a catalog-backed engine
+    // actually runs; the oracle replays both phases in one recursive CTE
+    "q100_pr_warm" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val r0 = PageRank.run(s, sym, fixedIter = Some(6),
+        symmetric = true).ranks
+      val ef = sym.filter(pmod(col("src"), lit(7)) =!= 0 &&
+        pmod(col("dst"), lit(7)) =!= 0)
+      PageRank.run(s, ef, fixedIter = Some(4), symmetric = true,
+        initRanks = Some(r0)).ranks
+        .select(col("vid"), round(col("rank"), 8).as("rank"))
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2493,6 +2509,39 @@ object SparkEntry {
          |        FROM st s0 JOIN ordered o ON o.rk = s0.i + 1) t
          |)
          |SELECT m.s AS src, m.d AS dst, m.w AS w
-         |FROM (SELECT unnest(mst) AS m FROM st, ne WHERE st.i = ne.n)""".stripMargin
+         |FROM (SELECT unnest(mst) AS m FROM st, ne WHERE st.i = ne.n)""".stripMargin,
+
+    // two-phase replay: pr1 = 6 uniform-start supersteps on the full
+    // thresholded sym graph; fe = the q46 deletion predicate applied
+    // symmetrically; pr2 = 4 supersteps on the survivor graph seeded
+    // from pr1@6 (warm start). Arithmetic forms mirror the q10 oracle.
+    "q100_pr_warm" ->
+      s"""WITH RECURSIVE $CTE,
+         |ne2 AS (SELECT count(*) AS n FROM deg),
+         |pr1(iter, vid, rank) AS (
+         |  SELECT 0, vid, CAST(1.0 AS DOUBLE) / (SELECT n FROM ne2) FROM deg
+         |  UNION ALL
+         |  SELECT p.iter + 1, s.d,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM ne2)
+         |         + CAST(0.85 AS DOUBLE) * sum(p.rank / g.degree)
+         |  FROM pr1 p JOIN deg g ON p.vid = g.vid JOIN sym s ON p.vid = s.s
+         |  WHERE p.iter < 6
+         |  GROUP BY 1, 2
+         |),
+         |fe AS (SELECT s, d FROM sym WHERE s % 7 <> 0 AND d % 7 <> 0),
+         |fdeg2 AS (SELECT s AS vid, count(*) AS odeg FROM fe GROUP BY 1),
+         |n2 AS (SELECT count(*) AS n FROM fdeg2),
+         |pr2(iter, vid, rank) AS (
+         |  SELECT 0, f.vid, p.rank
+         |  FROM fdeg2 f JOIN pr1 p ON f.vid = p.vid WHERE p.iter = 6
+         |  UNION ALL
+         |  SELECT q.iter + 1, fe.d,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM n2)
+         |         + CAST(0.85 AS DOUBLE) * sum(q.rank / g.odeg)
+         |  FROM pr2 q JOIN fdeg2 g ON q.vid = g.vid JOIN fe ON q.vid = fe.s
+         |  WHERE q.iter < 4
+         |  GROUP BY 1, 2
+         |)
+         |SELECT vid, round(rank, 8) AS rank FROM pr2 WHERE iter = 4""".stripMargin
   )
 }

@@ -61,7 +61,8 @@ object PageRank {
           grid: Int = 1,
           ckpt: Option[Checkpointer] = None,
           resume: Boolean = false,
-          personalized: Option[DataFrame] = None): Result = {
+          personalized: Option[DataFrame] = None,
+          initRanks: Option[DataFrame] = None): Result = {
 
     // weighted variant (reference multi_attr format, per-edge doubles —
     // SURVEY §1.2): contribution = rank * w / Σ_out w; unweighted = w ≡ 1
@@ -153,8 +154,20 @@ object PageRank {
     // and the bench can attribute pre-loop wall separately
     if (salts <= 1) links.count()
 
-    def init: DataFrame =
-      vertsT.select(col("vid"), col("tele").as("rank"))
+    // warm start (incremental recompute): seed from a prior run's ranks
+    // where available — e.g. re-running after a catalog drill-down
+    // deletion resumes from the pre-deletion fixpoint instead of uniform,
+    // cutting supersteps-to-convergence on mostly-unchanged graphs.
+    // Vertices absent from the seed (newly added) fall back to tele.
+    def init: DataFrame = initRanks match {
+      case None => vertsT.select(col("vid"), col("tele").as("rank"))
+      case Some(r0) =>
+        vertsT.select(col("vid"), col("tele"))
+          .join(r0.select(col("vid"), col("rank").as("r0")),
+            Seq("vid"), "left")
+          .select(col("vid"),
+            coalesce(col("r0"), col("tele")).as("rank"))
+    }
 
     def step(ranks: DataFrame): DataFrame = {
       val danglingMass = danglingVids match {

@@ -637,6 +637,50 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("pagerank warm start: seeded from fixpoint, one step moves < tol") {
+    import spark.implicits._
+    val sym = Edges.symmetrize(edgeDF(Oracles.sample15))
+    val fix = PageRank.run(spark, sym, tol = 1e-12, symmetric = true)
+    assert(fix.converged)
+    val warm = PageRank.run(spark, sym, fixedIter = Some(1),
+      symmetric = true, initRanks = Some(fix.ranks)).ranks
+    val drift = warm.as("w").join(fix.ranks.as("f"), "vid")
+      .agg(max(abs(col("w.rank") - col("f.rank")))).head().getDouble(0)
+    assert(drift < 1e-10, s"warm restart drifted $drift")
+  }
+
+  test("pagerank warm start after deletion matches a local two-phase replay") {
+    import spark.implicits._
+    val es = Oracles.sample15
+    val symSeq = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val phase1 = Oracles.pageRank(symSeq, iters = 6)
+    // delete vertices 3 and 9 (symmetric predicate), keep both directions
+    val del = Set(3L, 9L)
+    val fSeq = symSeq.filter { case (a, b) => !del(a) && !del(b) }
+    // local warm-start replay with the engine's arithmetic form
+    val odeg = fSeq.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val verts = fSeq.map(_._1).distinct
+    val n = verts.size
+    var r = verts.map(v => v -> phase1(v)).toMap
+    (1 to 4).foreach { _ =>
+      val in = fSeq.groupBy(_._2).map { case (v, ins) =>
+        v -> ins.map { case (u, _) => r(u) / odeg(u) }.sum }
+      r = verts.map(v =>
+        v -> (0.15 / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    val sym = Edges.symmetrize(edgeDF(es))
+    val r0 = PageRank.run(spark, sym, fixedIter = Some(6),
+      symmetric = true).ranks
+    val ef = sym.filter(!col("src").isInCollection(del) &&
+      !col("dst").isInCollection(del))
+    val got = PageRank.run(spark, ef, fixedIter = Some(4),
+      symmetric = true, initRanks = Some(r0)).ranks
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet === r.keySet)
+    r.foreach { case (v, exp) =>
+      assert(math.abs(got(v) - exp) < 1e-9, s"vid=$v: ${got(v)} vs $exp") }
+  }
+
   test("boruvka msf equals kruskal on golden and random graphs") {
     val graphs = Seq(
       golden("triangle"), golden("path4"), golden("twoComp"),
