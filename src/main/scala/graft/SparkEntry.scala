@@ -958,7 +958,12 @@ object SparkEntry {
       PageRank.run(s, ef, fixedIter = Some(4), symmetric = true,
         initRanks = Some(r0)).ranks
         .select(col("vid"), round(col("rank"), 8).as("rank"))
-    })
+    }),
+
+    // diameter lower bound by double sweep: two BFS evaluations instead
+    // of |V| (all-pairs) — the standard web-graph diameter estimate
+    "q101_diameter" -> ((s, d) =>
+      graft.kernels.GraphStats.doubleSweep(Edges.symmetrize(e2(s, d))))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2542,6 +2547,29 @@ object SparkEntry {
          |  WHERE q.iter < 4
          |  GROUP BY 1, 2
          |)
-         |SELECT vid, round(rank, 8) AS rank FROM pr2 WHERE iter = 4""".stripMargin
+         |SELECT vid, round(rank, 8) AS rank FROM pr2 WHERE iter = 4""".stripMargin,
+
+    // double sweep replay: max-degree start (min-vid ties), BFS, argmax
+    // by (dist desc, vid) twice; diameter_lb = the 2nd eccentricity
+    "q101_diameter" ->
+      s"""WITH RECURSIVE $CTE,
+         |start AS (SELECT vid FROM deg ORDER BY degree DESC, vid LIMIT 1),
+         |r1(vid, h) AS (
+         |  SELECT vid, 0 FROM start
+         |  UNION
+         |  SELECT s.d, r.h + 1 FROM r1 r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 20),
+         |d1 AS (SELECT vid, min(h) AS dist FROM r1 GROUP BY 1),
+         |far1 AS (SELECT vid FROM d1 ORDER BY dist DESC, vid LIMIT 1),
+         |r2(vid, h) AS (
+         |  SELECT vid, 0 FROM far1
+         |  UNION
+         |  SELECT s.d, r.h + 1 FROM r2 r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 20),
+         |d2 AS (SELECT vid, min(h) AS dist FROM r2 GROUP BY 1),
+         |far2 AS (SELECT vid, dist FROM d2 ORDER BY dist DESC, vid LIMIT 1)
+         |SELECT start.vid AS start_vid, far1.vid AS far_vid,
+         |       far2.vid AS far2_vid, CAST(far2.dist AS BIGINT) AS diameter_lb
+         |FROM start, far1, far2""".stripMargin
   )
 }

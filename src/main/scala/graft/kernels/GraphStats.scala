@@ -173,6 +173,30 @@ object GraphStats {
     * fabric with integer sums (exact, order-independent, hash-oracle
     * replayable); k layers = k shuffles, each reusing the src-partitioned
     * persisted edge table — the same scale shape as a superstep. */
+  /** Diameter lower bound by double sweep (Magnien-Latapy-Habib): BFS
+    * from the max-degree vertex (ties: min vid), then BFS from the
+    * farthest vertex found; that second eccentricity is within a factor
+    * 2 of — and on real graphs usually equal to — the true diameter,
+    * for TWO sweeps instead of |V| (the exact algorithm is all-pairs).
+    * Disconnected graphs: the sweep stays inside the start component
+    * (the giant one, for a max-degree start). One row:
+    * (start_vid, far_vid, far2_vid, diameter_lb); each distance search
+    * is the shared frontier-expansion [[Bfs.distances]], each argmax a
+    * distributed TakeOrdered — nothing graph-sized on the driver. */
+  def doubleSweep(sym: DataFrame, maxHop: Int = 20): DataFrame = {
+    val start = Edges.degrees(sym)
+      .orderBy(col("degree").desc, col("vid")).limit(1).select(col("vid"))
+    val far1 = Bfs.distances(sym, start, maxHop)
+      .orderBy(col("dist").desc, col("vid")).limit(1)
+      .localCheckpoint(eager = true)
+    val far2 = Bfs.distances(sym, far1.select(col("vid")), maxHop)
+      .orderBy(col("dist").desc, col("vid")).limit(1)
+    start.select(col("vid").as("start_vid"))
+      .crossJoin(far1.select(col("vid").as("far_vid")))
+      .crossJoin(far2.select(col("vid").as("far2_vid"),
+        col("dist").as("diameter_lb")))
+  }
+
   def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
     val e = sym.select(col("src"), col("dst")).repartition(col("src"))
       .persist()

@@ -681,6 +681,18 @@ class KernelSpec extends SparkSpec {
       assert(math.abs(got(v) - exp) < 1e-9, s"vid=$v: ${got(v)} vs $exp") }
   }
 
+  test("double sweep finds the true diameter on golden graphs") {
+    // path4: start=2 (deg tie, min vid), far1=4, far2=1 at dist 3
+    val got = GraphStats.doubleSweep(
+      Edges.symmetrize(edgeDF(golden("path4")))).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((2L, 4L, 1L, 3L)))
+    // star5: diameter 2, start is the hub
+    val star = GraphStats.doubleSweep(
+      Edges.symmetrize(edgeDF(golden("star5")))).head()
+    assert(star.getLong(0) === 1L && star.getLong(3) === 2L)
+  }
+
   test("boruvka msf equals kruskal on golden and random graphs") {
     val graphs = Seq(
       golden("triangle"), golden("path4"), golden("twoComp"),
