@@ -963,7 +963,13 @@ object SparkEntry {
     // diameter lower bound by double sweep: two BFS evaluations instead
     // of |V| (all-pairs) — the standard web-graph diameter estimate
     "q101_diameter" -> ((s, d) =>
-      graft.kernels.GraphStats.doubleSweep(Edges.symmetrize(e2(s, d))))
+      graft.kernels.GraphStats.doubleSweep(Edges.symmetrize(e2(s, d)))),
+
+    // corpus-trained bigram LM fluency score (CCNet/Wiki-LM quality
+    // gate, integer ppm): train counts and score every doc in one pass
+    "q102_bigram_lm" -> ((s, d) =>
+      graft.text.QualityRules.bigramLmScore(
+        T(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2570,6 +2576,24 @@ object SparkEntry {
          |far2 AS (SELECT vid, dist FROM d2 ORDER BY dist DESC, vid LIMIT 1)
          |SELECT start.vid AS start_vid, far1.vid AS far_vid,
          |       far2.vid AS far2_vid, CAST(far2.dist AS BIGINT) AS diameter_lb
-         |FROM start, far1, far2""".stripMargin
+         |FROM start, far1, far2""".stripMargin,
+
+    // bigram LM replay: same whitespace tokens, bigram strings joined
+    // with one space, conditional ppm = count(w1,w2)*1e6 // count(w1,·)
+    // over the BIGRAM stream, per-doc floor-ppm average
+    "q102_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tk WHERE len(t) >= 2),
+        |bgs AS (SELECT doc_id,
+        |               t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg,
+        |               t[CAST(i AS INT)] AS w1
+        |        FROM pos),
+        |bc AS (SELECT bg, count(*) AS bc FROM bgs GROUP BY 1),
+        |pc AS (SELECT w1, count(*) AS pc FROM bgs GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(x.bc * 1000000 // p.pc) AS BIGINT) // count(*) AS lm_ppm
+        |FROM bgs b JOIN bc x ON b.bg = x.bg JOIN pc p ON b.w1 = p.w1
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -57,6 +57,38 @@ object QualityRules {
           col("dup_bigram_ppm") <= dupBigramPpmMax).cast("long"))
   }
 
+  /** Corpus-trained bigram language-model fluency score — the CCNet /
+    * Wiki-LM quality gate, integerized. Train and score in ONE pass over
+    * the corpus: every doc's word bigrams feed global (w1,w2) and
+    * w1-prefix counts, then each doc is scored by the floor-ppm average
+    * of its bigrams' conditional frequencies
+    * p(w2|w1) = count(w1,w2) / count(w1,·). Common phrasing scores
+    * high; shuffled/garbled text scores low. All arithmetic is integer
+    * `div` (exact, order-independent → hash-oracle-able); output
+    * (id, n_bigrams, lm_ppm) for docs with ≥ 1 bigram.
+    *
+    * Scale: two shuffles over the corpus bigram stream (count tables),
+    * two shuffle joins back onto it, one per-doc aggregation. The count
+    * tables are vocabulary²-bounded, NOT corpus-bounded — at 100 TB the
+    * bigram table still fits a shuffle join (and a `min count` floor
+    * would broadcast the head of the distribution; not needed here). */
+  def bigramLmScore(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+    val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val w1 = substring_index(col("bg"), " ", 1)
+    val pc = bg.select(w1.as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("pc"))
+    bg.join(bc, "bg")
+      .withColumn("w1", w1)
+      .join(pc, "w1")
+      .select(col(idCol), expr("bc * 1000000L div pc").as("ppm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").as("lm_ppm"))
+  }
+
   /** Email-address pattern — deliberately RE2-compatible (no lookaround,
     * no backrefs) so the Java-regex Spark plan and an RE2-based oracle
     * (DuckDB) or scrubber agree match-for-match. */

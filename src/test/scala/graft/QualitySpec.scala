@@ -31,6 +31,34 @@ class QualitySpec extends SparkSpec {
     assert(r.map(_.getLong(5)).toSeq == Seq(0L, 1L, 0L)) // keep
   }
 
+  test("bigramLmScore: hand-computed conditional ppm, fluent > garbled") {
+    // corpus bigrams: doc1 "a b a b" -> [a b, b a, a b];
+    //                 doc2 "a b"     -> [a b];  doc3 "x y" -> [x y]
+    // counts: (a b)=4? no: bc(a b)=3, bc(b a)=1, bc(x y)=1
+    // prefixes: pc(a)=3, pc(b)=1, pc(x)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"),
+      (4L, "q")).toDF("doc_id", "text")
+    val got = QualityRules.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc1: ppms = [3e6/3=1000000, 1e6/1=1000000, 1000000] -> avg 1000000
+    assert(got(1L) === ((3L, 1000000L)))
+    // doc2: one bigram (a b): 3*1e6 div 3 = 1000000
+    assert(got(2L) === ((1L, 1000000L)))
+    // doc3: (x y): 1*1e6 div 1 = 1000000
+    assert(got(3L) === ((1L, 1000000L)))
+    // doc4: no bigram -> no row
+    assert(!got.contains(4L))
+    // discrimination: common phrasing beats a one-off continuation
+    val corpus = (Seq((10L, "the quick fox"), (11L, "the quick fox"),
+      (12L, "the quick fox"), (13L, "the slow fox")))
+      .toDF("doc_id", "text")
+    val s2 = QualityRules.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s2(10L) > s2(13L),
+      s"fluent ${s2(10L)} should beat rare ${s2(13L)}")
+  }
+
   test("piiStats: counts and masked sha match a hand-masked document") {
     val docs = Seq(
       (1L, "reach me at jo.na+x@sub.example.org or 192.168.0.1 ok"),
