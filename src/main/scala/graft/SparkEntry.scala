@@ -969,7 +969,17 @@ object SparkEntry {
     // gate, integer ppm): train counts and score every doc in one pass
     "q102_bigram_lm" -> ((s, d) =>
       graft.text.QualityRules.bigramLmScore(
-        T(s, d, "documents"), "doc_id", "text"))
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // clustering agreement: Rand index (pair-counting, integer ppm)
+    // between 5-superstep label propagation and the CC ground truth —
+    // the evaluation op run after every community-detection change
+    "q103_rand_index" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      graft.kernels.GraphStats.randIndex(
+        LabelPropagation.run(s, sym, 5).labels,
+        ConnectedComponents.run(s, sym).components)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2594,6 +2604,41 @@ object SparkEntry {
         |SELECT b.doc_id, count(*) AS n_bigrams,
         |       CAST(sum(x.bc * 1000000 // p.pc) AS BIGINT) // count(*) AS lm_ppm
         |FROM bgs b JOIN bc x ON b.bg = x.bg JOIN pc p ON b.w1 = p.w1
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // Rand index replay: the q11 LP recursion and the q08 CC closure
+    // feed one contingency table; agreements in pair-counting form
+    "q103_rand_index" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |),
+         |comp AS (SELECT vid, min(lbl) AS cb FROM reach GROUP BY vid),
+         |lp(iter, vid, lbl) AS (
+         |  SELECT 0, vid, vid FROM deg
+         |  UNION ALL
+         |  SELECT iter + 1, vid, arg_min(nlbl, cnt * (-1000000000) + nlbl) FROM (
+         |    SELECT l.iter AS iter, s.d AS vid, l.lbl AS nlbl, count(*) AS cnt
+         |    FROM lp l JOIN sym s ON l.vid = s.s
+         |    WHERE l.iter < 5
+         |    GROUP BY 1, 2, 3
+         |  ) GROUP BY 1, 2
+         |),
+         |lpf AS (SELECT vid, lbl AS ca FROM lp WHERE iter = 5),
+         |cont AS (SELECT ca, cb, count(*) AS nij
+         |         FROM lpf JOIN comp USING (vid) GROUP BY 1, 2),
+         |s1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS same_both,
+         |              CAST(sum(nij) AS BIGINT) AS n FROM cont),
+         |s2 AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS same_a
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS sz FROM cont GROUP BY ca)),
+         |s3 AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS same_b
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS sz FROM cont GROUP BY cb))
+         |SELECT s1.n AS n_vertices, s1.same_both, s2.same_a, s3.same_b,
+         |       s1.n * (s1.n - 1) // 2 AS total_pairs,
+         |       (2 * s1.same_both + s1.n * (s1.n - 1) // 2 - s2.same_a - s3.same_b)
+         |         * 1000000 // (s1.n * (s1.n - 1) // 2) AS rand_ppm
+         |FROM s1, s2, s3""".stripMargin
   )
 }

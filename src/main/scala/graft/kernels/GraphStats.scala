@@ -197,6 +197,43 @@ object GraphStats {
         col("dist").as("diameter_lb")))
   }
 
+  /** Rand index between two disjoint clusterings of the same vertex set
+    * — the standard agreement score a pipeline computes when comparing
+    * community assignments (e.g. label propagation vs connected
+    * components, or two parameterizations of the same algorithm).
+    * Pair-counting form, all integer: from the contingency table n_ij,
+    * agreements = pairs clustered together in both + pairs separated in
+    * both = C(n,2) + 2·Σ C(n_ij,2) − Σ C(a_i,2) − Σ C(b_j,2).
+    * One shuffle for the contingency table (bounded by |clusters_a| ×
+    * |clusters_b|, not |V|²), three scalar aggregations over it, one
+    * row out: (n_vertices, same_both, same_a, same_b, total_pairs,
+    * rand_ppm). Inner-joins on vid, so both inputs must label the same
+    * vertices. */
+  def randIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = col(a.columns(1)).as("la")
+    val cb = col(b.columns(1)).as("lb")
+    val cont = a.select(col("vid"), ca)
+      .join(b.select(col("vid"), cb), "vid")
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij"))
+      .persist()
+    val s1 = cont.agg(
+      expr("sum(nij * (nij - 1) div 2)").as("same_both"),
+      sum(col("nij")).as("n"))
+    val s2 = cont.groupBy(col("la")).agg(sum(col("nij")).as("sz"))
+      .agg(expr("sum(sz * (sz - 1) div 2)").as("same_a"))
+    val s3 = cont.groupBy(col("lb")).agg(sum(col("nij")).as("sz"))
+      .agg(expr("sum(sz * (sz - 1) div 2)").as("same_b"))
+    val out = s1.crossJoin(s2).crossJoin(s3)
+      .select(col("n").as("n_vertices"), col("same_both"),
+        col("same_a"), col("same_b"),
+        expr("n * (n - 1) div 2").as("total_pairs"),
+        expr("(2 * same_both + n * (n - 1) div 2 - same_a - same_b) " +
+          "* 1000000L div (n * (n - 1) div 2)").as("rand_ppm"))
+      .localCheckpoint(eager = true)
+    cont.unpersist()
+    out
+  }
+
   def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
     val e = sym.select(col("src"), col("dst")).repartition(col("src"))
       .persist()

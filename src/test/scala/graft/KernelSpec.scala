@@ -681,6 +681,22 @@ class KernelSpec extends SparkSpec {
       assert(math.abs(got(v) - exp) < 1e-9, s"vid=$v: ${got(v)} vs $exp") }
   }
 
+  test("rand index: hand-computed pair counts on a 4-point example") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("vid", "la")
+    val b = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L)).toDF("vid", "lb")
+    val r = GraphStats.randIndex(a, b).head()
+    // cont: (10,7)=2 (20,7)=1 (20,9)=1; same_both=1, same_a=2, same_b=3,
+    // total=6, agreements=2*1+6-2-3=3 -> 500000 ppm
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((4L, 1L, 2L, 3L, 6L, 500000L)))
+    // identical clusterings agree perfectly regardless of label names
+    val r2 = GraphStats.randIndex(a,
+      a.select(col("vid"), (col("la") * 3).as("lb"))).head()
+    assert(r2.getLong(5) === 1000000L)
+  }
+
   test("double sweep finds the true diameter on golden graphs") {
     // path4: start=2 (deg tie, min vid), far1=4, far2=1 at dist 3
     val got = GraphStats.doubleSweep(
