@@ -979,7 +979,12 @@ object SparkEntry {
       graft.kernels.GraphStats.randIndex(
         LabelPropagation.run(s, sym, 5).labels,
         ConnectedComponents.run(s, sym).components)
-    })
+    }),
+
+    // one-row structural profile with EXACT degree percentiles (the
+    // density-drift check logged around every corpus/graph filter)
+    "q104_profile" -> ((s, d) =>
+      graft.kernels.GraphStats.degreeProfile(e2(s, d)))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2639,6 +2644,23 @@ object SparkEntry {
          |       s1.n * (s1.n - 1) // 2 AS total_pairs,
          |       (2 * s1.same_both + s1.n * (s1.n - 1) // 2 - s2.same_a - s3.same_b)
          |         * 1000000 // (s1.n * (s1.n - 1) // 2) AS rand_ppm
-         |FROM s1, s2, s3""".stripMargin
+         |FROM s1, s2, s3""".stripMargin,
+
+    // profile replay: degree histogram cumsum; percentile q = smallest
+    // degree with cum*100 >= n*q (exact ceil order statistic)
+    "q104_profile" ->
+      s"""WITH $CTE,
+         |hist AS (SELECT degree, count(*) AS c FROM deg GROUP BY 1),
+         |cum AS (SELECT degree, CAST(sum(c) OVER (ORDER BY degree) AS BIGINT) AS cum FROM hist),
+         |sc AS (SELECT (SELECT count(*) FROM deg) AS n,
+         |              (SELECT max(degree) FROM deg) AS mx,
+         |              (SELECT count(*) FROM e) AS m)
+         |SELECT sc.n AS n_vertices, sc.m AS n_edges,
+         |       sc.m * 2000000 // (sc.n * (sc.n - 1)) AS density_ppm,
+         |       sc.mx AS max_degree,
+         |       (SELECT min(degree) FROM cum WHERE cum * 100 >= sc.n * 50) AS p50_degree,
+         |       (SELECT min(degree) FROM cum WHERE cum * 100 >= sc.n * 90) AS p90_degree,
+         |       (SELECT min(degree) FROM cum WHERE cum * 100 >= sc.n * 99) AS p99_degree
+         |FROM sc""".stripMargin
   )
 }

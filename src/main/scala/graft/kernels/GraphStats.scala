@@ -234,6 +234,40 @@ object GraphStats {
     out
   }
 
+  /** One-row structural profile: vertex/edge counts, density, and
+    * EXACT degree percentiles — the summary a pipeline logs before and
+    * after every filter to catch density drift. Percentile q = the
+    * smallest degree with cumulative count ≥ ceil(q·n/100) (exact
+    * order statistic, no approx-sketch nondeterminism). The cumulative
+    * sum runs over the degree HISTOGRAM — a table bounded by the
+    * max degree, not |V|, so the single-partition window is safe at
+    * any scale (same reasoning as q47's range-totals table).
+    * All integer except nothing: density is floor ppm of m / C(n,2). */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("src"), col("dst")).distinct()
+    val deg = Edges.degrees(Edges.symmetrize(canon))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("degree"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .persist()
+    val scal = deg.agg(count(lit(1)).as("n"), max(col("degree")).as("mx"))
+      .crossJoin(canon.agg(count(lit(1)).as("m")))
+    def pct(q: Int): DataFrame = cum
+      .crossJoin(scal.select(col("n").as(s"n$q")))
+      .filter(col("cum") * 100 >= col(s"n$q") * q)
+      .agg(min(col("degree")).as(s"p${q}_degree"))
+    val out = scal.select(col("n").as("n_vertices"), col("m").as("n_edges"),
+        expr("m * 2000000L div (n * (n - 1))").as("density_ppm"),
+        col("mx").as("max_degree"))
+      .crossJoin(pct(50)).crossJoin(pct(90)).crossJoin(pct(99))
+      .localCheckpoint(eager = true)
+    cum.unpersist()
+    out
+  }
+
   def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
     val e = sym.select(col("src"), col("dst")).repartition(col("src"))
       .persist()

@@ -681,6 +681,16 @@ class KernelSpec extends SparkSpec {
       assert(math.abs(got(v) - exp) < 1e-9, s"vid=$v: ${got(v)} vs $exp") }
   }
 
+  test("degreeProfile: exact percentiles on star5") {
+    // star5: hub degree 4, four leaves degree 1; n=5 m=4
+    // cum: degree 1 -> 4, degree 4 -> 5; p50: ceil(2.5)=3 <= 4 -> 1;
+    // p90: ceil(4.5)=5 -> 4; p99: 5 -> 4; density = 4*2e6/20 = 400000
+    val r = GraphStats.degreeProfile(edgeDF(golden("star5"))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((5L, 4L, 400000L, 4L, 1L, 4L, 4L)))
+  }
+
   test("rand index: hand-computed pair counts on a 4-point example") {
     import spark.implicits._
     val a = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
