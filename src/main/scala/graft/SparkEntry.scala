@@ -984,7 +984,14 @@ object SparkEntry {
     // one-row structural profile with EXACT degree percentiles (the
     // density-drift check logged around every corpus/graph filter)
     "q104_profile" -> ((s, d) =>
-      graft.kernels.GraphStats.degreeProfile(e2(s, d)))
+      graft.kernels.GraphStats.degreeProfile(e2(s, d))),
+
+    // deterministic greedy coloring: Jones-Plassmann parallel fixpoint
+    // on Spark == sequential first-fit greedy in sha-priority order,
+    // which the oracle replays one vertex per recursion step
+    "q105_coloring" -> ((s, d) =>
+      graft.kernels.Coloring.jonesPlassmann(s,
+        Edges.symmetrize(e2(s, d))))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2661,6 +2668,42 @@ object SparkEntry {
          |       (SELECT min(degree) FROM cum WHERE cum * 100 >= sc.n * 50) AS p50_degree,
          |       (SELECT min(degree) FROM cum WHERE cum * 100 >= sc.n * 90) AS p90_degree,
          |       (SELECT min(degree) FROM cum WHERE cum * 100 >= sc.n * 99) AS p99_degree
-         |FROM sc""".stripMargin
+         |FROM sc""".stripMargin,
+
+    // first-fit greedy replay in (sha60("col:vid"), vid) order: adj
+    // keeps only HIGHER-priority (lower ord) neighbors, the recursion
+    // appends one color per step, chosen = smallest c in 0..deg not
+    // used by those neighbors — provably the Jones-Plassmann fixpoint
+    "q105_coloring" ->
+      s"""WITH RECURSIVE $CTE,
+         |pv AS (SELECT vid,
+         |         CAST(('0x' || substr(sha256('col:' || CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+         |       FROM deg),
+         |vert AS MATERIALIZED (
+         |  SELECT vid, row_number() OVER (ORDER BY p, vid) AS ord FROM pv),
+         |adj AS MATERIALIZED (
+         |  SELECT va.ord AS ord,
+         |         coalesce(list(vb.ord ORDER BY vb.ord)
+         |                  FILTER (vb.ord < va.ord), []) AS nbrs
+         |  FROM vert va
+         |  LEFT JOIN sym s ON va.vid = s.s
+         |  LEFT JOIN vert vb ON s.d = vb.vid
+         |  GROUP BY 1),
+         |nv2 AS (SELECT count(*) AS n FROM vert),
+         |st(i, colors) AS (
+         |  SELECT 0, CAST([] AS BIGINT[])
+         |  UNION ALL
+         |  SELECT t.i + 1, list_append(t.colors, t.chosen)
+         |  FROM (
+         |    SELECT s0.i, s0.colors,
+         |      coalesce(list_min(
+         |        [c FOR c IN range(0, CAST(len(a.nbrs) + 1 AS BIGINT))
+         |         IF NOT list_contains([s0.colors[x] FOR x IN a.nbrs], c)]),
+         |        0) AS chosen
+         |    FROM st s0 JOIN adj a ON a.ord = s0.i + 1
+         |  ) t
+         |)
+         |SELECT v.vid, st.colors[CAST(v.ord AS INT)] AS color
+         |FROM st, nv2, vert v WHERE st.i = nv2.n""".stripMargin
   )
 }

@@ -681,6 +681,35 @@ class KernelSpec extends SparkSpec {
       assert(math.abs(got(v) - exp) < 1e-9, s"vid=$v: ${got(v)} vs $exp") }
   }
 
+  test("jones-plassmann equals sequential first-fit greedy, proper") {
+    def localGreedy(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val order = verts.sortBy(v => (Oracles.sha60(s"col:$v"), v))
+      val colors = scala.collection.mutable.HashMap.empty[Long, Long]
+      order.foreach { v =>
+        val used = adj.getOrElse(v, Set.empty).flatMap(colors.get)
+        colors(v) = Iterator.iterate(0L)(_ + 1).find(!used(_)).get
+      }
+      colors.toMap
+    }
+    val graphs = Seq(golden("triangle"), golden("path4"), golden("k4"),
+      golden("sample15"), Oracles.erdosRenyi(60, 0.08, seed = 13),
+      Oracles.powerLaw(70, seed = 21))
+    graphs.zipWithIndex.foreach { case (es, gi) =>
+      val canon = es.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Coloring.jonesPlassmann(spark,
+          Edges.symmetrize(edgeDF(canon)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === localGreedy(canon), s"graph=$gi")
+      // propriety: no monochromatic edge
+      canon.foreach { case (a, b) =>
+        assert(got(a) !== got(b), s"graph=$gi edge ($a,$b)") }
+    }
+  }
+
   test("degreeProfile: exact percentiles on star5") {
     // star5: hub degree 4, four leaves degree 1; n=5 m=4
     // cum: degree 1 -> 4, degree 4 -> 5; p50: ceil(2.5)=3 <= 4 -> 1;
