@@ -991,6 +991,21 @@ object SparkEntry {
     // which the oracle replays one vertex per recursion step
     "q105_coloring" -> ((s, d) =>
       graft.kernels.Coloring.jonesPlassmann(s,
+        Edges.symmetrize(e2(s, d)))),
+
+    // bipartite butterfly census straight off the co-occurrence weight
+    // table (2x2 bicliques = C(weight,2) per co-occurring pair)
+    "q106_butterflies" -> ((s, d) =>
+      graft.kernels.GraphStats.butterflies(cooc(s, d))),
+
+    // exact rectangle (4-cycle) count via the diagonal wedge table
+    "q107_rectangles" -> ((s, d) =>
+      graft.kernels.GraphStats.rectangles(Edges.symmetrize(e2(s, d)))),
+
+    // Katz centrality in scaled-integer form (beta = 1/4, 6 supersteps,
+    // y = 4^6 * Katz — zero floating point, exact 64-bit end to end)
+    "q108_katz" -> ((s, d) =>
+      graft.kernels.EigenCentrality.katzScaled(s,
         Edges.symmetrize(e2(s, d))))
   )
 
@@ -2704,6 +2719,39 @@ object SparkEntry {
          |  ) t
          |)
          |SELECT v.vid, st.colors[CAST(v.ord AS INT)] AS color
-         |FROM st, nv2, vert v WHERE st.i = nv2.n""".stripMargin
+         |FROM st, nv2, vert v WHERE st.i = nv2.n""".stripMargin,
+
+    "q106_butterflies" ->
+      s"""WITH $CTE
+         |SELECT count(*) AS n_copairs, max(weight) AS max_cooc,
+         |       CAST(sum(weight) AS BIGINT) AS wedge_pairs,
+         |       CAST(sum(weight * (weight - 1) // 2) AS BIGINT) AS butterflies
+         |FROM cooc""".stripMargin,
+
+    // rectangles: wedge table over the symmetric adjacency (u < v
+    // diagonal pairs), C4 = sum C(w,2) / 2 (each counted per diagonal)
+    "q107_rectangles" ->
+      s"""WITH $CTE,
+         |wt AS (SELECT a.d AS u, b.d AS v, count(*) AS w
+         |       FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d
+         |       GROUP BY 1, 2)
+         |SELECT CAST(sum(w) AS BIGINT) AS wedges,
+         |       count(*) AS diag_pairs,
+         |       CAST(sum(w * (w - 1) // 2) AS BIGINT) // 2 AS c4
+         |FROM wt""".stripMargin,
+
+    // Katz scaled-integer replay: y' = 4^iter + sum of in-neighbor y
+    "q108_katz" ->
+      s"""WITH RECURSIVE $CTE,
+         |kz(iter, vid, y, c) AS (
+         |  SELECT 0, vid, CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM deg
+         |  UNION ALL
+         |  SELECT k.iter + 1, s.d, min(k.c) * 4 + CAST(sum(k.y) AS BIGINT),
+         |         min(k.c) * 4
+         |  FROM kz k JOIN sym s ON k.vid = s.s
+         |  WHERE k.iter < 6
+         |  GROUP BY 1, 2
+         |)
+         |SELECT vid, y AS katz_scaled FROM kz WHERE iter = 6""".stripMargin
   )
 }

@@ -22,6 +22,36 @@ object EigenCentrality {
                           metrics: Seq[IterationMetric],
                           iterations: Int)
 
+  /** Katz centrality, scaled-INTEGER form: with attenuation β = 1/4,
+    * 4^k · Katz_k is the integer y_k = Σ_{j≤k} 4^{k−j}·walks_j — iterate
+    * y' = 4^{iter}·1 + A·y and every superstep stays exact 64-bit
+    * arithmetic (the [[run]] deferred-normalization idea taken all the
+    * way: no float appears AT ALL, so the oracle hash-matches without a
+    * rounding convention). Same gather-scatter superstep as PageRank;
+    * magnitudes grow like (avg degree)^k — at 6 iterations that is exact
+    * far below 2^63 for any graph whose hubs fit a shuffle; a tol-driven
+    * production run would use the float β-form with per-superstep
+    * normalization instead. */
+  def katzScaled(spark: SparkSession, sym: DataFrame,
+                 iters: Int = 6): DataFrame = {
+    val e = sym.select(col("src"), col("dst")).repartition(col("src"))
+      .persist()
+    var y = e.select(col("src").as("vid")).distinct()
+      .select(col("vid"), lit(1L).as("y"))
+      .localCheckpoint(eager = true)
+    var c = 1L
+    for (_ <- 1 to iters) {
+      c *= 4
+      val state = y.hint("SHUFFLE_HASH")
+      y = e.join(state, e("src") === state("vid"))
+        .groupBy(e("dst").as("vid"))
+        .agg((lit(c) + sum(col("y"))).as("y"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    y.select(col("vid"), col("y").as("katz_scaled"))
+  }
+
   /** @param sym symmetric edge table (src, dst)
     * @param iters fixed power-iteration count */
   def run(spark: SparkSession, sym: DataFrame, iters: Int): Result = {

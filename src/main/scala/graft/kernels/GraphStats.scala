@@ -268,6 +268,40 @@ object GraphStats {
     out
   }
 
+  /** Bipartite butterfly (2×2 biclique) census over a co-occurrence
+    * weight table — the standard bipartite cohesion count (Sanei-Mehri
+    * et al., KDD'18): a butterfly is two groups sharing two items, i.e.
+    * C(weight, 2) per co-occurring item pair. One aggregation over the
+    * ALREADY-derived pair table (no re-join of the raw bipartite
+    * edges): (n_copairs, max_cooc, wedge_pairs, butterflies), all
+    * integer. The co-occurrence derivation itself is the engine's S1
+    * pipeline; this is the cheapest cohesion profile on top of it. */
+  def butterflies(cooc: DataFrame): DataFrame =
+    cooc.agg(count(lit(1)).as("n_copairs"),
+      max(col("weight")).as("max_cooc"),
+      sum(col("weight")).as("wedge_pairs"),
+      expr("sum(weight * (weight - 1) div 2)").as("butterflies"))
+
+  /** Exact 4-cycle (rectangle) count: Σ_{u<v} C(common(u,v), 2) / 2 —
+    * every rectangle is counted once by each of its two diagonals. The
+    * wedge table (common-neighbor counts per endpoint pair) is one
+    * self-join of the symmetric adjacency grouped by the endpoint pair;
+    * work is Σ_a deg(a)² (wedge generation), the same envelope as the
+    * triangle intersection — at web scale the high-degree centers are
+    * the cost and would be handled by the same degree-orientation split
+    * the TC kernel uses; the exact-pair census here keeps the plain
+    * two-join form the oracle replays. Output one row:
+    * (wedges, diag_pairs, c4) — all integer, c4 = Σ C(w,2) // 2 exact. */
+  def rectangles(sym: DataFrame): DataFrame = {
+    val w = sym.select(col("src").as("a"), col("dst").as("u"))
+      .join(sym.select(col("src").as("a"), col("dst").as("v")), "a")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    w.agg(sum(col("w")).as("wedges"),
+      count(lit(1)).as("diag_pairs"),
+      expr("sum(w * (w - 1) div 2) div 2").as("c4"))
+  }
+
   def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
     val e = sym.select(col("src"), col("dst")).repartition(col("src"))
       .persist()

@@ -710,6 +710,39 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("butterflies, rectangles, katz: hand-checked golden values") {
+    import spark.implicits._
+    // butterflies: weights 3,2,1 -> C(3,2)+C(2,2)+0 = 3+1 = 4
+    val bf = GraphStats.butterflies(
+      Seq((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 1L))
+        .toDF("src", "dst", "weight")).head()
+    assert((bf.getLong(0), bf.getLong(1), bf.getLong(2),
+      bf.getLong(3)) === ((3L, 3L, 6L, 4L)))
+    // K4 has exactly 3 rectangles (6 diagonal pairs, each w=2)
+    val r = GraphStats.rectangles(
+      Edges.symmetrize(edgeDF(golden("k4")))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((12L, 6L, 3L)))
+    assert(GraphStats.rectangles(
+      Edges.symmetrize(edgeDF(golden("path4")))).head().getLong(2) === 0L)
+    // katz vs a local integer replay on sample15
+    val es = Oracles.sample15
+    val adjIn = (es ++ es.map(_.swap)).groupBy(_._2)
+      .map { case (k, v) => k -> v.map(_._1) }
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var y = verts.map(_ -> 1L).toMap
+    var c = 1L
+    (1 to 6).foreach { _ =>
+      c *= 4
+      y = verts.map(v =>
+        v -> (c + adjIn.getOrElse(v, Seq.empty).map(y).sum)).toMap
+    }
+    val got = EigenCentrality.katzScaled(spark,
+        Edges.symmetrize(edgeDF(es)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === y)
+  }
+
   test("degreeProfile: exact percentiles on star5") {
     // star5: hub degree 4, four leaves degree 1; n=5 m=4
     // cum: degree 1 -> 4, degree 4 -> 5; p50: ceil(2.5)=3 <= 4 -> 1;
