@@ -1006,7 +1006,13 @@ object SparkEntry {
     // y = 4^6 * Katz — zero floating point, exact 64-bit end to end)
     "q108_katz" -> ((s, d) =>
       graft.kernels.EigenCentrality.katzScaled(s,
-        Edges.symmetrize(e2(s, d))))
+        Edges.symmetrize(e2(s, d)))),
+
+    // topological layering of the degree-oriented DAG (longest path
+    // ending at each vertex — the scheduling depth / topo-sort key)
+    "q109_topo_layers" -> ((s, d) =>
+      graft.kernels.GraphStats.dagLayers(s,
+        Edges.orientByDegree(e2(s, d))))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2752,6 +2758,26 @@ object SparkEntry {
          |  WHERE k.iter < 6
          |  GROUP BY 1, 2
          |)
-         |SELECT vid, y AS katz_scaled FROM kz WHERE iter = 6""".stripMargin
+         |SELECT vid, y AS katz_scaled FROM kz WHERE iter = 6""".stripMargin,
+
+    // topo layering replay: degree orientation (lower (degree,vid)
+    // first), longest path via dedup'd (vid, h) expansion — bounded by
+    // V x depth because the orientation is acyclic
+    "q109_topo_layers" ->
+      s"""WITH RECURSIVE $CTE,
+         |oe AS (SELECT CASE WHEN ga.degree < gb.degree
+         |                     OR (ga.degree = gb.degree AND e.s < e.d)
+         |                   THEN e.s ELSE e.d END AS s,
+         |              CASE WHEN ga.degree < gb.degree
+         |                     OR (ga.degree = gb.degree AND e.s < e.d)
+         |                   THEN e.d ELSE e.s END AS d
+         |       FROM e JOIN deg ga ON e.s = ga.vid
+         |              JOIN deg gb ON e.d = gb.vid),
+         |lp(vid, h) AS (
+         |  SELECT vid, 0 FROM deg
+         |  UNION
+         |  SELECT oe.d, l.h + 1 FROM lp l JOIN oe ON l.vid = oe.s
+         |)
+         |SELECT vid, CAST(max(h) AS BIGINT) AS layer FROM lp GROUP BY 1""".stripMargin
   )
 }

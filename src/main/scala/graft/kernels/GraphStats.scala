@@ -302,6 +302,50 @@ object GraphStats {
       expr("sum(w * (w - 1) div 2) div 2").as("c4"))
   }
 
+  /** Topological layering of a DAG (e.g. the degree orientation, which
+    * is acyclic by its strict (degree, vid) total order): layer(v) =
+    * length of the longest path ending at v — the scheduling depth /
+    * topological sort key every dependency-ordered pipeline needs.
+    * Longest-path relaxation to fixpoint: L'(v) = max(L(v),
+    * max_{u→v} L(u)+1), one join + max-aggregate per superstep
+    * (map-side combined), state checkpoint-truncated; converges in
+    * depth-of-DAG supersteps. Output (vid, layer), layer 0 = sources. */
+  def dagLayers(spark: org.apache.spark.sql.SparkSession,
+                oriented: DataFrame, maxIter: Int = 200): DataFrame = {
+    val e = oriented.select(col("src"), col("dst"))
+      .localCheckpoint(eager = true)
+    var lay = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct()
+      .select(col("vid"), lit(0L).as("layer"))
+      .localCheckpoint(eager = true)
+    def relax(l: DataFrame): DataFrame = {
+      val cand = e.join(l.hint("SHUFFLE_HASH"), e("src") === l("vid"))
+        .select(e("dst").as("vid"), (col("layer") + 1).as("l1"))
+        .groupBy("vid").agg(max(col("l1")).as("m"))
+      l.select(col("vid"), col("layer"))
+        .join(cand.hint("SHUFFLE_HASH"), Seq("vid"), "left")
+        .select(col("vid"),
+          greatest(col("layer"), coalesce(col("m"), col("layer")))
+            .as("layer"),
+          (col("m").isNotNull && col("m") > col("layer")).as("ch"))
+    }
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // two relaxations composed per materialization + ONE convergence
+      // count (the flood checkEvery discipline): a converged first step
+      // makes the second a no-op, so checking only the pair is safe
+      it += 2
+      val next = relax(relax(lay).select(col("vid"), col("layer")))
+        .localCheckpoint(eager = true)
+      changed = next.filter(col("ch")).count()
+      lay = next.select(col("vid"), col("layer"))
+    }
+    require(changed == 0, s"dagLayers did not converge in $maxIter " +
+      "supersteps — is the input acyclic?")
+    lay
+  }
+
   def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
     val e = sym.select(col("src"), col("dst")).repartition(col("src"))
       .persist()

@@ -743,6 +743,22 @@ class KernelSpec extends SparkSpec {
     assert(got === y)
   }
 
+  test("dagLayers: longest-path layers on oriented path4 + DAG check") {
+    // path4 degree orientation: 1->2, 2->3, 4->3; layers 0,1,2,0
+    val got = GraphStats.dagLayers(spark,
+        Edges.orientByDegree(edgeDF(golden("path4"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+    // every oriented edge goes to a strictly higher layer (topo order)
+    val or = Edges.orientByDegree(edgeDF(Oracles.erdosRenyi(50, 0.1,
+      seed = 17)))
+    val lay = GraphStats.dagLayers(spark, or)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    or.collect().foreach { r =>
+      assert(lay(r.getLong(0)) < lay(r.getLong(1)),
+        s"edge ${r.getLong(0)}->${r.getLong(1)} not ascending") }
+  }
+
   test("degreeProfile: exact percentiles on star5") {
     // star5: hub degree 4, four leaves degree 1; n=5 m=4
     // cum: degree 1 -> 4, degree 4 -> 5; p50: ceil(2.5)=3 <= 4 -> 1;
