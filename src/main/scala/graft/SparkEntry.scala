@@ -1012,7 +1012,14 @@ object SparkEntry {
     // ending at each vertex — the scheduling depth / topo-sort key)
     "q109_topo_layers" -> ((s, d) =>
       graft.kernels.GraphStats.dagLayers(s,
-        Edges.orientByDegree(e2(s, d))))
+        Edges.orientByDegree(e2(s, d)))),
+
+    // full coreness decomposition by 4 fixed h-index rounds (exact
+    // core numbers at fixpoint — spec-checked; the fixed prefix is the
+    // oracle-replayable parity form, the q69/q92 discipline)
+    "q110_coreness" -> ((s, d) =>
+      graft.kernels.KCore.coreness(s, Edges.symmetrize(e2(s, d)),
+        iters = Some(4)))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2778,6 +2785,25 @@ object SparkEntry {
          |  UNION
          |  SELECT oe.d, l.h + 1 FROM lp l JOIN oe ON l.vid = oe.s
          |)
-         |SELECT vid, CAST(max(h) AS BIGINT) AS layer FROM lp GROUP BY 1""".stripMargin
+         |SELECT vid, CAST(max(h) AS BIGINT) AS layer FROM lp GROUP BY 1""".stripMargin,
+
+    // h-index iteration replay, 4 unrolled stages: c0 = degree, then
+    // c' = per-vertex H-index of neighbor c (max over least(c, rank))
+    "q110_coreness" ->
+      s"""WITH $CTE,
+         |h0 AS (SELECT vid, CAST(degree AS BIGINT) AS c FROM deg),
+         |h1 AS (SELECT d AS vid, max(least(c, rn)) AS c FROM (
+         |  SELECT s.d, h.c, CAST(row_number() OVER (PARTITION BY s.d ORDER BY h.c DESC) AS BIGINT) AS rn
+         |  FROM h0 h JOIN sym s ON h.vid = s.s) GROUP BY 1),
+         |h2 AS (SELECT d AS vid, max(least(c, rn)) AS c FROM (
+         |  SELECT s.d, h.c, CAST(row_number() OVER (PARTITION BY s.d ORDER BY h.c DESC) AS BIGINT) AS rn
+         |  FROM h1 h JOIN sym s ON h.vid = s.s) GROUP BY 1),
+         |h3 AS (SELECT d AS vid, max(least(c, rn)) AS c FROM (
+         |  SELECT s.d, h.c, CAST(row_number() OVER (PARTITION BY s.d ORDER BY h.c DESC) AS BIGINT) AS rn
+         |  FROM h2 h JOIN sym s ON h.vid = s.s) GROUP BY 1),
+         |h4 AS (SELECT d AS vid, max(least(c, rn)) AS c FROM (
+         |  SELECT s.d, h.c, CAST(row_number() OVER (PARTITION BY s.d ORDER BY h.c DESC) AS BIGINT) AS rn
+         |  FROM h3 h JOIN sym s ON h.vid = s.s) GROUP BY 1)
+         |SELECT vid, c FROM h4""".stripMargin
   )
 }

@@ -20,6 +20,54 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** FULL coreness decomposition (every vertex's core number, not one
+    * fixed k) by h-index iteration — Lü, Chen, Zhang & Zhou, "Vital
+    * nodes identification in complex networks" / the H-operator of
+    * their 2016 Nature Communications paper: c_0 = degree,
+    * c_{t+1}(v) = H-index of its neighbors' c_t, monotonically
+    * non-increasing and convergent to the exact core number. Unlike
+    * sequential peeling (inherently ordered), every superstep is one
+    * edge join + one per-vertex window (partition = neighbor list,
+    * bounded by max degree) + one max(least(c, rank)) aggregate —
+    * fully set-at-a-time, O(E) per round, checkpoint-truncated state.
+    * `iters` fixes the round count for oracle replay (staged SQL);
+    * None runs to the fixpoint (= exact coreness; KernelSpec checks
+    * it against brute peeling). Output (vid, c). */
+  def coreness(spark: SparkSession, sym: DataFrame,
+               iters: Option[Int] = None,
+               maxIter: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = sym.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var c = Edges.degrees(e).select(col("vid"), col("degree").as("c"))
+      .localCheckpoint(eager = true)
+    val w = Window.partitionBy("vid").orderBy(col("c").desc)
+    def step(prev: DataFrame): DataFrame = e
+      .join(prev.hint("SHUFFLE_HASH"), e("src") === prev("vid"))
+      .select(e("dst").as("vid"), col("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("vid").agg(max(least(col("c"), col("rn"))).as("c"))
+    iters match {
+      case Some(k) =>
+        (1 to k).foreach { _ =>
+          c = step(c).localCheckpoint(eager = true) }
+      case None =>
+        var changed = 1L
+        var it = 0
+        while (changed > 0 && it < maxIter) {
+          it += 1
+          val next = step(c).localCheckpoint(eager = true)
+          changed = next.as("n").join(c.as("p"), "vid")
+            .filter(col("n.c") =!= col("p.c")).count()
+          c = next
+        }
+        require(changed == 0,
+          s"coreness did not converge in $maxIter h-index rounds")
+    }
+    e.unpersist()
+    c
+  }
+
   final case class Result(core: DataFrame,
                           metrics: Seq[IterationMetric],
                           iterations: Int,

@@ -759,6 +759,32 @@ class KernelSpec extends SparkSpec {
         s"edge ${r.getLong(0)}->${r.getLong(1)} not ascending") }
   }
 
+  test("coreness h-index fixpoint equals brute peeling") {
+    def bruteCoreness(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      var adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val core = scala.collection.mutable.HashMap.empty[Long, Long]
+      var k = 0L
+      while (adj.nonEmpty) {
+        val peel = adj.filter(_._2.size <= k).keySet
+        if (peel.isEmpty) k += 1
+        else {
+          peel.foreach(core(_) = k)
+          adj = (adj -- peel).map { case (v, ns) => v -> (ns -- peel) }
+        }
+      }
+      core.toMap
+    }
+    Seq(golden("k4"), golden("bowtie"), golden("sample15"),
+        Oracles.erdosRenyi(60, 0.08, seed = 19),
+        Oracles.powerLaw(80, seed = 23)).zipWithIndex.foreach {
+      case (es, gi) =>
+        val got = KCore.coreness(spark, Edges.symmetrize(edgeDF(es)))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === bruteCoreness(es), s"graph=$gi")
+    }
+  }
+
   test("degreeProfile: exact percentiles on star5") {
     // star5: hub degree 4, four leaves degree 1; n=5 m=4
     // cum: degree 1 -> 4, degree 4 -> 5; p50: ceil(2.5)=3 <= 4 -> 1;
