@@ -1019,7 +1019,27 @@ object SparkEntry {
     // oracle-replayable parity form, the q69/q92 discipline)
     "q110_coreness" -> ((s, d) =>
       graft.kernels.KCore.coreness(s, Edges.symmetrize(e2(s, d)),
-        iters = Some(4)))
+        iters = Some(4))),
+
+    // drill-down impact analysis: which vertices' PageRank moved most
+    // after the deletion — the attribution query a catalog-backed
+    // engine answers after every q46-style drill-down; reuses the q100
+    // warm-start phases, top-20 by |delta| with vid tie-break
+    "q111_pr_movers" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val r0 = PageRank.run(s, sym, fixedIter = Some(6),
+        symmetric = true).ranks
+      val ef = sym.filter(pmod(col("src"), lit(7)) =!= 0 &&
+        pmod(col("dst"), lit(7)) =!= 0)
+      val r1 = PageRank.run(s, ef, fixedIter = Some(4), symmetric = true,
+        initRanks = Some(r0)).ranks
+      r0.select(col("vid"), col("rank").as("r0"))
+        .join(r1.select(col("vid"), col("rank").as("r1")), "vid")
+        .select(col("vid"), round(col("r0"), 8).as("rank_before"),
+          round(col("r1"), 8).as("rank_after"),
+          round(col("r1") - col("r0"), 8).as("delta"))
+        .orderBy(abs(col("delta")).desc, col("vid")).limit(20)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2804,6 +2824,43 @@ object SparkEntry {
          |h4 AS (SELECT d AS vid, max(least(c, rn)) AS c FROM (
          |  SELECT s.d, h.c, CAST(row_number() OVER (PARTITION BY s.d ORDER BY h.c DESC) AS BIGINT) AS rn
          |  FROM h3 h JOIN sym s ON h.vid = s.s) GROUP BY 1)
-         |SELECT vid, c FROM h4""".stripMargin
+         |SELECT vid, c FROM h4""".stripMargin,
+
+    // movers replay: the q100 two-phase CTE, survivors joined across
+    // phases, rounded delta, top-20 by (|delta| desc, vid)
+    "q111_pr_movers" ->
+      s"""WITH RECURSIVE $CTE,
+         |ne2 AS (SELECT count(*) AS n FROM deg),
+         |pr1(iter, vid, rank) AS (
+         |  SELECT 0, vid, CAST(1.0 AS DOUBLE) / (SELECT n FROM ne2) FROM deg
+         |  UNION ALL
+         |  SELECT p.iter + 1, s.d,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM ne2)
+         |         + CAST(0.85 AS DOUBLE) * sum(p.rank / g.degree)
+         |  FROM pr1 p JOIN deg g ON p.vid = g.vid JOIN sym s ON p.vid = s.s
+         |  WHERE p.iter < 6
+         |  GROUP BY 1, 2
+         |),
+         |fe AS (SELECT s, d FROM sym WHERE s % 7 <> 0 AND d % 7 <> 0),
+         |fdeg2 AS (SELECT s AS vid, count(*) AS odeg FROM fe GROUP BY 1),
+         |n2 AS (SELECT count(*) AS n FROM fdeg2),
+         |pr2(iter, vid, rank) AS (
+         |  SELECT 0, f.vid, p.rank
+         |  FROM fdeg2 f JOIN pr1 p ON f.vid = p.vid WHERE p.iter = 6
+         |  UNION ALL
+         |  SELECT q.iter + 1, fe.d,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM n2)
+         |         + CAST(0.85 AS DOUBLE) * sum(q.rank / g.odeg)
+         |  FROM pr2 q JOIN fdeg2 g ON q.vid = g.vid JOIN fe ON q.vid = fe.s
+         |  WHERE q.iter < 4
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.vid, round(a.rank, 8) AS rank_before,
+         |       round(b.rank, 8) AS rank_after,
+         |       round(b.rank - a.rank, 8) AS delta
+         |FROM pr1 a JOIN pr2 b ON a.vid = b.vid
+         |WHERE a.iter = 6 AND b.iter = 4
+         |ORDER BY abs(round(b.rank - a.rank, 8)) DESC, a.vid
+         |LIMIT 20""".stripMargin
   )
 }
