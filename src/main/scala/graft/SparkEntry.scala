@@ -1039,6 +1039,16 @@ object SparkEntry {
           round(col("r1"), 8).as("rank_after"),
           round(col("r1") - col("r0"), 8).as("delta"))
         .orderBy(abs(col("delta")).desc, col("vid")).limit(20)
+    }),
+
+    // weighted label propagation over co-occurrence STRENGTH (5 fixed
+    // supersteps; integer weight sums keep every round exact)
+    "q112_lp_weighted" -> ((s, d) => {
+      val cw = cooc(s, d).filter(col("weight") >= 2)
+      val symW = cw.select(col("src"), col("dst"), col("weight"))
+        .unionAll(cw.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight")))
+      LabelPropagation.runWeighted(s, symW, 5).labels
     })
   )
 
@@ -2861,6 +2871,25 @@ object SparkEntry {
          |FROM pr1 a JOIN pr2 b ON a.vid = b.vid
          |WHERE a.iter = 6 AND b.iter = 4
          |ORDER BY abs(round(b.rank - a.rank, 8)) DESC, a.vid
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    // weighted LP replay: the q11 recursion with count(*) -> sum(weight)
+    "q112_lp_weighted" ->
+      s"""WITH RECURSIVE $CTE,
+         |wsym AS (SELECT src AS s, dst AS d, weight FROM cooc WHERE weight >= 2
+         |         UNION ALL
+         |         SELECT dst, src, weight FROM cooc WHERE weight >= 2),
+         |wlp(iter, vid, lbl) AS (
+         |  SELECT 0, vid, vid FROM deg
+         |  UNION ALL
+         |  SELECT iter + 1, vid, arg_min(nlbl, wsum * (-1000000000) + nlbl) FROM (
+         |    SELECT l.iter AS iter, s.d AS vid, l.lbl AS nlbl,
+         |           CAST(sum(s.weight) AS BIGINT) AS wsum
+         |    FROM wlp l JOIN wsym s ON l.vid = s.s
+         |    WHERE l.iter < 5
+         |    GROUP BY 1, 2, 3
+         |  ) GROUP BY 1, 2
+         |)
+         |SELECT vid, lbl AS label FROM wlp WHERE iter = 5""".stripMargin
   )
 }

@@ -62,4 +62,43 @@ object LabelPropagation {
     edges.unpersist()
     Result(state, metrics, iters, done)
   }
+
+  /** WEIGHTED label propagation: the adopted label maximizes the SUM of
+    * incident edge weights instead of the neighbor count (ties: smallest
+    * label) — communities follow co-occurrence STRENGTH, not just
+    * adjacency (the multi_attr-format analog of [[run]]; reference
+    * weighted fabric per SURVEY §1.2). Integer weights keep every
+    * aggregate exact, so fixed-round runs hash-match a SQL replay.
+    * Same two-phase mode shape: sum per (vid, label), then
+    * max(struct(wsum, −label)). */
+  def runWeighted(spark: SparkSession, symW: DataFrame,
+                  iterations: Int): Result = {
+    val edges = symW.select(col("src"), col("dst"), col("weight"))
+      .repartition(col("src")).persist()
+
+    def init: DataFrame =
+      Edges.vertexIds(edges).select(col("vid"), col("vid").as("label"))
+
+    def step(labels: DataFrame): DataFrame = {
+      val msgs = edges
+        .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("vid"))
+        .select(edges("dst").as("vid"), col("label"), col("weight"))
+      val hist = msgs.groupBy(col("vid"), col("label"))
+        .agg(sum(col("weight")).as("w"))
+      hist.groupBy("vid")
+        .agg(max(struct(col("w").as("c"), (-col("label")).as("nl")))
+          .as("m"))
+        .select(col("vid"), (-col("m.nl")).as("label"))
+    }
+
+    def delta(prev: DataFrame, next: DataFrame): Double =
+      next.as("n").join(prev.as("p"), "vid")
+        .filter(col("n.label") =!= col("p.label")).count().toDouble
+
+    val (state, metrics, iters, done) = Superstep.run(
+      spark, "lpw", init, step, delta, _ == 0.0, iterations,
+      ckpt = None, resume = false)
+    edges.unpersist()
+    Result(state, metrics, iters, done)
+  }
 }

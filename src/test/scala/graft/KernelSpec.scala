@@ -637,6 +637,33 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("weighted LP follows strength, not adjacency count") {
+    import spark.implicits._
+    // star: center 1 with leaf 2 (w 10), leaves 3,4 (w 1); one superstep:
+    // center adopts 2 (weight 10 beats two weight-1 votes for ids 3,4
+    // individually); unweighted LP would tie 2/3/4 and pick min = 2 too,
+    // so ALSO check a case where they differ: two w-1 votes for label 9
+    // vs one w-5 vote for label 8
+    val es = Seq((1L, 2L, 10L), (1L, 3L, 1L), (1L, 4L, 1L))
+    val symW = (es ++ es.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "weight")
+    val got = LabelPropagation.runWeighted(spark, symW, 1).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2L)
+    assert(got(2L) === 1L && got(3L) === 1L && got(4L) === 1L)
+    val es2 = Seq((1L, 8L, 5L), (1L, 9L, 1L), (1L, 10L, 1L),
+      (9L, 10L, 100L))
+    val symW2 = (es2 ++ es2.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "weight")
+    val got2 = LabelPropagation.runWeighted(spark, symW2, 1).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // center 1: votes 8(w5), 9(w1), 10(w1) -> 8; plain mode would pick
+    // min label 8 only on the count tie — here weight decides outright
+    assert(got2(1L) === 8L)
+    // 9 and 10 follow their strong mutual edge, not the center
+    assert(got2(9L) === 10L && got2(10L) === 9L)
+  }
+
   test("pagerank warm start: seeded from fixpoint, one step moves < tol") {
     import spark.implicits._
     val sym = Edges.symmetrize(edgeDF(Oracles.sample15))
