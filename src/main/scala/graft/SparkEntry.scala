@@ -322,7 +322,11 @@ object SparkEntry {
           concat(lit("pr"),
             (floor(col("p_retailprice")).cast("long") % 3).cast("string")))
           .as("attrs"))
-      graft.kernels.Community.run(s, verts, e2(s, d), k = 3)
+      // the ORACLE path is exact: pin maxCandidates to the unbounded
+      // setting so a larger-sf hub can never silently truncate against
+      // the exact DuckDB replay (the finite default stays the API guard)
+      graft.kernels.Community.run(s, verts, e2(s, d), k = 3,
+        maxCandidates = Int.MaxValue)
     }),
 
     // GENERAL pattern-graph matching (J5 generalized): a CYCLIC pattern —

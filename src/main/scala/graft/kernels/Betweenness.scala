@@ -45,7 +45,11 @@ object Betweenness {
         lit(0).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint(eager = true)
     var pieces = Vector(level)
+    // the reached set folds into ONE re-checkpointed table every 4
+    // levels (the Bfs.distances compactEvery discipline) — a lazy union
+    // of every prior piece makes level h rescan h pieces, O(h²) total
     var reached = level.select(col("seed"), col("vid"))
+    var sinceFold = 0
     for (l <- 1 to maxHop if !level.isEmpty) {
       val f = level.select(col("seed"), col("vid").as("fv"), col("sigma"))
         .hint("SHUFFLE_HASH")
@@ -56,8 +60,12 @@ object Betweenness {
         .select(col("seed"), col("vid"), lit(l).as("dist"), col("sigma"))
         .localCheckpoint(eager = true)
       pieces = pieces :+ next
-      reached = pieces.map(_.select(col("seed"), col("vid")))
-        .reduce(_ union _)
+      reached = reached.union(next.select(col("seed"), col("vid")))
+      sinceFold += 1
+      if (sinceFold == 4) {
+        reached = reached.localCheckpoint(eager = true)
+        sinceFold = 0
+      }
       level = next
     }
     pieces

@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
 object Coloring {
 
   private def prio(c: Column, salt: String): Column =
-    conv(substring(sha2(concat(lit(salt + ":"), c.cast("string")), 256),
-      1, 15), 16, 10).cast("long")
+    graft.text.Dedup.shaTokenHash60(
+      concat(lit(salt + ":"), c.cast("string")))
 
   /** Proper coloring (vid, color), colors 0..Δ, deterministic.
     * @param sym symmetric edge view (src, dst) — both directions. */
@@ -108,6 +108,8 @@ object Coloring {
       }
     }
     require(n == 0, s"coloring did not finish in $maxRounds rounds")
-    pieces.result().reduce(_ unionAll _).localCheckpoint(eager = true)
+    val ps = pieces.result()
+    if (ps.isEmpty) Seq.empty[(Long, Long)].toDF("vid", "color")
+    else ps.reduce(_ unionAll _).localCheckpoint(eager = true)
   }
 }

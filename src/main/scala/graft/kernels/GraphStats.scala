@@ -163,16 +163,6 @@ object GraphStats {
           .as("contribution"))
   }
 
-  /** GNN-style k-hop neighborhood aggregation (GraphSAGE-sum layers with
-    * degree as the input feature): layer 0 is each vertex's degree,
-    * layer i+1(v) = Σ_{u∈N(v)} layer i(u). Returns
-    * (vid, degree, f1, ..., fk) — the structural feature vector a
-    * training pipeline exports per node before embedding.
-    *
-    * Every layer is ONE join+aggregate over the shared symmetric edge
-    * fabric with integer sums (exact, order-independent, hash-oracle
-    * replayable); k layers = k shuffles, each reusing the src-partitioned
-    * persisted edge table — the same scale shape as a superstep. */
   /** Diameter lower bound by double sweep (Magnien-Latapy-Habib): BFS
     * from the max-degree vertex (ties: min vid), then BFS from the
     * farthest vertex found; that second eccentricity is within a factor
@@ -346,6 +336,16 @@ object GraphStats {
     lay
   }
 
+  /** GNN-style k-hop neighborhood aggregation (GraphSAGE-sum layers with
+    * degree as the input feature): layer 0 is each vertex's degree,
+    * layer i+1(v) = Σ_{u∈N(v)} layer i(u). Returns
+    * (vid, degree, f1, ..., fk) — the structural feature vector a
+    * training pipeline exports per node before embedding.
+    *
+    * Every layer is ONE join+aggregate over the shared symmetric edge
+    * fabric with integer sums (exact, order-independent, hash-oracle
+    * replayable); k layers = k shuffles, each reusing the src-partitioned
+    * persisted edge table — the same scale shape as a superstep. */
   def khopFeatures(sym: DataFrame, hops: Int = 2): DataFrame = {
     val e = sym.select(col("src"), col("dst")).repartition(col("src"))
       .persist()

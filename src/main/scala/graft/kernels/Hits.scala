@@ -38,7 +38,10 @@ object Hits {
       .union(e.select(col("dst").as("vid"))).distinct()
 
     var h = verts.select(col("vid"), lit(1.0).as("x")).localCheckpoint()
-    var a: DataFrame = null
+    // iters >= 1 so `a` is always assigned; empty-graph runs short-circuit
+    // before the null-scalar aggregations below
+    require(iters >= 1, "hits needs at least one iteration")
+    var a: DataFrame = h.limit(0)
     for (_ <- 1 to iters) {
       val hs = h.select(col("vid").as("sv"), col("x")).hint("SHUFFLE_HASH")
       a = e.join(hs, e("src") === hs("sv"))
@@ -50,8 +53,12 @@ object Hits {
         .localCheckpoint()
     }
 
-    val hTot = h.agg(sum(col("x"))).first().getDouble(0)
-    val aTot = a.agg(sum(col("x"))).first().getDouble(0)
+    def total(df: DataFrame): Double = df.agg(sum(col("x"))).first() match {
+      case r if r.isNullAt(0) => 1.0 // empty side: nothing to normalize
+      case r                  => r.getDouble(0)
+    }
+    val hTot = total(h)
+    val aTot = total(a)
     val hn = h.select(col("vid"), (col("x") / hTot).as("hub"))
     val an = a.select(col("vid").as("avid"), (col("x") / aTot).as("auth"))
     val out = hn.join(an, hn("vid") === an("avid"), "full_outer")

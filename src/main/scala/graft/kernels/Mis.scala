@@ -39,8 +39,8 @@ object Mis {
   /** 60-bit sha priority, parity with `Edges.sampleInduced`'s SQL form:
     * CAST(('0x' || substr(sha256(salt:vid),1,15)) AS BIGINT). */
   private def prio(c: Column, salt: String): Column =
-    conv(substring(sha2(concat(lit(salt + ":"), c.cast("string")), 256),
-      1, 15), 16, 10).cast("long")
+    graft.text.Dedup.shaTokenHash60(
+      concat(lit(salt + ":"), c.cast("string")))
 
   /** MIS members as (vid, round) — the Luby round that selected each.
     * @param sym       symmetric directed edge view (src, dst); every

@@ -39,25 +39,31 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(payload.forall(!leftCols.contains(_)),
       s"payload ${payload.mkString(",")} clashes with left columns")
+    // the payload travels as ONE struct so the left row receives the
+    // single latest right ROW atomically — carrying each column with its
+    // own last(ignoreNulls) would stitch fields from DIFFERENT right rows
+    // whenever a later row holds NULL in one payload column
+    val plType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val l = left.select(
       col(key) +: col(leftTs).as("__asof_ts") +: lit(1).as("__asof_tag") +:
-        (leftCols.filterNot(_ == key).map(col) ++
-          payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+        (leftCols.filterNot(_ == key).map(col) :+
+          lit(null).cast(plType).as("__asof_pl")): _*)
     val r = right.select(
       col(key) +: col(rightTs).as("__asof_ts") +: lit(0).as("__asof_tag") +:
         (leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(col)): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("__asof_pl")): _*)
     // at equal (key, ts): right-before-left via the tag; ties among right
-    // rows ordered by the payload itself so "last" is deterministic
+    // rows ordered by the payload struct (lexicographic by field) so
+    // "last" is deterministic
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__asof_ts") +: col("__asof_tag") +: payload.map(col): _*)
+      .orderBy(col("__asof_ts"), col("__asof_tag"), col("__asof_pl"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r).withColumn("__asof_pl",
+      last(col("__asof_pl"), ignoreNulls = true).over(w))
     carried.filter(col("__asof_tag") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__asof_$p").as(p)): _*)
+        payload.map(p => col("__asof_pl").getField(p).as(p)): _*)
   }
 }

@@ -274,9 +274,14 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("i"), col("span")))),
           s => s("span")), " ").as("kept_text"))
-    spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    // anchor on the INPUT docs, not the span stream: a NULL-text doc
+    // yields zero span rows and must still appear as (id, 0, 0, "")
+    docs.select(col(idCol).as("id"))
+      .join(spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans")),
+        Seq("id"), "left_outer")
       .join(reassembled, Seq("id"), "left_outer")
-      .select(col("id"), col("n_spans"),
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }

@@ -94,7 +94,10 @@ object TfIdf {
       .select(split(col("g"), " ").as("xy"))
       .select(col("xy").getItem(0).as("x"), col("xy").getItem(1).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
-    val b = bg.agg(sum(col("n_xy"))).first().getLong(0)
+    val b = bg.agg(sum(col("n_xy"))).first() match {
+      case r if r.isNullAt(0) => 0L // no bigrams anywhere -> empty top-k
+      case r                  => r.getLong(0)
+    }
     val lx = bg.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
     val ry = bg.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
     bg.filter(col("n_xy") >= minCount)

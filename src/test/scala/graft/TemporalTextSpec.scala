@@ -13,6 +13,21 @@ class TemporalTextSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("asofBackward: NULL payload fields travel atomically (one row)") {
+    // the latest right row holds (p1=NULL, p2=7); the left row must get
+    // BOTH fields from that row — not p1 backfilled from the older row
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(5L), Option(3L)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Long], Option(7L))
+    ).toDF("k", "rts", "p1", "p2")
+    val r = AsofJoin.asofBackward(left, right, "k", "ts", "rts",
+      Seq("p1", "p2")).select(col("p1"), col("p2")).head()
+    assert(r.isNullAt(0), "p1 must be the latest row's NULL, not 5")
+    assert(r.getLong(1) === 7L)
+  }
+
   test("asofBackward: latest at-or-before row per key, outer nulls, ties") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),

@@ -448,6 +448,15 @@ class TextSimSpec extends SparkSpec {
     assert(got(3L) === ((2L, 1L, "q r")))
     assert(got(4L) === ((1L, 1L, "u v w")))
     assert(got(5L) === ((1L, 0L, "")))
+    // NULL-text docs still get their contract row (id, 0, 0, "")
+    val withNull = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.dedupSpans(withNull, "doc_id", "text", spanWords = 3,
+        maxDf = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(g2(2L) === ((0L, 0L, "")))
+    assert(g2(1L) === ((1L, 1L, "a b c")))
   }
 
   test("calibrated int8 quantization: exact codes, bounded reconstruction") {
