@@ -1053,6 +1053,83 @@ object SparkEntry {
         .unionAll(cw.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
       LabelPropagation.runWeighted(s, symW, 5).labels
+    }),
+
+    // count-min sketch heavy hitters: exact top-30 corpus tokens joined
+    // with their sketch point-estimates (4×256 counters, sha-derived row
+    // hashes → DuckDB replays the sketch bit-for-bit). The sketch is the
+    // fixed-memory path for token frequency at 100 TB — one pass, full
+    // map-side combine, counter table ≤ depth·width rows regardless of
+    // vocabulary size
+    "q113_cms_heavy" -> ((s, d) => {
+      val toks = T(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      graft.text.Sketches.cmTopK(toks, "t", "cnt", k = 30)
+        .select(col("t"), col("cnt"), col("rnk"), col("cms_est"))
+    }),
+
+    // HyperLogLog register table: approximate distinct users per
+    // event_type as 64 integer registers per group — the scale path for
+    // distinct counting (max combines map-side; output is groups·64 rows
+    // whatever the user cardinality). Registers are integer-exact and
+    // sha-derived, so the oracle replays them; the float estimate they
+    // imply is asserted within tolerance in SketchSpec
+    "q114_hll_users" -> ((s, d) =>
+      graft.text.Sketches.hllRegisters(T(s, d, "events"),
+          "event_type", "user_id")
+        .select(col("grp").as("event_type"), col("reg"), col("max_rank"))),
+
+    // first-arrival dedup, batch twin of Streaming.dedupStream (which
+    // runs the same keys with dropDuplicatesWithinWatermark — bounded
+    // state; stream/batch key-set parity in StreamingSpec): one argmin
+    // aggregation, no per-key window sort
+    "q115_dedup_first" -> ((s, d) =>
+      graft.streaming.Streaming.dedupBatch(T(s, d, "events"),
+        Seq("user_id", "event_type"))),
+
+    // supergraph contraction (host-graph move): part-level co-occurrence
+    // edges contracted to the brand level — two endpoint-keyed joins +
+    // one aggregation whose key space is the contracted graph
+    "q116_brand_graph" -> ((s, d) =>
+      Edges.contract(cooc(s, d),
+        T(s, d, "part").select(col("p_partkey").as("vid"),
+          col("p_brand").as("grp")))),
+
+    // DOULION-style sampled triangle count (Tsourakakis et al. KDD'09,
+    // deterministic sha edge sampling p=1/4): exact TC on the sampled
+    // graph, unbiased estimate = tc·p^-3. The approximate-counting path
+    // when even the oriented intersection is too big — the sample is a
+    // pushed-down scan filter, everything downstream shrinks by p
+    "q117_tc_sampled" -> ((s, d) => {
+      val samp = e2(s, d).filter(
+        pmod(Dedup.shaTokenHash60(concat(col("src").cast("string"),
+          lit(":"), col("dst").cast("string"))), lit(4L)) === 0L)
+      TriangleCount.total(samp)
+        .select(col("triangles").as("sampled_tc"),
+          (col("triangles") * 64L).as("tc_est"))
+    }),
+
+    // landmark distance oracle (Eppstein-Wang / web-graph distance
+    // sketches): 4 sha-chosen landmarks, one shared multi-source labeled
+    // BFS builds the index, then any pair's distance upper bound is
+    // min over landmarks of d(u,l)+d(l,v) — index probes, no per-query
+    // traversal; here evaluated over a sha-chosen probe set
+    "q118_landmark_dist" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val verts = Edges.vertexIds(sym)
+      val sha = Dedup.shaTokenHash60(col("vid").cast("string"))
+      val landmarks = verts.orderBy(sha, col("vid")).limit(4)
+      val idx = graft.kernels.Bfs.perSeedDistances(sym, landmarks,
+        maxHop = 4)
+      val probe = verts.filter(pmod(sha, lit(1000L)) < 50)
+      val iu = idx.join(probe, "vid")
+        .select(col("vid").as("u"), col("seed"), col("dist").as("du"))
+      val iv = idx.join(probe, "vid")
+        .select(col("vid").as("v"), col("seed"), col("dist").as("dv"))
+      iu.join(iv, "seed").filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(min(col("du") + col("dv")).as("est_dist"))
     })
   )
 
@@ -2894,6 +2971,91 @@ object SparkEntry {
          |    GROUP BY 1, 2, 3
          |  ) GROUP BY 1, 2
          |)
-         |SELECT vid, lbl AS label FROM wlp WHERE iter = 5""".stripMargin
+         |SELECT vid, lbl AS label FROM wlp WHERE iter = 5""".stripMargin,
+    // count-min sketch replayed bucket-for-bucket: same sha row hashes,
+    // same 4x256 counter table, min over rows = the point estimate
+    "q113_cms_heavy" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |             FROM documents),
+        |cnt AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+        |rb AS (SELECT t, cnt, i,
+        |       CAST(('0x' || substr(sha256(t || '#' || i), 1, 15)) AS BIGINT) % 256 AS bucket
+        |       FROM cnt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ii),
+        |sk AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS c
+        |       FROM rb GROUP BY 1, 2),
+        |top AS (SELECT t, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rnk
+        |        FROM cnt QUALIFY rnk <= 30),
+        |est AS (SELECT rb.t, min(sk.c) AS cms_est
+        |        FROM rb JOIN top ON rb.t = top.t
+        |        JOIN sk ON sk.i = rb.i AND sk.bucket = rb.bucket
+        |        GROUP BY 1)
+        |SELECT top.t, top.cnt, top.rnk, est.cms_est
+        |FROM top JOIN est ON top.t = est.t""".stripMargin,
+    // HLL registers replayed: reg = h % 64, rank = first '1' position in
+    // the zero-padded binary expansion of h div 64 (55 if all-zero)
+    "q114_hll_users" ->
+      """WITH h AS (SELECT event_type,
+        |           CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h % 64 AS reg, h // 64 AS rest FROM h)
+        |SELECT event_type, reg,
+        |       CAST(max(CASE WHEN rest = 0 THEN 55
+        |                ELSE instr(lpad(bin(rest), 54, '0'), '1') END) AS BIGINT)
+        |         AS max_rank
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // first-arrival dedup: first (ts, event_id) row per key + dup count
+    "q115_dedup_first" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |       row_number() OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts, event_id) AS rn,
+        |       count(*) OVER (PARTITION BY user_id, event_type) AS n_dups
+        |       FROM events)
+        |SELECT user_id, event_type, tus AS first_ts_us,
+        |       event_id AS first_event_id, CAST(n_dups AS BIGINT) AS n_dups
+        |FROM ev WHERE rn = 1""".stripMargin,
+    // contraction replay: endpoint->brand map, intra-brand dropped,
+    // canonical brand pair, count + strength
+    "q116_brand_graph" ->
+      s"""WITH $CTE,
+         |pm AS (SELECT p_partkey AS vid, p_brand AS grp FROM part),
+         |m AS (SELECT a.grp AS gs, b.grp AS gd, c.weight
+         |      FROM cooc c JOIN pm a ON c.src = a.vid
+         |      JOIN pm b ON c.dst = b.vid WHERE a.grp <> b.grp)
+         |SELECT least(gs, gd) AS g1, greatest(gs, gd) AS g2,
+         |       count(*) AS n_pairs, CAST(sum(weight) AS BIGINT) AS strength
+         |FROM m GROUP BY 1, 2""".stripMargin,
+    // sampled-TC replay: same sha edge predicate, q06's triangle join
+    "q117_tc_sampled" ->
+      s"""WITH $CTE,
+         |se AS (SELECT s, d FROM e
+         |       WHERE CAST(('0x' || substr(sha256(s || ':' || d), 1, 15)) AS BIGINT) % 4 = 0),
+         |t AS (SELECT count(*) AS c
+         |      FROM se a JOIN se b ON a.d = b.s
+         |      JOIN se c ON a.s = c.s AND b.d = c.d)
+         |SELECT c AS sampled_tc, c * 64 AS tc_est FROM t""".stripMargin,
+    // landmark index replay: 4 smallest-sha vertices, bounded BFS per
+    // landmark (recursive CTE, min dist), probe-pair upper bounds
+    "q118_landmark_dist" ->
+      s"""WITH RECURSIVE $CTE,
+         |vh AS (SELECT vid,
+         |       CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |       FROM deg),
+         |lm AS (SELECT vid FROM vh ORDER BY h, vid LIMIT 4),
+         |reach(seed, vid, dist) AS (
+         |  SELECT vid, vid, 0 FROM lm
+         |  UNION
+         |  SELECT r.seed, s.d, r.dist + 1
+         |  FROM reach r JOIN sym s ON r.vid = s.s WHERE r.dist < 4
+         |),
+         |idx AS (SELECT seed, vid, min(dist) AS dist FROM reach GROUP BY 1, 2),
+         |probe AS (SELECT vid FROM vh WHERE h % 1000 < 50)
+         |SELECT a.vid AS u, b.vid AS v,
+         |       CAST(min(a.dist + b.dist) AS BIGINT) AS est_dist
+         |FROM idx a JOIN probe pa ON a.vid = pa.vid
+         |JOIN idx b ON a.seed = b.seed
+         |JOIN probe pb ON b.vid = pb.vid
+         |WHERE a.vid < b.vid
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -113,4 +113,30 @@ object Edges {
         16, 10).cast("long"), lit(1000L)) < keepPerMille
     edges.filter(keep(col("src")) && keep(col("dst")))
   }
+
+  /** Supergraph contraction — the host-graph-from-page-graph move of
+    * every web link-graph pipeline (pages→hosts, paths→repos, parts→
+    * brands): map each endpoint of a canonical weighted edge table
+    * through `groups(vid, grp)`, drop intra-group edges, re-canonicalize
+    * and aggregate. Output (g1 < g2, n_pairs = underlying edge count,
+    * strength = Σ weight).
+    *
+    * Scale shape: two hash joins keyed by the endpoint (the mapping is
+    * |V|-sized — co-partitioned shuffle joins, broadcastable when the
+    * group dim is small) and ONE aggregation whose key space is the
+    * contracted graph (map-side combined, tiny vs |E|). */
+  def contract(edges: DataFrame, groups: DataFrame): DataFrame = {
+    val g = groups.select(col("vid"), col("grp"))
+    val mapped = edges
+      .join(g.withColumnRenamed("vid", "src")
+        .withColumnRenamed("grp", "gs"), "src")
+      .join(g.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("grp", "gd"), "dst")
+      .filter(col("gs") =!= col("gd"))
+    mapped
+      .select(least(col("gs"), col("gd")).as("g1"),
+        greatest(col("gs"), col("gd")).as("g2"), col("weight"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("weight")).as("strength"))
+  }
 }

@@ -147,6 +147,34 @@ object Streaming {
       }
   }
 
+  /** Batch twin of first-arrival dedup: per dedup key, the first event in
+    * (ts, event_id) order plus the duplicate count — ONE hash aggregation
+    * with map-side combine (min over a (tus, event_id) struct — argmin,
+    * no per-key window/sort), deterministic under ties by the event_id
+    * tiebreak. */
+  def dedupBatch(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col("tus"), col("event_id"))).as("f"),
+        count(lit(1)).as("n_dups"))
+      .select(keys.map(col) ++ Seq(col("f.tus").as("first_ts_us"),
+        col("f.event_id").as("first_event_id"), col("n_dups")): _*)
+
+  /** Streaming exact dedup with BOUNDED state: one output row per dedup
+    * key, keys forgotten once the watermark passes (the
+    * `dropDuplicatesWithinWatermark` contract) — the shape a continuous
+    * ingest pipeline needs, where an unbounded seen-set would OOM but
+    * duplicates only ever arrive within the lateness horizon. Emits the
+    * first-arrival row; cross-engine determinism is on the KEY SET (which
+    * row of a same-batch duplicate group wins is arrival-order-dependent),
+    * so parity with [[dedupBatch]] is asserted on keys — see
+    * StreamingSpec. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming corpus ingest into the snapshot catalog: corpus files
     * arriving in `dir` are appended batch-by-batch as catalog snapshots
     * (`foreachBatch` → `CatalogAdapter.append`), giving the incremental-

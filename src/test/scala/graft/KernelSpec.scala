@@ -878,4 +878,42 @@ class KernelSpec extends SparkSpec {
     assert(got(1L) === ((4L, 4L, 16L)))
     (2L to 5L).foreach(v => assert(got(v) === ((1L, 4L, 4L)), s"leaf $v"))
   }
+
+  test("contract: supergraph aggregation drops intra-group, sums weight") {
+    import spark.implicits._
+    // groups: {1,2}→A, {3,4}→B, {5}→C
+    val groups = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "C"))
+      .toDF("vid", "grp")
+    val edges = Seq(
+      (1L, 2L, 5L), // intra-A: dropped
+      (1L, 3L, 2L), // A-B
+      (2L, 4L, 3L), // A-B
+      (4L, 5L, 7L), // B-C
+      (2L, 5L, 1L)  // A-C
+    ).toDF("src", "dst", "weight")
+    val got = Edges.contract(edges, groups).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((2L, 5L)),
+      ("B", "C") -> ((1L, 7L)),
+      ("A", "C") -> ((1L, 1L))))
+  }
+
+  test("landmark distance bound: exact on a path, never an underestimate") {
+    // path 1-2-3-4-5-6; landmark at 1 (smallest sha would vary — call
+    // perSeedDistances directly with a pinned seed)
+    import spark.implicits._
+    val sym = Edges.symmetrize(edgeDF(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L))))
+    val idx = Bfs.perSeedDistances(sym, Seq(3L).toDF("vid"), maxHop = 3)
+    val d = idx.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(d === Map(3L -> 0L, 2L -> 1L, 4L -> 1L, 1L -> 2L, 5L -> 2L,
+      6L -> 3L))
+    // triangle-inequality bound via the single landmark: est(u,v) =
+    // d(u,3)+d(3,v) >= true distance, exact when the landmark is between
+    assert(d(1L) + d(5L) == 4L) // true dist 4 — exact (3 lies between)
+    assert(d(2L) + d(4L) == 2L) // true dist 2 — exact
+    assert(d(4L) + d(5L) == 3L) // true dist 1 — over, never under
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.text.Sketches
+import org.apache.spark.sql.functions._
+
+/** Count-min and HyperLogLog sketches: exactness when collision-free,
+  * never-underestimate under collisions, register replay vs a local
+  * Scala re-derivation, estimate accuracy at sketch-appropriate
+  * cardinality. */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("countMin: wide sketch is exact; point estimates never underestimate") {
+    val items = Seq(("a", 10L), ("b", 7L), ("c", 3L), ("d", 1L))
+      .toDF("item", "cnt")
+    // width 4096 over 4 items: collisions vanishingly unlikely -> exact
+    val est = Sketches.cmEstimate(
+        Sketches.countMin(items, "item", "cnt", depth = 4, width = 4096),
+        items.select(col("item")), "item", depth = 4, width = 4096)
+      .orderBy("item").collect()
+    assert(est.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L), ("b", 7L), ("c", 3L), ("d", 1L)))
+
+    // width 2 over 200 items: collisions certain -> every estimate is an
+    // OVER-estimate (cms >= exact), and the counter mass per row is
+    // exactly the total mass
+    val many = (1 to 200).map(i => (s"t$i", (i % 7 + 1).toLong))
+      .toDF("item", "cnt")
+    val sk = Sketches.countMin(many, "item", "cnt", depth = 3, width = 2)
+    val total = many.agg(sum("cnt")).head.getLong(0)
+    val perRow = sk.groupBy("row").agg(sum("c").as("m")).collect()
+    assert(perRow.length == 3 && perRow.forall(_.getLong(1) == total))
+    val under = Sketches.cmEstimate(sk, many.select(col("item")), "item",
+        depth = 3, width = 2)
+      .join(many, "item")
+      .filter(col("cms_est") < col("cnt")).count()
+    assert(under == 0L)
+  }
+
+  test("hllRegisters: replayed locally bit-for-bit") {
+    val df = (1 to 50).map(i => ("g", i.toLong)).toDF("grp", "id")
+    val got = Sketches.hllRegisters(df, "grp", "id", regBits = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // local re-derivation: same sha-60 hash, reg = h % 64,
+    // rank = leading zeros of (h >> 6) within 54 bits, + 1
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = (1 to 50).map { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val rest = h >> 6
+      val rank =
+        if (rest == 0L) 55L else 54L - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      (h % 64, rank)
+    }.groupBy(_._1).map { case (reg, rs) => (reg, rs.map(_._2).max) }
+    assert(got == want)
+  }
+
+  test("hllEstimate: within 20% of exact at sketch-appropriate cardinality") {
+    val n = 20000
+    val df = (1 to n).map(i => ("g", s"user$i")).toDF("grp", "id")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, "grp", "id", regBits = 6), regBits = 6)
+      .head.getDouble(1)
+    // m=64 -> standard error ~ 1.04/sqrt(64) = 13%; assert a loose 20%
+    assert(math.abs(est - n) / n < 0.20, s"est $est vs exact $n")
+  }
+
+  test("hllRegisters: map-side-combinable (union of halves == whole)") {
+    val a = (1 to 500).map(i => ("g", i.toLong)).toDF("grp", "id")
+    val b = (400 to 900).map(i => ("g", i.toLong)).toDF("grp", "id")
+    val whole = Sketches.hllRegisters(a.union(b), "grp", "id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val merged = Sketches.hllRegisters(a, "grp", "id")
+      .union(Sketches.hllRegisters(b, "grp", "id"))
+      .groupBy("grp", "reg").agg(max("max_rank").as("max_rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(whole == merged)
+  }
+}

@@ -133,4 +133,46 @@ class StreamingSpec extends SparkSpec {
       (1L, us("2026-01-01 02:00:00"), us("2026-01-01 02:00:00"), 1L, 5.0),
       (2L, us("2026-01-01 00:05:00"), us("2026-01-01 00:30:00"), 3L, 12.0)))
   }
+
+  test("watermarked streaming dedup: key set equals the batch twin") {
+    def mk(id: Long, u: Long, t: String, ts: String) =
+      (id, u, t, Timestamp.valueOf(ts), 1.0)
+    val rows = Seq(
+      mk(1, 1, "click", "2026-01-01 00:00:00"),
+      mk(2, 1, "click", "2026-01-01 00:05:00"), // dup of (1, click)
+      mk(3, 1, "view", "2026-01-01 00:06:00"),
+      mk(4, 2, "click", "2026-01-01 00:07:00"),
+      mk(5, 2, "click", "2026-01-01 00:20:00"), // dup of (2, click)
+      mk(6, 1, "view", "2026-01-01 01:00:00")   // dup of (1, view)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    rows.repartition(2).write.mode("overwrite").parquet(dir)
+    val keys = Seq("user_id", "event_type")
+
+    val q = Streaming.dedupStream(
+        spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir), keys)
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_sink")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val batch = Streaming.dedupBatch(spark.read.parquet(dir), keys)
+    val batchKeys = batch.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // one row per distinct key on both paths, same key set
+    assert(streamed.length == streamed.distinct.length)
+    assert(streamed.toSet === batchKeys.toSet)
+    assert(batchKeys.toSet ===
+      Set((1L, "click"), (1L, "view"), (2L, "click")))
+    // batch twin picks the FIRST (ts, event_id) row and counts dups
+    val first = batch.collect().map(r =>
+      ((r.getLong(0), r.getString(1)), (r.getLong(3), r.getLong(4)))).toMap
+    assert(first((1L, "click")) == (1L, 2L))
+    assert(first((1L, "view")) == (3L, 2L))
+    assert(first((2L, "click")) == (4L, 2L))
+  }
 }
