@@ -1130,7 +1130,25 @@ object SparkEntry {
       iu.join(iv, "seed").filter(col("u") < col("v"))
         .groupBy(col("u"), col("v"))
         .agg(min(col("du") + col("dv")).as("est_dist"))
-    })
+    }),
+
+    // deterministic greedy maximal matching (Israeli-Itai local-min
+    // rounds, sha edge priorities) — 3 fixed rounds as the oracle parity
+    // form; the fixpoint (maximal matching / 2-approx vertex cover) is
+    // spec-checked in KernelSpec
+    "q119_matching" -> ((s, d) =>
+      graft.kernels.Matching.greedy(s, e2(s, d), maxRounds = 3)),
+
+    // densest-subgraph peeling census (Charikar / BKV parallel peel,
+    // integer deg·|V| > 2·|E| rule): per-round (n_v, n_e) for 4 fixed
+    // rounds — the dense-core / link-farm detector
+    "q120_densest" -> ((s, d) =>
+      graft.kernels.Densest.peelCensus(s, e2(s, d), rounds = 4)),
+
+    // rich-club census: hub-interlinking profile at degree thresholds
+    // 1/2/4/8 — one pass over degrees + edge min-degree tags
+    "q121_rich_club" -> ((s, d) =>
+      graft.kernels.GraphStats.richClub(e2(s, d), Seq(1, 2, 4, 8)))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3056,6 +3074,92 @@ object SparkEntry {
          |JOIN idx b ON a.seed = b.seed
          |JOIN probe pb ON b.vid = pb.vid
          |WHERE a.vid < b.vid
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    // greedy matching replayed: 3 unrolled local-min rounds, sha edge
+    // priorities, saturated endpoints removed between rounds. Stages are
+    // MATERIALIZED — DuckDB would otherwise inline each CTE per
+    // reference and the unrolled chain re-evaluates exponentially
+    "q119_matching" ->
+      s"""WITH $CTE,
+         |l0 AS MATERIALIZED (SELECT s, d,
+         |       CAST(('0x' || substr(sha256('mm:' || s || ':' || d), 1, 15)) AS BIGINT) AS p
+         |       FROM e),
+         |v1 AS MATERIALIZED (SELECT v, min(p) AS mp FROM
+         |       (SELECT s AS v, p FROM l0 UNION ALL SELECT d, p FROM l0) GROUP BY 1),
+         |m1 AS MATERIALIZED (SELECT l.s, l.d FROM l0 l
+         |       JOIN v1 a ON l.s = a.v AND l.p = a.mp
+         |       JOIN v1 b ON l.d = b.v AND l.p = b.mp),
+         |x1 AS MATERIALIZED (SELECT s AS v FROM m1 UNION SELECT d FROM m1),
+         |l1 AS MATERIALIZED (SELECT l.* FROM l0 l
+         |       WHERE NOT EXISTS (SELECT 1 FROM x1 WHERE x1.v = l.s)
+         |         AND NOT EXISTS (SELECT 1 FROM x1 WHERE x1.v = l.d)),
+         |v2 AS MATERIALIZED (SELECT v, min(p) AS mp FROM
+         |       (SELECT s AS v, p FROM l1 UNION ALL SELECT d, p FROM l1) GROUP BY 1),
+         |m2 AS MATERIALIZED (SELECT l.s, l.d FROM l1 l
+         |       JOIN v2 a ON l.s = a.v AND l.p = a.mp
+         |       JOIN v2 b ON l.d = b.v AND l.p = b.mp),
+         |x2 AS MATERIALIZED (SELECT s AS v FROM m2 UNION SELECT d FROM m2),
+         |l2 AS MATERIALIZED (SELECT l.* FROM l1 l
+         |       WHERE NOT EXISTS (SELECT 1 FROM x2 WHERE x2.v = l.s)
+         |         AND NOT EXISTS (SELECT 1 FROM x2 WHERE x2.v = l.d)),
+         |v3 AS MATERIALIZED (SELECT v, min(p) AS mp FROM
+         |       (SELECT s AS v, p FROM l2 UNION ALL SELECT d, p FROM l2) GROUP BY 1),
+         |m3 AS MATERIALIZED (SELECT l.s, l.d FROM l2 l
+         |       JOIN v3 a ON l.s = a.v AND l.p = a.mp
+         |       JOIN v3 b ON l.d = b.v AND l.p = b.mp)
+         |SELECT s AS src, d AS dst, 1 AS round FROM m1
+         |UNION ALL SELECT s, d, 2 FROM m2
+         |UNION ALL SELECT s, d, 3 FROM m3""".stripMargin,
+    // densest peel replayed: 4 unrolled integer-rule stages (also
+    // MATERIALIZED); isolated survivors count in n_v via the LEFT JOIN
+    "q120_densest" ->
+      s"""WITH $CTE,
+         |v0 AS MATERIALIZED (SELECT s AS vid FROM e UNION SELECT d FROM e),
+         |c0 AS MATERIALIZED (SELECT (SELECT count(*) FROM v0) AS nv, (SELECT count(*) FROM e) AS ne),
+         |g1 AS MATERIALIZED (SELECT vid, count(*) AS dg FROM
+         |       (SELECT s AS vid FROM e UNION ALL SELECT d FROM e) GROUP BY 1),
+         |k1 AS MATERIALIZED (SELECT v0.vid FROM v0 LEFT JOIN g1 ON v0.vid = g1.vid, c0
+         |       WHERE coalesce(g1.dg, 0) * c0.nv > 2 * c0.ne),
+         |e1 AS MATERIALIZED (SELECT e.s, e.d FROM e JOIN k1 a ON e.s = a.vid JOIN k1 b ON e.d = b.vid),
+         |c1 AS MATERIALIZED (SELECT (SELECT count(*) FROM k1) AS nv, (SELECT count(*) FROM e1) AS ne),
+         |g2 AS MATERIALIZED (SELECT vid, count(*) AS dg FROM
+         |       (SELECT s AS vid FROM e1 UNION ALL SELECT d FROM e1) GROUP BY 1),
+         |k2 AS MATERIALIZED (SELECT k1.vid FROM k1 LEFT JOIN g2 ON k1.vid = g2.vid, c1
+         |       WHERE coalesce(g2.dg, 0) * c1.nv > 2 * c1.ne),
+         |e2 AS MATERIALIZED (SELECT e1.s, e1.d FROM e1 JOIN k2 a ON e1.s = a.vid JOIN k2 b ON e1.d = b.vid),
+         |c2 AS MATERIALIZED (SELECT (SELECT count(*) FROM k2) AS nv, (SELECT count(*) FROM e2) AS ne),
+         |g3 AS MATERIALIZED (SELECT vid, count(*) AS dg FROM
+         |       (SELECT s AS vid FROM e2 UNION ALL SELECT d FROM e2) GROUP BY 1),
+         |k3 AS MATERIALIZED (SELECT k2.vid FROM k2 LEFT JOIN g3 ON k2.vid = g3.vid, c2
+         |       WHERE coalesce(g3.dg, 0) * c2.nv > 2 * c2.ne),
+         |e3 AS MATERIALIZED (SELECT e2.s, e2.d FROM e2 JOIN k3 a ON e2.s = a.vid JOIN k3 b ON e2.d = b.vid),
+         |c3 AS MATERIALIZED (SELECT (SELECT count(*) FROM k3) AS nv, (SELECT count(*) FROM e3) AS ne),
+         |g4 AS MATERIALIZED (SELECT vid, count(*) AS dg FROM
+         |       (SELECT s AS vid FROM e3 UNION ALL SELECT d FROM e3) GROUP BY 1),
+         |k4 AS MATERIALIZED (SELECT k3.vid FROM k3 LEFT JOIN g4 ON k3.vid = g4.vid, c3
+         |       WHERE coalesce(g4.dg, 0) * c3.nv > 2 * c3.ne),
+         |e4 AS MATERIALIZED (SELECT e3.s, e3.d FROM e3 JOIN k4 a ON e3.s = a.vid JOIN k4 b ON e3.d = b.vid),
+         |c4 AS MATERIALIZED (SELECT (SELECT count(*) FROM k4) AS nv, (SELECT count(*) FROM e4) AS ne)
+         |SELECT CAST(0 AS BIGINT) AS round, CAST(nv AS BIGINT) AS n_v, CAST(ne AS BIGINT) AS n_e FROM c0
+         |UNION ALL SELECT 1, nv, ne FROM c1
+         |UNION ALL SELECT 2, nv, ne FROM c2
+         |UNION ALL SELECT 3, nv, ne FROM c3
+         |UNION ALL SELECT 4, nv, ne FROM c4""".stripMargin,
+    // rich-club replay: degree > k vertex counts + min-endpoint-degree
+    // edge counts per threshold, phi = 2 n_e / (n_v (n_v - 1))
+    "q121_rich_club" ->
+      s"""WITH $CTE,
+         |kk AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS k),
+         |nv AS (SELECT k, count(*) AS n_v FROM deg, kk
+         |       WHERE degree > k GROUP BY 1),
+         |em AS (SELECT least(a.degree, b.degree) AS m
+         |       FROM e JOIN deg a ON e.s = a.vid JOIN deg b ON e.d = b.vid),
+         |ne AS (SELECT k, count(*) AS n_e FROM em, kk WHERE m > k GROUP BY 1)
+         |SELECT nv.k, nv.n_v, coalesce(ne.n_e, 0) AS n_e,
+         |       CASE WHEN nv.n_v > 1 THEN
+         |         round(2.0 * CAST(coalesce(ne.n_e, 0) AS DOUBLE)
+         |               / CAST(nv.n_v * (nv.n_v - 1) AS DOUBLE), 6)
+         |       ELSE 0.0 END AS phi
+         |FROM nv LEFT JOIN ne ON nv.k = ne.k""".stripMargin
   )
 }

@@ -369,4 +369,38 @@ object GraphStats {
     e.unpersist(); d0.unpersist()
     materialized
   }
+
+  /** Rich-club census (Zhou–Mondragón 2004): for each degree threshold
+    * k, the subgraph induced on vertices of degree > k — (k, n_v, n_e)
+    * integer-exact plus the rich-club coefficient
+    * φ(k) = 2·n_e / (n_v·(n_v−1)), the how-tightly-do-hubs-interlink
+    * profile of a link graph (hub collusion / link-farm signal).
+    *
+    * Set-at-a-time over ALL thresholds at once: degrees once, each edge
+    * tagged with min(deg_src, deg_dst), then one Expand over the (tiny,
+    * broadcast-literal) threshold list and two grouped counts — no
+    * per-k jobs, no induced-subgraph materialization. */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    val canon = edges.select(col("src"), col("dst"))
+    val deg = Edges.degrees(Edges.symmetrize(canon))
+    val kdf = explode(array(ks.map(k => lit(k.toLong)): _*)).as("k")
+    val nv = deg.select(col("degree"), kdf)
+      .filter(col("degree") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_v"))
+    val em = canon
+      .join(deg.withColumnRenamed("vid", "src")
+        .withColumnRenamed("degree", "ds"), "src")
+      .join(deg.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("degree", "dd"), "dst")
+      .select(least(col("ds"), col("dd")).as("m"))
+    val ne = em.select(col("m"), kdf).filter(col("m") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_e"))
+    nv.join(ne, Seq("k"), "left")
+      .select(col("k"), col("n_v"),
+        coalesce(col("n_e"), lit(0L)).as("n_e"),
+        when(col("n_v") > 1,
+          round(lit(2.0) * coalesce(col("n_e"), lit(0L)).cast("double") /
+            (col("n_v") * (col("n_v") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("phi"))
+  }
 }

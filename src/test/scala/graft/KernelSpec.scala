@@ -916,4 +916,54 @@ class KernelSpec extends SparkSpec {
     assert(d(2L) + d(4L) == 2L) // true dist 2 — exact
     assert(d(4L) + d(5L) == 3L) // true dist 1 — over, never under
   }
+
+  test("greedy matching fixpoint: a maximal matching on every golden graph") {
+    for (g <- Seq("triangle", "path4", "star5", "twoComp", "bowtie", "k4")) {
+      val edges = golden(g)
+      val m = Matching.greedy(spark, edgeDF(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // a matching: no vertex saturated twice
+      val eps = m.flatMap(e => Seq(e._1, e._2))
+      assert(eps.length == eps.distinct.length, s"$g not a matching")
+      // maximal: every edge touches a saturated endpoint
+      val sat = eps.toSet
+      val canon = edges.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      assert(canon.forall(e => sat(e._1) || sat(e._2)), s"$g not maximal")
+      // vertex cover: saturated set covers all edges (2-approx bound)
+      assert(Matching.vertexCover(spark, edgeDF(edges))
+        .collect().map(_.getLong(0)).toSet == sat, s"$g cover mismatch")
+    }
+  }
+
+  test("densest peel: K4 core survives the pendant path, argmax is the core") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val census = Densest.peelCensus(spark, edgeDF(edges), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // round 0: whole graph; round 1: the K4 (avg 18/7, pendants peel);
+    // round 2: K4 is regular (deg·4 == 2·6, not >) -> everything peels
+    assert(census.toSeq == Seq((0L, 7L, 9L), (1L, 4L, 6L), (2L, 0L, 0L),
+      (3L, 0L, 0L), (4L, 0L, 0L)))
+    val best = Densest.densestRound(
+      Densest.peelCensus(spark, edgeDF(edges), rounds = 4)).head
+    assert(best.getLong(0) == 1L && best.getDouble(3) == 1.5)
+  }
+
+  test("rich-club census: K4 plus a pendant isolates the hub club") {
+    // K4 on {1,2,3,4} + pendant 5-1: deg(1)=4, deg(2..4)=3, deg(5)=1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val got = GraphStats.richClub(edgeDF(edges), Seq(1, 2, 4, 8))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // k=1: club {1,2,3,4}, 6 edges, phi = 12/12 = 1; k=2: same club;
+    // k=4 and 8: no vertex with degree > 4 -> no row (consistent with
+    // the SQL oracle's grouped-filter shape)
+    assert(got == Map(
+      1L -> ((4L, 6L, 1.0)),
+      2L -> ((4L, 6L, 1.0))))
+  }
 }
