@@ -1111,18 +1111,23 @@ object SparkEntry {
     }),
 
     // landmark distance oracle (Eppstein-Wang / web-graph distance
-    // sketches): 4 sha-chosen landmarks, one shared multi-source labeled
-    // BFS builds the index, then any pair's distance upper bound is
-    // min over landmarks of d(u,l)+d(l,v) — index probes, no per-query
-    // traversal; here evaluated over a sha-chosen probe set
+    // sketches): the 4 highest-degree vertices as landmarks (the standard
+    // hub heuristic — their BFS balls cover the most pairs), one shared
+    // multi-source labeled BFS builds the index, then any pair's distance
+    // upper bound is min over landmarks of d(u,l)+d(l,v) — index probes,
+    // no per-query traversal; here evaluated over a sha-chosen probe set
     "q118_landmark_dist" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      // the FULL co-occurrence graph (the weight-thresholded one is too
+      // fragmented at larger SFs for landmark balls to cover pairs)
+      val sym = Edges.symmetrize(cooc(s, d).select(col("src"), col("dst")))
       val verts = Edges.vertexIds(sym)
       val sha = Dedup.shaTokenHash60(col("vid").cast("string"))
-      val landmarks = verts.orderBy(sha, col("vid")).limit(4)
+      val landmarks = Edges.degrees(sym)
+        .orderBy(col("degree").desc, col("vid")).limit(4)
+        .select(col("vid"))
       val idx = graft.kernels.Bfs.perSeedDistances(sym, landmarks,
         maxHop = 4)
-      val probe = verts.filter(pmod(sha, lit(1000L)) < 50)
+      val probe = verts.filter(pmod(sha, lit(1000L)) < 5)
       val iu = idx.join(probe, "vid")
         .select(col("vid").as("u"), col("seed"), col("dist").as("du"))
       val iv = idx.join(probe, "vid")
@@ -3055,19 +3060,19 @@ object SparkEntry {
     // landmark index replay: 4 smallest-sha vertices, bounded BFS per
     // landmark (recursive CTE, min dist), probe-pair upper bounds
     "q118_landmark_dist" ->
-      s"""WITH RECURSIVE $CTE,
+      s"""WITH RECURSIVE $CTE, $FULL,
          |vh AS (SELECT vid,
          |       CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-         |       FROM deg),
-         |lm AS (SELECT vid FROM vh ORDER BY h, vid LIMIT 4),
+         |       FROM fdeg),
+         |lm AS (SELECT vid FROM fdeg ORDER BY odeg DESC, vid LIMIT 4),
          |reach(seed, vid, dist) AS (
          |  SELECT vid, vid, 0 FROM lm
          |  UNION
          |  SELECT r.seed, s.d, r.dist + 1
-         |  FROM reach r JOIN sym s ON r.vid = s.s WHERE r.dist < 4
+         |  FROM reach r JOIN fsym s ON r.vid = s.s WHERE r.dist < 4
          |),
          |idx AS (SELECT seed, vid, min(dist) AS dist FROM reach GROUP BY 1, 2),
-         |probe AS (SELECT vid FROM vh WHERE h % 1000 < 50)
+         |probe AS (SELECT vid FROM vh WHERE h % 1000 < 5)
          |SELECT a.vid AS u, b.vid AS v,
          |       CAST(min(a.dist + b.dist) AS BIGINT) AS est_dist
          |FROM idx a JOIN probe pa ON a.vid = pa.vid
