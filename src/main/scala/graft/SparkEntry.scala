@@ -1153,7 +1153,65 @@ object SparkEntry {
     // rich-club census: hub-interlinking profile at degree thresholds
     // 1/2/4/8 — one pass over degrees + edge min-degree tags
     "q121_rich_club" -> ((s, d) =>
-      graft.kernels.GraphStats.richClub(e2(s, d), Seq(1, 2, 4, 8)))
+      graft.kernels.GraphStats.richClub(e2(s, d), Seq(1, 2, 4, 8))),
+
+    // time-respecting reachability (earliest arrival, Wu et al. VLDB'14):
+    // contacts = same event_type within 300 s (banded bucket join,
+    // directed earlier→later), seeds = sha-sampled users at time 0,
+    // 4 bounded rounds (the fixpoint is spec-covered; static
+    // reachability would OVERCOUNT — an edge usable before you arrive
+    // is useless)
+    "q122_temporal_reach" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val c = graft.kernels.TemporalReach.contacts(ev,
+        "user_id", "event_type", "ts", deltaSec = 300L)
+      val seeds = ev.select(col("user_id").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 50)
+      graft.kernels.TemporalReach.earliestArrival(s, c, seeds,
+        maxRounds = 4)
+    }),
+
+    // graph delta between two catalog snapshots (time travel): per-vertex
+    // degree before/after a deletion, changed vertices only — the
+    // incremental-pipeline primitive (downstream re-runs only where
+    // delta != 0 instead of diffing |E| rows)
+    "q123_snapshot_diff" -> ((s, d) => {
+      val root = scratchDir("graft_snapdiff")
+      val cat = new graft.catalog.LocalCatalog(root)
+      cat.createOrReplace("edges", e2(s, d))
+      cat.deleteWhere(s, "edges",
+        pmod(col("src"), lit(5)) === 0 || pmod(col("dst"), lit(5)) === 0)
+      val snaps = cat.snapshots("edges").sorted
+      Edges.degreeDelta(
+        cat.readSnapshot(s, "edges", snaps.head),
+        cat.readSnapshot(s, "edges", snaps.last))
+    }),
+
+    // Bloom-filter decontamination — the fixed-memory scale twin of q65:
+    // the benchmark's trigram set compresses to <= 16384 sha-derived bit
+    // positions (broadcastable whatever the benchmark size); flagged =
+    // all 3 hash positions set. False positives are sha-deterministic
+    // (replayed by the oracle) and there are no false negatives — the
+    // safe direction for decontamination
+    "q124_bloom_decontam" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val isBench = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(1000L)) < 30
+      graft.text.TrainPrep.contaminationBloom(
+        docs.filter(!isBench), "doc_id", "text",
+        docs.filter(isBench), "text", n = 3)
+    }),
+
+    // SemDeDup embedding-space dedup (Abbas et al. 2023): IVF sha-centroid
+    // clusters bound the quadratic, integer-cosine >= 0.38 within a
+    // cluster drops the higher id — the semantic-level pass a pretraining
+    // pipeline runs after exact (q16) and MinHash (q26/q81) dedup
+    "q125_semdedup" -> ((s, d) =>
+      Ann.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = 16, thresholdPpm = 380000L)
+        .select(col("vec_id"), col("cluster"),
+          col("keep").cast("long").as("keep"), col("kept_for")))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3165,6 +3223,98 @@ object SparkEntry {
          |         round(2.0 * CAST(coalesce(ne.n_e, 0) AS DOUBLE)
          |               / CAST(nv.n_v * (nv.n_v - 1) AS DOUBLE), 6)
          |       ELSE 0.0 END AS phi
-         |FROM nv LEFT JOIN ne ON nv.k = ne.k""".stripMargin
+         |FROM nv LEFT JOIN ne ON nv.k = ne.k""".stripMargin,
+    // earliest-arrival temporal reachability, bounded to 4 contact hops:
+    // the recursion carries (vid, arrival-candidate, path length); UNION
+    // dedup bounds states by |contacts|·rounds, and min-over-states
+    // equals the kernel's min-over-paths(<=4) exactly (a contact from u
+    // departing at tu qualifies iff SOME state t <= tu exists, i.e. iff
+    // min-arrival(u) <= tu)
+    "q122_temporal_reach" ->
+      """WITH RECURSIVE ev AS (SELECT user_id AS u, event_type AS g, epoch_us(ts) AS t FROM events),
+        |seeds AS (SELECT DISTINCT u AS vid FROM ev
+        |          WHERE CAST(('0x' || substr(sha256(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 50),
+        |c AS (SELECT a.u AS src, b.u AS dst, a.t AS tu, b.t AS tv
+        |      FROM ev a JOIN ev b ON a.g = b.g
+        |       AND b.t >= a.t AND b.t - a.t <= 300000000
+        |       AND (a.t < b.t OR (a.t = b.t AND a.u < b.u)) AND a.u <> b.u),
+        |reach(vid, t, r) AS (
+        |  SELECT vid, CAST(0 AS BIGINT), 0 FROM seeds
+        |  UNION
+        |  SELECT c.dst, c.tv, r.r + 1 FROM reach r JOIN c ON c.src = r.vid AND c.tu >= r.t
+        |  WHERE r.r < 4
+        |)
+        |SELECT vid, min(t) AS arrival FROM reach GROUP BY 1""".stripMargin,
+    // snapshot graph diff: degrees of the full derived edge table vs the
+    // post-deleteWhere survivor set, changed vertices only
+    "q123_snapshot_diff" ->
+      s"""WITH $CTE,
+         |e5 AS (SELECT s, d FROM e WHERE s % 5 <> 0 AND d % 5 <> 0),
+         |syma AS (SELECT s, d FROM e5 UNION ALL SELECT d, s FROM e5),
+         |db AS (SELECT s AS vid, count(*) AS nb FROM sym GROUP BY 1),
+         |da AS (SELECT s AS vid, count(*) AS na FROM syma GROUP BY 1)
+         |SELECT coalesce(db.vid, da.vid) AS vid,
+         |       coalesce(nb, 0) AS deg_before, coalesce(na, 0) AS deg_after,
+         |       coalesce(na, 0) - coalesce(nb, 0) AS delta
+         |FROM db FULL OUTER JOIN da ON db.vid = da.vid
+         |WHERE coalesce(na, 0) <> coalesce(nb, 0)""".stripMargin,
+    // Bloom decontamination replay: identical bench/doc split and
+    // trigrams as q65, sha bit positions p_j(g) = sha60(j || ':' || g)
+    // mod 16384, flagged iff all 3 positions land in the bench set
+    "q124_bloom_decontam" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |                    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 30 AS is_bench
+        |             FROM documents),
+        |pos AS (SELECT doc_id, t, is_bench, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tok WHERE len(t) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, is_bench, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM pos),
+        |hp AS (SELECT doc_id, is_bench, g, j,
+        |              CAST(('0x' || substr(sha256(j || ':' || g), 1, 15)) AS BIGINT) % 16384 AS p
+        |       FROM ng, (SELECT unnest([0, 1, 2]) AS j)),
+        |bloom AS (SELECT DISTINCT p FROM hp WHERE is_bench),
+        |hits AS (SELECT h.doc_id, h.g FROM hp h JOIN bloom b ON h.p = b.p
+        |         WHERE NOT h.is_bench
+        |         GROUP BY h.doc_id, h.g HAVING count(*) = 3)
+        |SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY 1
+        |HAVING count(*) >= 1""".stripMargin,
+    // SemDeDup replay: the q58 centroid assignment verbatim, then the
+    // within-cluster pairwise integer-cosine rule in HUGEINT —
+    // dot > 0 AND dot^2 * 10^12 >= 380000^2 * |a|^2 * |b|^2
+    "q125_semdedup" ->
+      """WITH qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |hh AS (SELECT vec_id, q,
+        |              CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |       FROM qv),
+        |cent AS (SELECT q AS cq,
+        |                CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
+        |         FROM hh
+        |         QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+        |ds AS (SELECT v.vec_id, c.cid,
+        |              CAST(list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                 - 2 * list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                   AS BIGINT) AS d2
+        |       FROM qv v, cent c),
+        |assign AS (SELECT vec_id, cid AS cluster FROM ds
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+        |nn AS (SELECT a.vec_id, a.cluster, v.q,
+        |              CAST(list_dot_product(CAST(v.q AS DOUBLE[]), CAST(v.q AS DOUBLE[])) AS BIGINT) AS n2
+        |       FROM assign a JOIN qv v ON v.vec_id = a.vec_id),
+        |pr AS (SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+        |              CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])) AS BIGINT) AS dot,
+        |              a.n2 AS na, b.n2 AS nb
+        |       FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |dropped AS (SELECT drop_id, min(keep_id) AS kept_for FROM pr
+        |            WHERE dot > 0
+        |              AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * CAST(1000000000000 AS HUGEINT)
+        |                  >= CAST(380000 AS HUGEINT) * CAST(380000 AS HUGEINT)
+        |                     * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+        |            GROUP BY 1)
+        |SELECT a.vec_id, a.cluster,
+        |       CAST(d.kept_for IS NULL AS BIGINT) AS keep, d.kept_for
+        |FROM assign a LEFT JOIN dropped d ON d.drop_id = a.vec_id""".stripMargin
   )
 }

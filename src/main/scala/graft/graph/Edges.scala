@@ -139,4 +139,26 @@ object Edges {
       .groupBy(col("g1"), col("g2"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("weight")).as("strength"))
   }
+
+  /** Graph delta between two edge-table versions (e.g. two catalog
+    * snapshots of a derived link table): per-vertex degree before/after
+    * and the difference, for vertices whose degree changed (or vanished/
+    * appeared). The incremental-pipeline primitive: downstream consumers
+    * re-run only where `delta != 0` instead of diffing |E| rows.
+    *
+    * Scale shape: two degree aggregations (map-side combined, |V|-sized
+    * outputs) + one full-outer join keyed by vid — never an edge-level
+    * diff join over 2·|E| rows. */
+  def degreeDelta(before: DataFrame, after: DataFrame): DataFrame = {
+    val db = degrees(symmetrize(before))
+      .select(col("vid"), col("degree").as("deg_before"))
+    val da = degrees(symmetrize(after))
+      .select(col("vid"), col("degree").as("deg_after"))
+    db.join(da, Seq("vid"), "full_outer")
+      .select(col("vid"),
+        coalesce(col("deg_before"), lit(0L)).as("deg_before"),
+        coalesce(col("deg_after"), lit(0L)).as("deg_after"))
+      .withColumn("delta", col("deg_after") - col("deg_before"))
+      .filter(col("delta") =!= 0L)
+  }
 }

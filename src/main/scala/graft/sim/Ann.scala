@@ -298,24 +298,39 @@ object Ann {
     * literals, so the per-row cost is O(nlist·dim) with NO shuffle until
     * the cluster-keyed candidate join — the same 100 TB shape as
     * [[ivfTopK]]. */
+  /** sha-sampled coarse centroids over quantized vectors — the
+    * deterministic IVF-flat codebook shared by [[ivfTopKParity]] and
+    * [[semDedup]]: the `nlist` vectors ranked first by sha60(id), ties
+    * to the lower id. nlist×dim longs collected once (tiny). */
+  private def shaCentroids(qv: DataFrame, nlist: Int): Array[Array[Long]] =
+    qv.withColumn("h",
+        graft.text.Dedup.shaTokenHash60(col("vid").cast("string")))
+      .orderBy(col("h"), col("vid")).limit(nlist)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+
+  /** The `nprobe` nearest centroid ids of `v` by exact integer distance
+    * rank ‖c‖² − 2·v·c (the ‖v‖² term is row-constant and dropped), ties
+    * to the lower centroid id — a codegen'd expression over centroid
+    * literals, no shuffle. */
+  private def nearestIntExpr(centroids: Array[Array[Long]], v: Column,
+                             nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = typedlit(c.toSeq)
+      val d2 = lit(c.map(x => x * x).sum) - lit(2L) * idot(v, cl)
+      struct(d2.as("dist"), lit(i.toLong).as("cid"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
   def ivfTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int = 16, nprobe: Int = 4,
                     scale: Int = 1000): DataFrame = {
     val qv = vecs.select(col(idCol).as("vid"),
       quantize(col(vecCol), scale).as("q"))
-    val centroids: Array[Array[Long]] = qv
-      .withColumn("h", graft.text.Dedup.shaTokenHash60(col("vid").cast("string")))
-      .orderBy(col("h"), col("vid")).limit(nlist)
-      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
-    def nearestInt(v: Column, nprobe: Int): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cl = typedlit(c.toSeq)
-        val d2 = lit(c.map(x => x * x).sum) - lit(2L) * idot(v, cl)
-        struct(d2.as("dist"), lit(i.toLong).as("cid"))
-      }
-      transform(slice(array_sort(array(scored: _*)), 1, nprobe),
-        s => s.getField("cid"))
-    }
+    val centroids = shaCentroids(qv, nlist)
+    def nearestInt(v: Column, nprobe: Int): Column =
+      nearestIntExpr(centroids, v, nprobe)
     val file = qv.select(col("vid").as("nn_id"), col("q").as("qb"),
         nearestInt(col("q"), 1).getItem(0).as("cluster"))
       .repartition(col("cluster"))
@@ -329,6 +344,56 @@ object Ann {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
+  }
+
+  /** SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster vectors with the [[ivfTopKParity]]
+    * sha-sampled-centroid assignment, then WITHIN each cluster drop
+    * every vector that has a strictly-smaller-id cluster-mate with
+    * cosine ≥ threshold. The keep rule is pairwise (the paper's
+    * cluster-local greedy), NOT transitive closure —
+    * [[graft.text.Dedup.canonicalize]] is the transitive variant over
+    * LSH pairs; here a drop's `kept_for` witness may itself be dropped.
+    *
+    * Exactness: quantized integer vectors, and cos(a,b) ≥ t replayed as
+    * the integer predicate  a·b > 0  ∧  (a·b)²·10¹² ≥ t_ppm²·‖a‖²·‖b‖²
+    * evaluated in DECIMAL(38,0) — no float anywhere, so an independent
+    * engine (DuckDB HUGEINT) agrees bit-for-bit.
+    *
+    * Scale shape: the codebook is nlist·dim longs (literal expression,
+    * no shuffle to assign); the quadratic similarity join is
+    * cluster-keyed — the inverted file bounds every bucket, which is the
+    * whole point of SemDeDup vs all-pairs. Returns every vector with
+    * (vec_id, cluster, keep, kept_for witness or null). */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, thresholdPpm: Long = 380000L,
+               scale: Int = 1000): DataFrame = {
+    val qv = vecs.select(col(idCol).as("vid"),
+      quantize(col(vecCol), scale).as("q"))
+    val centroids = shaCentroids(qv, nlist)
+    val assigned = qv
+      .withColumn("cluster",
+        nearestIntExpr(centroids, col("q"), 1).getItem(0))
+      .withColumn("n2", idot(col("q"), col("q")))
+    val dec = "decimal(38,0)"
+    val keepSide = assigned.select(col("cluster"),
+      col("vid").as("keep_id"), col("q").as("qa"), col("n2").as("na"))
+    val dropSide = assigned.select(col("cluster"),
+      col("vid").as("drop_id"), col("q").as("qb"), col("n2").as("nb"))
+    val dropped = keepSide.join(dropSide, "cluster")
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("dot", idot(col("qa"), col("qb")))
+      .filter(col("dot") > 0L &&
+        col("dot").cast(dec) * col("dot").cast(dec) *
+          lit(1000000000000L).cast(dec) >=
+        lit(thresholdPpm).cast(dec) * lit(thresholdPpm).cast(dec) *
+          col("na").cast(dec) * col("nb").cast(dec))
+      .groupBy(col("drop_id")).agg(min(col("keep_id")).as("kept_for"))
+    assigned.select(col("vid").as("vec_id"), col("cluster"))
+      .join(dropped.withColumnRenamed("drop_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("kept_for").isNull.as("keep"), col("kept_for"))
   }
 
   /** Approximate top-k via sign-random-projection LSH: `bands` bucket keys

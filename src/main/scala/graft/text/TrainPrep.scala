@@ -126,6 +126,50 @@ object TrainPrep {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination — the fixed-memory scale twin of
+    * [[contamination]]: instead of broadcasting the benchmark's FULL
+    * distinct n-gram set (which grows with the benchmark), broadcast a
+    * Bloom bit-position table of at most `bits` rows. A corpus n-gram is
+    * flagged iff all `hashes` of its sha-derived positions are set —
+    * i.e. the standard Bloom membership test, possibly with false
+    * positives (rate ≈ (1 − e^{−k·n/m})^k) and never false negatives, so
+    * the flagged set is a SUPERSET of [[contamination]]'s (the safe
+    * direction for decontamination: over-remove, never leak).
+    *
+    * Determinism/exactness: positions are sha256-derived
+    * (hash j of gram g = sha60("j:g") mod bits), so the whole filter —
+    * false positives included — is a pure function any engine replays
+    * bit-for-bit; there is no approximate-oracle gap.
+    *
+    * Scale shape: the bit table is ≤ `bits` rows REGARDLESS of benchmark
+    * size (broadcast); the corpus side explodes to (doc, gram, hash)
+    * rows, joins the broadcast positions, and aggregates back — the
+    * corpus never shuffles. */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 3, bits: Int = 16384, hashes: Int = 3,
+                         minShared: Long = 1L): DataFrame = {
+    def position(g: Column, j: Int): Column =
+      pmod(Dedup.shaTokenHash60(concat(lit(s"$j:"), g)), lit(bits.toLong))
+    def positions(g: Column): Column =
+      array((0 until hashes).map(position(g, _)): _*)
+    val bloom = bench
+      .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n)).as("g"))
+      .distinct()
+      .select(explode(positions(col("g"))).as("p")).distinct()
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    docGrams
+      .select(col("doc_id"), col("g"), explode(positions(col("g"))).as("p"))
+      .join(broadcast(bloom), "p")
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === hashes)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+      .filter(col("n_flagged") >= minShared)
+  }
+
   /** Corpus-wide top-k n-grams by document frequency (distinct docs
     * containing the gram), deterministic tie-break by gram — the corpus
     * profiling / boilerplate-detection primitive. Two-phase: per-doc

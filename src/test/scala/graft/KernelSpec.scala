@@ -966,4 +966,18 @@ class KernelSpec extends SparkSpec {
       1L -> ((4L, 6L, 1.0)),
       2L -> ((4L, 6L, 1.0))))
   }
+
+  test("degreeDelta: changed vertices only, vanish/appear as 0-degree") {
+    val before = edgeDF(Seq((1L, 2L), (2L, 3L)))
+    val after = edgeDF(Seq((1L, 2L), (4L, 5L)))
+    val got = Edges.degreeDelta(before, after).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // vid 1 keeps degree 1 -> absent; 2: 2->1; 3: 1->0; 4,5: 0->1
+    assert(got == Map(
+      2L -> ((2L, 1L, -1L)),
+      3L -> ((1L, 0L, -1L)),
+      4L -> ((0L, 1L, 1L)),
+      5L -> ((0L, 1L, 1L))))
+  }
 }

@@ -125,4 +125,66 @@ class TemporalTextSpec extends SparkSpec {
       ("is", "big", 2L, 4500000L),
       ("new", "york", 3L, 3000000L)))
   }
+
+  test("temporal contacts: banded bucket join equals the direct join") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    // events straddling bucket boundaries at delta = 60 s
+    val events = Seq(
+      (1L, "a", 0L), (2L, "a", 59L), (3L, "a", 61L), (4L, "a", 121L),
+      (5L, "b", 10L), (6L, "b", 70L), (7L, "b", 71L), (1L, "b", 130L),
+      (8L, "a", 59L) // equal-time pair with user 2
+    ).map { case (u, g, s) =>
+      (u, g, new java.sql.Timestamp(base + s * 1000L))
+    }.toDF("user_id", "event_type", "ts")
+    val banded = graft.kernels.TemporalReach
+      .contacts(events, "user_id", "event_type", "ts", deltaSec = 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ev = events.select(col("user_id").as("u"), col("event_type").as("g"),
+      unix_micros(col("ts")).as("t"))
+    val direct = ev.as("a").join(ev.as("b"),
+        col("a.g") === col("b.g") &&
+          col("b.t") >= col("a.t") &&
+          col("b.t") - col("a.t") <= 60000000L &&
+          (col("a.t") < col("b.t") ||
+            (col("a.t") === col("b.t") && col("a.u") < col("b.u"))) &&
+          col("a.u") =!= col("b.u"))
+      .select(col("a.u"), col("b.u"), col("a.t"), col("b.t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(direct.nonEmpty && banded == direct)
+  }
+
+  test("earliestArrival: time-respecting semantics (static reach overcounts)") {
+    import graft.kernels.TemporalReach
+    // 1 -(dep 10, arr 12)-> 2 -(dep 11, arr 13)-> 3: the 2->3 contact
+    // departs BEFORE 2 is reached, so 3 is temporally unreachable even
+    // though it is statically reachable; 2 -(dep 15, arr 20)-> 4 works
+    val contacts = Seq(
+      (1L, 2L, 10L, 12L), (2L, 3L, 11L, 13L), (2L, 4L, 15L, 20L)
+    ).toDF("src", "dst", "tu", "tv")
+    val seeds = Seq(1L).toDF("vid")
+    val fix = TemporalReach.earliestArrival(spark, contacts, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fix == Map(1L -> 0L, 2L -> 12L, 4L -> 20L))
+    // bounded prefix: one round reaches only 2
+    val r1 = TemporalReach.earliestArrival(spark, contacts, seeds,
+      maxRounds = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 12L))
+  }
+
+  test("earliestArrival picks the minimum arrival over competing paths") {
+    import graft.kernels.TemporalReach
+    // two time-respecting paths to 4: via 2 arriving 30, via 3 arriving 25
+    val contacts = Seq(
+      (1L, 2L, 1L, 5L), (2L, 4L, 6L, 30L),
+      (1L, 3L, 2L, 10L), (3L, 4L, 12L, 25L),
+      // a cheaper contact into 4 that departs 3 too early to use
+      (3L, 4L, 9L, 15L)
+    ).toDF("src", "dst", "tu", "tv")
+    val got = TemporalReach.earliestArrival(spark, contacts,
+        Seq(1L).toDF("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 25L))
+  }
 }

@@ -478,4 +478,48 @@ class TextSimSpec extends SparkSpec {
     assert(got(1L)._2 === 0.0 && got(2L)._2 === 0.0)
     assert(got(3L)._2 > 0.0)
   }
+
+  test("contaminationBloom: flags a superset of exact contamination") {
+    import graft.text.TrainPrep
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"), // shares "a b c" with bench? no
+      (11L, "a b c d e"),                 // shares trigram "a b c"
+      (12L, "totally unrelated words here"),
+      (13L, "c b a reversed order only")  // reversed: NOT shared
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c shared prefix")).toDF("doc_id", "text")
+    val exact = TrainPrep.contamination(corpus, "doc_id", "text",
+        bench, "text", n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TrainPrep.contaminationBloom(corpus, "doc_id", "text",
+        bench, "text", n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.contains(11L) && !exact.contains(13L))
+    // no false negatives: every exactly-contaminated doc is flagged, with
+    // at least as many flagged grams (false positives only add)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n)
+    }
+  }
+
+  test("semDedup: co-clustered duplicates drop to the min id, pairwise") {
+    // four identical vectors (cos 1) + an orthogonal anti-parallel pair
+    // (cos -1): whatever the sha-sampled centroids are, the identical
+    // vectors share one cluster (identical distances, tie to lower cid),
+    // so 2..4 drop against 1; vectors 5 and 6 have no cluster-mate at
+    // cos >= 0.38 (cos 0 to the x-group, -1 to each other) and keep
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(1.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f)), (6L, Array(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semDedup(vecs, "vec_id", "embedding", nlist = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((true, -1L)))
+    Seq(2L, 3L, 4L).foreach(i => assert(got(i) == ((false, 1L))))
+    assert(got(5L)._1 && got(6L)._1)
+  }
 }
