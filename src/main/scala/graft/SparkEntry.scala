@@ -1211,7 +1211,34 @@ object SparkEntry {
       Ann.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
           nlist = 16, thresholdPpm = 380000L)
         .select(col("vec_id"), col("cluster"),
-          col("keep").cast("long").as("keep"), col("kept_for")))
+          col("keep").cast("long").as("keep"), col("kept_for"))),
+
+    // exact set-similarity self-join with prefix filtering (AllPairs /
+    // PPJoin family): vertex pairs whose neighbor sets overlap at
+    // Jaccard >= 0.5 — the EXACT-contract twin of the MinHash-LSH
+    // near-dup path (q26). The oracle computes the unfiltered all-pairs
+    // answer, so the hash match is also evidence the prefix filter is
+    // lossless
+    "q126_setsim_join" -> ((s, d) =>
+      graft.sim.SetSimJoin.jaccardJoin(
+        Edges.symmetrize(e2(s, d))
+          .select(col("src").as("id"), col("dst").as("tok")),
+        "id", "tok", thresholdPpm = 500000L)),
+
+    // oracle-parity k-means (2 Lloyd rounds: integer assignment, floor
+    // centroid updates, empty-cluster carry): the clustering substrate
+    // under IVF (q40/q58) and SemDeDup (q125) as a first-class
+    // hash-matched operator
+    "q127_kmeans" -> ((s, d) =>
+      Ann.kmeansParity(T(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // ordered funnel analysis (view -> click -> purchase, earliest-
+    // completion semantics): per-user reached stage + completion time —
+    // |steps| user-keyed min-aggs, never a window over raw events
+    "q128_funnel" -> ((s, d) =>
+      graft.operators.Funnel.stages(T(s, d, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3315,6 +3342,98 @@ object SparkEntry {
         |            GROUP BY 1)
         |SELECT a.vec_id, a.cluster,
         |       CAST(d.kept_for IS NULL AS BIGINT) AS keep, d.kept_for
-        |FROM assign a LEFT JOIN dropped d ON d.drop_id = a.vec_id""".stripMargin
+        |FROM assign a LEFT JOIN dropped d ON d.drop_id = a.vec_id""".stripMargin,
+    // unfiltered all-pairs Jaccard ground truth: every vertex pair sharing
+    // a neighbor, exact intersection via the co-token join, integer ppm
+    // floor-division — matching the prefix-filtered Spark plan proves the
+    // filter drops no qualifying pair
+    "q126_setsim_join" ->
+      s"""WITH $CTE,
+         |sz AS (SELECT s AS id, count(*) AS n FROM sym GROUP BY 1),
+         |ip AS (SELECT a.s AS u, b.s AS v, count(*) AS inter
+         |       FROM sym a JOIN sym b ON a.d = b.d AND a.s < b.s
+         |       GROUP BY 1, 2),
+         |j AS (SELECT u, v, inter, x.n AS n_u, y.n AS n_v
+         |      FROM ip JOIN sz x ON ip.u = x.id JOIN sz y ON ip.v = y.id)
+         |SELECT u, v, inter, n_u, n_v,
+         |       inter * 1000000 // (n_u + n_v - inter) AS jaccard_ppm
+         |FROM j WHERE inter * 1000000 >= 500000 * (n_u + n_v - inter)""".stripMargin,
+    // two Lloyd rounds replayed stage-by-stage: sha codebook (the q58
+    // cent), integer-rank assignment with ties to the lower cid,
+    // per-dimension floor(sum/count) updates with empty-cluster carry,
+    // final assignment + exact integer squared distance
+    "q127_kmeans" ->
+      """WITH qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |hh AS (SELECT vec_id, q,
+        |              CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |       FROM qv),
+        |c0 AS (SELECT q AS cq,
+        |              CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
+        |       FROM hh
+        |       QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8),
+        |d0 AS (SELECT v.vec_id, c.cid,
+        |              CAST(list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                 - 2 * list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                   AS BIGINT) AS d2
+        |       FROM qv v, c0 c),
+        |a0 AS (SELECT vec_id, cid FROM d0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+        |x0 AS (SELECT a0.cid, v.q, unnest(generate_series(1, len(v.q))) AS i
+        |       FROM a0 JOIN qv v ON v.vec_id = a0.vec_id),
+        |u0 AS (SELECT cid, i,
+        |              CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+        |       FROM x0 GROUP BY 1, 2),
+        |cp0 AS (SELECT cid, cq, unnest(generate_series(1, len(cq))) AS i FROM c0),
+        |c1 AS (SELECT cp0.cid, list(coalesce(u0.cc, cp0.cq[cp0.i]) ORDER BY cp0.i) AS cq
+        |       FROM cp0 LEFT JOIN u0 ON u0.cid = cp0.cid AND u0.i = cp0.i
+        |       GROUP BY 1),
+        |d1 AS (SELECT v.vec_id, c.cid,
+        |              CAST(list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                 - 2 * list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                   AS BIGINT) AS d2
+        |       FROM qv v, c1 c),
+        |a1 AS (SELECT vec_id, cid FROM d1
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+        |x1 AS (SELECT a1.cid, v.q, unnest(generate_series(1, len(v.q))) AS i
+        |       FROM a1 JOIN qv v ON v.vec_id = a1.vec_id),
+        |u1 AS (SELECT cid, i,
+        |              CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+        |       FROM x1 GROUP BY 1, 2),
+        |cp1 AS (SELECT cid, cq, unnest(generate_series(1, len(cq))) AS i FROM c1),
+        |c2 AS (SELECT cp1.cid, list(coalesce(u1.cc, cp1.cq[cp1.i]) ORDER BY cp1.i) AS cq
+        |       FROM cp1 LEFT JOIN u1 ON u1.cid = cp1.cid AND u1.i = cp1.i
+        |       GROUP BY 1),
+        |d2f AS (SELECT v.vec_id, c.cid,
+        |               CAST(list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                  - 2 * list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+        |                    AS BIGINT) AS dr,
+        |               CAST(list_dot_product(CAST(v.q AS DOUBLE[]), CAST(v.q AS DOUBLE[]))
+        |                    AS BIGINT) AS n2
+        |        FROM qv v, c2 c)
+        |SELECT vec_id, cid AS cluster, n2 + dr AS d2 FROM d2f
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) = 1""".stripMargin,
+    // funnel replay: earliest view, earliest strictly-later click,
+    // earliest strictly-later purchase; stage = completed prefix length
+    "q128_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS g, epoch_us(ts) AS t
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |uni AS (SELECT DISTINCT u FROM ev),
+        |s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE g = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.u, min(t) AS t2 FROM ev JOIN s1 ON ev.u = s1.u
+        |       WHERE g = 'click' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT ev.u, min(t) AS t3 FROM ev JOIN s2 ON ev.u = s2.u
+        |       WHERE g = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT uni.u AS user_id,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2
+        |                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |       coalesce(t3, t2, t1) AS t_final
+        |FROM uni LEFT JOIN s1 ON uni.u = s1.u
+        |         LEFT JOIN s2 ON uni.u = s2.u
+        |         LEFT JOIN s3 ON uni.u = s3.u""".stripMargin
   )
 }

@@ -396,6 +396,55 @@ object Ann {
         col("kept_for").isNull.as("keep"), col("kept_for"))
   }
 
+  /** Oracle-parity k-means (Lloyd) over quantized integer vectors — the
+    * hash-matchable twin of [[kmeansCentroids]] (which keeps float
+    * centroids and feeds [[ivfTopK]]'s production path). Clustering is
+    * the substrate under SemDeDup / IVF / mixture design; this variant
+    * pins every source of cross-engine divergence:
+    *
+    *  - init: the [[ivfTopKParity]] sha-sampled codebook;
+    *  - assignment: exact integer rank ‖c‖² − 2v·c, ties to lower cid;
+    *  - update: per-dimension floor(Σx / count) — floor division on an
+    *    exactly-representable double ratio, identical in any engine;
+    *    clusters that lose all members KEEP their previous centroid;
+    *  - `iters` fixed Lloyd rounds, then a final assignment.
+    *
+    * Scale shape per round: one codegen'd assignment expression (no
+    * shuffle), one (k·dim)-row map-side-combined aggregation collected to
+    * the driver and re-issued as literals — the centroid state never
+    * lives in a join. Returns (vec_id, cluster, d2) with d2 the exact
+    * integer squared distance ‖v − c‖². */
+  def kmeansParity(vecs: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 2,
+                   scale: Int = 1000): DataFrame = {
+    val qv = vecs.select(col(idCol).as("vid"),
+      quantize(col(vecCol), scale).as("q"))
+    var cent = shaCentroids(qv, k)
+    for (_ <- 1 to iters) {
+      val assigned = qv.withColumn("cluster",
+        nearestIntExpr(cent, col("q"), 1).getItem(0))
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .collect()
+      val next = cent.map(_.clone)
+      upd.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
+      cent = next
+    }
+    val dists = cent.zipWithIndex.map { case (c, i) =>
+      val cl = typedlit(c.toSeq)
+      (lit(c.map(x => x * x).sum) - lit(2L) * idot(col("q"), cl))
+        .as(s"d$i")
+    }
+    qv.withColumn("cluster", nearestIntExpr(cent, col("q"), 1).getItem(0))
+      .withColumn("d2",
+        idot(col("q"), col("q")) +
+          element_at(array(dists: _*), (col("cluster") + 1L).cast("int")))
+      .select(col("vid").as("vec_id"), col("cluster"), col("d2"))
+  }
+
   /** Approximate top-k via sign-random-projection LSH: `bands` bucket keys
     * of `bitsPerBand` hyperplane signs each; vectors sharing any band
     * bucket become candidates, re-ranked exactly. Recall rises with bands

@@ -187,4 +187,52 @@ class TemporalTextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 25L))
   }
+
+  test("funnel stages: order matters, earliest-completion semantics") {
+    import graft.operators.Funnel
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, "view", t(10)), (1L, "click", t(20)), (1L, "purchase", t(30)),
+      // user 2: click BEFORE the first view -> stage 1 only
+      (2L, "click", t(5)), (2L, "view", t(10)),
+      // user 3: view then click, purchase before the click -> stage 2
+      (3L, "purchase", t(12)), (3L, "view", t(10)), (3L, "click", t(15)),
+      // user 4: only non-funnel events -> absent from the universe
+      (4L, "error", t(10)),
+      // user 5: view only
+      (5L, "view", t(50)),
+      // user 6: equal timestamps — click at the SAME instant as the view
+      // does not count (strictly-after rule)
+      (6L, "view", t(7)), (6L, "click", t(7))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.stages(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    def us(s: Long) = (base / 1000L + s) * 1000000L
+    assert(got == Map(
+      1L -> ((3L, us(30))),
+      2L -> ((1L, us(10))),
+      3L -> ((2L, us(15))),
+      5L -> ((1L, us(50))),
+      6L -> ((1L, us(7)))))
+  }
+
+  test("funnel census counts every reached stage including zero") {
+    import graft.operators.Funnel
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    val events = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)),
+      (2L, "click", t(1)), // never views -> stage 0
+      (3L, "view", t(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.census(events, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }

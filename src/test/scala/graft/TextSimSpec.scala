@@ -522,4 +522,70 @@ class TextSimSpec extends SparkSpec {
     Seq(2L, 3L, 4L).foreach(i => assert(got(i) == ((false, 1L))))
     assert(got(5L)._1 && got(6L)._1)
   }
+
+  test("setsim jaccardJoin: prefix filter is lossless vs brute all-pairs") {
+    import graft.sim.SetSimJoin
+    val rnd = new scala.util.Random(7)
+    val pairs = (for {
+      id <- 1L to 60L
+      t <- 1L to (3 + rnd.nextInt(8)).toLong
+    } yield (id, 1L + rnd.nextInt(25).toLong)).distinct
+    val df = pairs.toDF("id", "tok")
+    val got = SetSimJoin.jaccardJoin(df, "id", "tok", 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    // brute force: every pair of ids, exact Jaccard
+    val sets = pairs.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; jj <- i + 1 until ids.size
+      (u, v) = (ids(i), ids(jj))
+      inter = (sets(u) & sets(v)).size.toLong
+      uni = (sets(u) | sets(v)).size.toLong
+      if inter * 1000000L >= 500000L * uni
+    } yield (u, v) -> ((inter, inter * 1000000L / uni))).toMap
+    assert(brute.nonEmpty && got == brute)
+  }
+
+  test("setsim jaccardJoin: hand case — threshold boundary inclusive") {
+    import graft.sim.SetSimJoin
+    // sets {1,2,3,4} and {3,4,5,6}: inter 2, union 6, J = 1/3 -> out at
+    // t=0.5; {1,2,3} and {2,3}: inter 2, union 3, J = 2/3 -> in; and an
+    // exact-boundary pair {1,2} {2,3}... J = 1/3; use {1,2} {1,2,3,4}?
+    // inter 2 union 4 J = 0.5 exactly -> IN (>= is inclusive)
+    val df = Seq(
+      (10L, Seq(1L, 2L, 3L, 4L)), (11L, Seq(3L, 4L, 5L, 6L)),
+      (12L, Seq(1L, 2L))
+    ).toDF("id", "toks")
+      .select(col("id"), explode(col("toks")).as("tok"))
+    val got = SetSimJoin.jaccardJoin(df, "id", "tok", 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 12L)))
+  }
+
+  test("kmeansParity: centroids move to the cluster means, exact integers") {
+    // two obvious groups on the x axis; whatever the sha init picks, the
+    // two-round Lloyd ends with the groups split and every member nearest
+    // its own group mean
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.1f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.1f, 10.0f)),
+      (6L, Array(10.0f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.kmeansParity(vecs, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val gA = Seq(1L, 2L, 3L).map(got(_)._1).toSet
+    val gB = Seq(4L, 5L, 6L).map(got(_)._1).toSet
+    assert(gA.size == 1 && gB.size == 1 && gA != gB,
+      s"expected the two planted groups separated, got $got")
+    // after convergence the centroid is the integer-floor group mean:
+    // group A mean = floor((0+100+0)/3, (0+0+100)/3) = (33, 33);
+    // d2 of (0,0) to it = 33^2+33^2 = 2178; of (100,0): 67^2+33^2 = 5578
+    assert(got(1L)._2 == 2178L)
+    assert(got(2L)._2 == 5578L)
+  }
 }
