@@ -1238,7 +1238,23 @@ object SparkEntry {
     // |steps| user-keyed min-aggs, never a window over raw events
     "q128_funnel" -> ((s, d) =>
       graft.operators.Funnel.stages(T(s, d, "events"),
-        "user_id", "event_type", "ts", Seq("view", "click", "purchase")))
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // fixed-memory histogram quantile sketch over document lengths: the
+    // scale twin of q104's exact percentiles — <= 64 counters shuffle
+    // whatever the input size, estimate = lower edge of the bucket where
+    // the cumulative count reaches ceil(q*n/100), error <= one width
+    "q129_hist_quantiles" -> ((s, d) =>
+      graft.text.Sketches.histQuantiles(T(s, d, "documents"),
+        col("n_chars"), buckets = 64, qsPct = Seq(50, 90, 99))),
+
+    // systematic PPS sampling: 50 picks walked along the cumulative
+    // token-weight axis — inclusion ∝ weight, deterministic, docs heavier
+    // than W/k picked multiply (n_picks); the weighted complement of the
+    // uniform sha splits (q48/q60/q79)
+    "q130_pps_sample" -> ((s, d) =>
+      graft.text.TrainPrep.systematicPpsSample(s, T(s, d, "documents"),
+        "doc_id", TF.tokenCount(col("text")), k = 50))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3434,6 +3450,36 @@ object SparkEntry {
         |       coalesce(t3, t2, t1) AS t_final
         |FROM uni LEFT JOIN s1 ON uni.u = s1.u
         |         LEFT JOIN s2 ON uni.u = s2.u
-        |         LEFT JOIN s3 ON uni.u = s3.u""".stripMargin
+        |         LEFT JOIN s3 ON uni.u = s3.u""".stripMargin,
+    // histogram sketch replay: identical integer width/bucket/target
+    // arithmetic (// is floor division; all values non-negative)
+    "q129_hist_quantiles" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM v),
+        |wd AS (SELECT mn, n, (mx - mn) // 64 + 1 AS width FROM st),
+        |h AS (SELECT (v - mn) // width AS b, count(*) AS c FROM v, wd GROUP BY 1),
+        |cu AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),
+        |qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
+        |SELECT pct, min(b) AS bucket,
+        |       (SELECT mn FROM wd) + min(b) * (SELECT width FROM wd) AS est
+        |FROM qs JOIN cu ON cum >= (pct * (SELECT n FROM wd) + 99) // 100
+        |GROUP BY 1""".stripMargin,
+    // systematic PPS replay: window cumsum over doc_id order (the oracle
+    // may use the global window the Spark plan avoids), positions
+    // p_j = floor(j*W/50), n_picks = |{j in [0,50): p_j in [start, start+w)}|
+    "q130_pps_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             CAST(sum(w) OVER (ORDER BY doc_id) - w AS BIGINT) AS strt
+        |      FROM t),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t),
+        |p AS (SELECT doc_id, w, strt,
+        |             greatest(0, least(50, ((strt + w) * 50 + tw - 1) // tw)
+        |                         - ((strt * 50 + tw - 1) // tw)) AS n_picks
+        |      FROM c, tot)
+        |SELECT doc_id, w AS weight, strt AS w_start, n_picks
+        |FROM p WHERE n_picks > 0""".stripMargin
   )
 }

@@ -124,4 +124,35 @@ object Sketches {
       .join(cmEstimate(sketch, top.select(col(itemCol)), itemCol,
         depth, width), itemCol)
   }
+
+  /** Fixed-memory quantile sketch: an equi-width integer histogram of at
+    * most `buckets` counters, two passes (one tiny min/max/count agg, one
+    * map-side-combined bucket count), and the percentile estimate is the
+    * LOWER EDGE of the bucket where the cumulative count first reaches
+    * ⌈q·n/100⌉ — deterministic, integer-exact, error bounded by one
+    * bucket width. The scale twin of an exact order statistic
+    * (q104-style), which needs a full sort or a degree-bounded window:
+    * here the shuffled key space is ≤ `buckets` rows REGARDLESS of input
+    * size, the same counter-table discipline as [[countMin]]. The cumsum
+    * window runs over that counter table only (single tiny task by
+    * construction, never over data rows). Returns (pct, bucket, est). */
+  def histQuantiles(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+                    buckets: Int, qsPct: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(valueCol.cast("long").as("v"))
+    val st = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val width = (mx - mn) / buckets + 1L // driver longs: exact integer div
+    val hist = v.groupBy(expr(s"(v - ${mn}L) div ${width}L").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qs = qsPct.map(_.toLong).toDF("pct")
+      .withColumn("target", expr(s"(pct * ${n}L + 99) div 100"))
+    qs.join(cum, col("cum") >= col("target"))
+      .groupBy(col("pct")).agg(min(col("b")).as("bucket"))
+      .withColumn("est", lit(mn) + col("bucket") * lit(width))
+  }
 }

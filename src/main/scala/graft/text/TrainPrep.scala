@@ -30,12 +30,15 @@ object TrainPrep {
     * `partitions` either way), never the output: any monotone id→range
     * map yields the same global layout.
     */
-  def sequentialPack(spark: SparkSession, df: DataFrame, idCol: String,
-                     nTokensCol: Column, capacity: Long,
-                     partitions: Int = 32): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
+  /** Two-phase global running sum in `idCol` order — (id, n, start)
+    * where start = Σ n of all strictly-earlier ids. The shared substrate
+    * of [[sequentialPack]] and [[systematicPpsSample]]; see
+    * [[sequentialPack]]'s scaladoc for the scale analysis. */
+  private def globalCumsum(spark: SparkSession, df: DataFrame,
+                           idCol: String, nCol: Column,
+                           partitions: Int): DataFrame = {
     val base = df.select(col(idCol).cast("double").as("idd"),
-      col(idCol).as("id"), nTokensCol.cast("long").as("n"))
+      col(idCol).as("id"), nCol.cast("long").as("n"))
     val probs = (1 until partitions).map(_.toDouble / partitions).toArray
     val bounds =
       if (partitions <= 1) Array.empty[Double]
@@ -59,9 +62,48 @@ object TrainPrep {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid.join(broadcast(offDf), "pid")
       .withColumn("start", sum(col("n")).over(win) - col("n") + col("off"))
+      .select(col("id"), col("n"), col("start"))
+  }
+
+  def sequentialPack(spark: SparkSession, df: DataFrame, idCol: String,
+                     nTokensCol: Column, capacity: Long,
+                     partitions: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    globalCumsum(spark, df, idCol, nTokensCol, partitions)
       .select(col("id").as(idCol), col("n").as("n_tokens"),
         floor(col("start") / capacity).as("bin"),
         pmod(col("start"), lit(capacity)).as("bin_offset"))
+  }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * deterministic weighted sampler a corpus pipeline uses to draw docs
+    * ∝ weight (quality score, token count): positions
+    * p_j = ⌊j·W/k⌋ for j ∈ [0,k) walk the cumulative-weight axis with
+    * one fixed stride, and a doc is picked once per position inside its
+    * weight interval [start, start+w) — inclusion probability
+    * min(1, k·w/W), exactly k picks in total, and a doc heavier than
+    * W/k is (correctly) picked multiple times (`n_picks`). Classic
+    * systematic sampling (Madow 1949); every decision is an integer
+    * pure function of (id order, weights), so any engine replays it.
+    *
+    * Scale shape: one [[globalCumsum]] (two-phase, no global window)
+    * plus a per-row integer predicate — no shuffle beyond the cumsum's,
+    * no driver state beyond the range offsets. Caller guarantees
+    * k·W < 2⁶³ (documents: k ≤ 10⁶ against W ≤ 10¹² tokens holds). */
+  def systematicPpsSample(spark: SparkSession, df: DataFrame,
+                          idCol: String, weightCol: Column, k: Int,
+                          partitions: Int = 32): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = globalCumsum(spark, df, idCol, weightCol, partitions)
+    val w = c.agg(sum(col("n"))).head().getLong(0)
+    c.withColumn("jlo", expr(s"(start * $k + ${w - 1}L) div ${w}L"))
+      .withColumn("jhi",
+        expr(s"((start + n) * $k + ${w - 1}L) div ${w}L"))
+      .withColumn("n_picks",
+        greatest(lit(0L), least(lit(k.toLong), col("jhi")) - col("jlo")))
+      .filter(col("n_picks") > 0L)
+      .select(col("id").as(idCol), col("n").as("weight"),
+        col("start").as("w_start"), col("n_picks"))
   }
 
   /** Deterministic, salt-keyed train/val/test assignment: bucket =

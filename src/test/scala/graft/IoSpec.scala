@@ -137,4 +137,40 @@ class IoSpec extends SparkSpec {
     assert(x === y)
     assert(x !== z)
   }
+
+  test("systematicPpsSample: exactly k picks, heavy docs picked multiply") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // one heavy doc (weight > W/k) among light ones
+    val docs = ((1L to 96L).map(i => (i, 1L + rnd.nextInt(9).toLong)) :+
+      (97L, 400L)).toDF("doc_id", "w")
+    val k = 10
+    val got = TrainPrep.systematicPpsSample(spark, docs, "doc_id",
+      col("w"), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).sum === k.toLong, s"total picks must be $k")
+    val w = docs.agg(org.apache.spark.sql.functions.sum("w")).head.getLong(0)
+    val heavy = got.find(_._1 == 97L).get
+    // weight 400 spans floor(400*k/W) or +1 positions
+    assert(heavy._4 >= 400L * k / w && heavy._4 <= 400L * k / w + 1)
+    // single-threaded replay: positions j*W div k inside [start, start+w)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val expect = rows.map { case (id, wt) =>
+      val s = acc; acc += wt
+      val picks = (0 until k).count(j =>
+        j.toLong * w / k >= s && j.toLong * w / k < s + wt)
+      (id, wt, s, picks.toLong)
+    }.filter(_._4 > 0)
+    assert(got.sortBy(_._1).toSeq === expect.toSeq)
+  }
+
+  test("systematicPpsSample: zero-weight docs are never picked") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 0L), (3L, 5L)).toDF("doc_id", "w")
+    val got = TrainPrep.systematicPpsSample(spark, docs, "doc_id",
+      col("w"), 4).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(2L))
+  }
 }

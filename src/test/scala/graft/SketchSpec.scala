@@ -78,4 +78,35 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(whole == merged)
   }
+
+  test("histQuantiles: estimate = lower edge of the crossing bucket") {
+    import spark.implicits._
+    // values 1..100, buckets=10 -> width = 99//10 + 1 = 10; buckets hold
+    // [1,10], [11,20], ... p50 target 50 -> cum reaches 50 in bucket 4
+    // ([41,50]) -> est = 1 + 4*10 = 41; p99 target 99 -> bucket 9 -> 91
+    val df = (1L to 100L).toDF("x")
+    val got = Sketches.histQuantiles(df, col("x"), buckets = 10,
+        qsPct = Seq(50, 99))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(50L -> ((4L, 41L)), 99L -> ((9L, 91L))))
+  }
+
+  test("histQuantiles: error bounded by one bucket width vs exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vals = Seq.fill(500)(rnd.nextInt(10000).toLong)
+    val df = vals.toDF("x")
+    val buckets = 64
+    val width = (vals.max - vals.min) / buckets + 1
+    val got = Sketches.histQuantiles(df, col("x"), buckets,
+        qsPct = Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sorted = vals.sorted
+    Seq(50, 90, 99).foreach { q =>
+      val exact = sorted((math.ceil(q * vals.size / 100.0) - 1).toInt)
+      assert(math.abs(got(q.toLong) - exact) <= width,
+        s"q$q est ${got(q.toLong)} vs exact $exact width $width")
+    }
+  }
 }
