@@ -280,24 +280,6 @@ object Ann {
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
   }
 
-  /** Oracle-parity IVF top-k — the hash-matchable twin of [[ivfTopK]]:
-    * same inverted-file shape (assign each vector to its nearest coarse
-    * centroid; queries probe `nprobe` lists; exact re-rank inside probed
-    * lists) with every float source of divergence removed:
-    *
-    *  - centroids are the `nlist` vectors ranked first by a sha-derived
-    *    hash of their id (deterministic sample, no Lloyd refinement —
-    *    IVF-flat with sampled centroids);
-    *  - distances are exact integers on quantized vectors; the argmin
-    *    ranks by ‖c‖² − 2a·c (the ‖a‖² term is constant per row and
-    *    dropped), ties to the lower centroid id;
-    *  - re-rank is integer MIPS dot, top-k by (dot desc, id).
-    *
-    * The centroid table is nlist×dim longs collected once (tiny); the
-    * assignment and probe argmins are codegen'd expressions over centroid
-    * literals, so the per-row cost is O(nlist·dim) with NO shuffle until
-    * the cluster-keyed candidate join — the same 100 TB shape as
-    * [[ivfTopK]]. */
   /** sha-sampled coarse centroids over quantized vectors — the
     * deterministic IVF-flat codebook shared by [[ivfTopKParity]] and
     * [[semDedup]]: the `nlist` vectors ranked first by sha60(id), ties
@@ -323,6 +305,24 @@ object Ann {
       s => s.getField("cid"))
   }
 
+  /** Oracle-parity IVF top-k — the hash-matchable twin of [[ivfTopK]]:
+    * same inverted-file shape (assign each vector to its nearest coarse
+    * centroid; queries probe `nprobe` lists; exact re-rank inside probed
+    * lists) with every float source of divergence removed:
+    *
+    *  - centroids are the `nlist` vectors ranked first by a sha-derived
+    *    hash of their id (deterministic sample, no Lloyd refinement —
+    *    IVF-flat with sampled centroids);
+    *  - distances are exact integers on quantized vectors; the argmin
+    *    ranks by ‖c‖² − 2a·c (the ‖a‖² term is constant per row and
+    *    dropped), ties to the lower centroid id;
+    *  - re-rank is integer MIPS dot, top-k by (dot desc, id).
+    *
+    * The centroid table is nlist×dim longs collected once (tiny); the
+    * assignment and probe argmins are codegen'd expressions over centroid
+    * literals, so the per-row cost is O(nlist·dim) with NO shuffle until
+    * the cluster-keyed candidate join — the same 100 TB shape as
+    * [[ivfTopK]]. */
   def ivfTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int = 16, nprobe: Int = 4,
                     scale: Int = 1000): DataFrame = {
@@ -371,6 +371,9 @@ object Ann {
     val qv = vecs.select(col(idCol).as("vid"),
       quantize(col(vecCol), scale).as("q"))
     val centroids = shaCentroids(qv, nlist)
+    if (centroids.isEmpty) // empty vector table: nothing to cluster
+      return qv.select(col("vid").as("vec_id"), lit(0L).as("cluster"),
+        lit(true).as("keep"), lit(null).cast("long").as("kept_for"))
     val assigned = qv
       .withColumn("cluster",
         nearestIntExpr(centroids, col("q"), 1).getItem(0))
@@ -420,6 +423,9 @@ object Ann {
     val qv = vecs.select(col(idCol).as("vid"),
       quantize(col(vecCol), scale).as("q"))
     var cent = shaCentroids(qv, k)
+    if (cent.isEmpty) // empty vector table: nothing to cluster
+      return qv.select(col("vid").as("vec_id"), lit(0L).as("cluster"),
+        lit(0L).as("d2"))
     for (_ <- 1 to iters) {
       val assigned = qv.withColumn("cluster",
         nearestIntExpr(cent, col("q"), 1).getItem(0))

@@ -42,10 +42,10 @@ object SetSimJoin {
     val freq = m.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sz = m.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // prefix length |S| - ceil(t·|S|) + 1, all integer:
-    // ceil(t_ppm·n / 1e6) = (t_ppm·n + 999999) div 1e6
+    // ceil(t_ppm·n / 1e6) = (t_ppm·n + 999999) div 1e6 (true integral
+    // div, not double `/` — the losslessness proof needs exact floor)
     val prefLen = col("n") -
-      ((lit(thresholdPpm) * col("n") + lit(999999L)) / lit(1000000L))
-        .cast("long") + lit(1L)
+      expr(s"($thresholdPpm * n + 999999) div 1000000") + lit(1L)
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
     val prefix = m.join(freq, "tok").join(sz, "id")
       .withColumn("r", row_number().over(w))
@@ -70,8 +70,6 @@ object SetSimJoin {
         lit(thresholdPpm) * (col("n_u") + col("n_v") - col("inter")))
     verified.select(col("u"), col("v"), col("inter"), col("n_u"),
       col("n_v"),
-      (col("inter") * lit(1000000L) /
-        (col("n_u") + col("n_v") - col("inter"))).cast("long")
-        .as("jaccard_ppm"))
+      expr("(inter * 1000000) div (n_u + n_v - inter)").as("jaccard_ppm"))
   }
 }

@@ -142,6 +142,11 @@ object Sketches {
     import spark.implicits._
     val v = df.select(valueCol.cast("long").as("v"))
     val st = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    // empty input: min/max aggregate to null — return the empty frame
+    if (st.isNullAt(0))
+      return qsPct.map(_.toLong).toDF("pct")
+        .select(col("pct"), lit(0L).as("bucket"), lit(0L).as("est"))
+        .filter(lit(false))
     val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val width = (mx - mn) / buckets + 1L // driver longs: exact integer div
     val hist = v.groupBy(expr(s"(v - ${mn}L) div ${width}L").as("b"))

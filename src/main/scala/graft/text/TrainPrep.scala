@@ -95,7 +95,14 @@ object TrainPrep {
                           partitions: Int = 32): DataFrame = {
     require(k > 0, "k must be positive")
     val c = globalCumsum(spark, df, idCol, weightCol, partitions)
-    val w = c.agg(sum(col("n"))).head().getLong(0)
+    // empty input / all-zero weights: no position can land anywhere —
+    // return the empty frame (same guard convention as Hits/TfIdf)
+    val w = Option(c.agg(sum(col("n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (w <= 0L)
+      return c.select(col("id").as(idCol), col("n").as("weight"),
+        col("start").as("w_start"), lit(0L).as("n_picks"))
+        .filter(lit(false))
     c.withColumn("jlo", expr(s"(start * $k + ${w - 1}L) div ${w}L"))
       .withColumn("jhi",
         expr(s"((start + n) * $k + ${w - 1}L) div ${w}L"))

@@ -92,6 +92,23 @@ class SketchSpec extends SparkSpec {
     assert(got == Map(50L -> ((4L, 41L)), 99L -> ((9L, 91L))))
   }
 
+  test("histQuantiles and semDedup/kmeansParity/pps: empty inputs yield empty frames") {
+    import spark.implicits._
+    val noVals = Seq.empty[Long].toDF("x")
+    assert(Sketches.histQuantiles(noVals, col("x"), 8, Seq(50)).count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.sim.Ann.semDedup(noVecs, "vec_id", "embedding").count() === 0)
+    assert(graft.sim.Ann.kmeansParity(noVecs, "vec_id", "embedding")
+      .count() === 0)
+    val noDocs = Seq.empty[(Long, Long)].toDF("doc_id", "w")
+    assert(graft.text.TrainPrep.systematicPpsSample(spark, noDocs,
+      "doc_id", col("w"), 5).count() === 0)
+    // all-zero weights: no pick positions exist anywhere
+    val zeroW = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "w")
+    assert(graft.text.TrainPrep.systematicPpsSample(spark, zeroW,
+      "doc_id", col("w"), 5).count() === 0)
+  }
+
   test("histQuantiles: error bounded by one bucket width vs exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
