@@ -1254,7 +1254,26 @@ object SparkEntry {
     // uniform sha splits (q48/q60/q79)
     "q130_pps_sample" -> ((s, d) =>
       graft.text.TrainPrep.systematicPpsSample(s, T(s, d, "documents"),
-        "doc_id", TF.tokenCount(col("text")), k = 50))
+        "doc_id", TF.tokenCount(col("text")), k = 50)),
+
+    // Z-order (Morton) curve bucket census: the Iceberg/Delta OPTIMIZE
+    // ZORDER layout primitive — per top-level curve tile, edge count and
+    // vertex spread in each role (compact tiles = a src-range x dst-range
+    // predicate touches few buckets); the curve key is pure shift/mask
+    // integer arithmetic, replayed bit-for-bit
+    "q131_zorder_census" -> ((s, d) =>
+      graft.partition.ZOrder.bucketCensus(e2(s, d),
+        bits = 16, bucketBits = 14)),
+
+    // temporal 2-chain motif census (Paranjape-Benson-Leskovec WSDM'17):
+    // per middle vertex, contact pairs u->v then v->w with the relay
+    // departing after the arrival and the whole span within 600 s —
+    // information actually relayable through v (static wedges overcount)
+    "q132_temporal_motifs" -> ((s, d) => {
+      val c = graft.kernels.TemporalReach.contacts(T(s, d, "events"),
+        "user_id", "event_type", "ts", deltaSec = 300L)
+      graft.kernels.TemporalReach.chainMotifs(c, windowUs = 600000000L)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3480,6 +3499,31 @@ object SparkEntry {
         |                         - ((strt * 50 + tw - 1) // tw)) AS n_picks
         |      FROM c, tot)
         |SELECT doc_id, w AS weight, strt AS w_start, n_picks
-        |FROM p WHERE n_picks > 0""".stripMargin
+        |FROM p WHERE n_picks > 0""".stripMargin,
+    // Morton interleave replay: z = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1)
+    // — terms occupy disjoint bits, so integer SUM == bitwise OR
+    "q131_zorder_census" ->
+      s"""WITH $CTE,
+         |bt AS (SELECT s, d, unnest(generate_series(0, 15)) AS i FROM e),
+         |z2 AS (SELECT s, d,
+         |              CAST(sum((((s % 65536) >> i) & 1) << (2 * i))
+         |                 + sum((((d % 65536) >> i) & 1) << (2 * i + 1))
+         |                   AS BIGINT) AS z
+         |       FROM bt GROUP BY s, d)
+         |SELECT z >> 18 AS bucket, count(*) AS n_edges,
+         |       count(DISTINCT s) AS n_src, count(DISTINCT d) AS n_dst
+         |FROM z2 GROUP BY 1""".stripMargin,
+    // temporal chain motifs over the q122 contact table: relay departs
+    // at-or-after arrival, full span within the 600 s window
+    "q132_temporal_motifs" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS g, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT a.u AS src, b.u AS dst, a.t AS tu, b.t AS tv
+        |      FROM ev a JOIN ev b ON a.g = b.g
+        |       AND b.t >= a.t AND b.t - a.t <= 300000000
+        |       AND (a.t < b.t OR (a.t = b.t AND a.u < b.u)) AND a.u <> b.u)
+        |SELECT a.dst AS v, count(*) AS n_chains
+        |FROM c a JOIN c b ON a.dst = b.src
+        |WHERE b.tu >= a.tv AND b.tv - a.tu <= 600000000 AND a.src <> b.dst
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -39,6 +39,16 @@ trait CatalogAdapter {
         org.apache.spark.sql.functions.lit(false)))
     createOrReplace(name, remaining)
   }
+
+  /** Iceberg-style compaction (rewrite data files): commit a NEW snapshot
+    * with the SAME content as the latest, rewritten into `files` output
+    * files — the table-maintenance pass a long-lived append-heavy table
+    * needs (an appended chain accumulates one file set per commit; reads
+    * pay the union). Content is bit-identical, prior snapshots remain
+    * time-travelable, and the new snapshot has no parents (its own files
+    * carry everything). */
+  def compact(spark: SparkSession, name: String, files: Int = 1): Long =
+    createOrReplace(name, read(spark, name).repartition(files))
 }
 
 /** Parquet + snapshot-log implementation (local stand-in for Iceberg). */

@@ -59,6 +59,27 @@ object TemporalReach {
       .select(col("src"), col("dst"), col("tu"), col("tv"))
   }
 
+  /** Temporal 2-chain motif census (the u→v→w building block of
+    * Paranjape–Benson–Leskovec, WSDM'17 "Motifs in Temporal Networks"):
+    * count, per middle vertex v, the pairs of contacts (u→v at tv₁) then
+    * (v→w at tu₂ ≥ tv₁) whose whole span fits in `windowUs` — i.e.
+    * information actually RELAYABLE through v, the temporal analog of a
+    * wedge count (q07's static wedges overcount exactly like static
+    * reachability does). One self-join keyed by the middle vertex + one
+    * aggregation; the window bound keeps per-vertex pair fan-in to what
+    * the motif semantics demand. */
+  def chainMotifs(contactsDf: DataFrame, windowUs: Long): DataFrame = {
+    val in = contactsDf.select(col("dst").as("v"), col("src").as("u"),
+      col("tu").as("tu1"), col("tv").as("tv1"))
+    val out = contactsDf.select(col("src").as("v"), col("dst").as("w"),
+      col("tu").as("tu2"), col("tv").as("tv2"))
+    in.join(out, "v")
+      .filter(col("tu2") >= col("tv1") &&
+        col("tv2") - col("tu1") <= windowUs &&
+        col("u") =!= col("w"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_chains"))
+  }
+
   /** Earliest-arrival fixpoint: arrival(v) = min over time-respecting
     * contact paths from any seed (seeds arrive at time 0). Each round is
     * one join (state ⋈ contacts on src, guarded by departure ≥ arrival)

@@ -97,4 +97,23 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
       === Array(2L, 3L))
   }
+
+  test("compact: content identical, time travel intact, parents pruned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact")
+    val cat = new LocalCatalog(root.toString)
+    cat.createOrReplace("t", Seq(1L, 2L).toDF("id"))
+    cat.append("t", Seq(3L).toDF("id"))
+    cat.append("t", Seq(4L).toDF("id"))
+    val before = cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+    val snapPre = cat.snapshots("t").max
+    cat.compact(spark, "t", files = 1)
+    val after = cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+    assert(after === before)
+    // compacted snapshot reads from its own files only (no parent chain)
+    // and the pre-compaction snapshot is still time-travelable
+    assert(cat.snapshots("t").max > snapPre)
+    assert(cat.readSnapshot(spark, "t", snapPre)
+      .collect().map(_.getLong(0)).sorted === before)
+  }
 }

@@ -197,4 +197,34 @@ class PartitionSpec extends SparkSpec {
     // each worker maps to exactly one physical partition
     assert(parts.groupBy(_._1).forall(_._2.length === 1))
   }
+
+  test("zValue: hand-checked Morton interleave, monotone tiles") {
+    import spark.implicits._
+    import graft.partition.ZOrder
+    // z(x=0b11, y=0b01) = x bits at even positions (0b0101) | y bits at
+    // odd (0b0010) = 0b0111 = 7; z(2,3) = 0b1110 = 14; z(0,0)=0
+    val got = Seq((3L, 1L), (2L, 3L), (0L, 0L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 14L, 0L, (1L << 32) - 1))
+  }
+
+  test("zValue census: same tile for nearby keys, layout sorted by z") {
+    import spark.implicits._
+    import graft.partition.ZOrder
+    import org.apache.spark.sql.functions._
+    // two clusters of edges far apart in (src, dst) space must land in
+    // different top-level tiles, each cluster in ONE tile
+    val edges = (Seq((1L, 2L), (3L, 1L), (2L, 3L)) ++
+      Seq((60000L, 60001L), (60001L, 60002L))).toDF("src", "dst")
+    val census = ZOrder.bucketCensus(edges, bits = 16, bucketBits = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census.size == 2 && census.values.toSeq.sorted == Seq(2L, 3L))
+    // layout produces rows in global z order across partitions
+    val laid = ZOrder.layout(edges, partitions = 2)
+      .select(col("z")).collect().map(_.getLong(0))
+    assert(laid.length == 5)
+  }
 }

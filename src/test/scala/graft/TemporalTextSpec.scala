@@ -188,6 +188,19 @@ class TemporalTextSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 25L))
   }
 
+  test("chainMotifs: relay must depart after arrival, span within window") {
+    import graft.kernels.TemporalReach
+    val contacts = Seq(
+      (1L, 2L, 10L, 12L),  // u=1 -> v=2 arriving 12
+      (2L, 3L, 15L, 18L),  // relay departs 15 >= 12: chain 1->2->3
+      (2L, 4L, 11L, 13L),  // departs 11 < 12: NOT a chain
+      (2L, 5L, 500L, 620L) // departs late: span 620-10=610 > 600 window
+    ).toDF("src", "dst", "tu", "tv")
+    val got = TemporalReach.chainMotifs(contacts, windowUs = 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> 1L))
+  }
+
   test("funnel stages: order matters, earliest-completion semantics") {
     import graft.operators.Funnel
     val base = ts("2024-01-01 00:00:00").getTime
