@@ -1273,7 +1273,15 @@ object SparkEntry {
       val c = graft.kernels.TemporalReach.contacts(T(s, d, "events"),
         "user_id", "event_type", "ts", deltaSec = 300L)
       graft.kernels.TemporalReach.chainMotifs(c, windowUs = 600000000L)
-    })
+    }),
+
+    // kNN label-noise detection (Wilson editing): per labeled embedding,
+    // the ppm of its <=5 exact-MIPS nearest q57-candidate neighbors that
+    // share its label; neighborhood disagreement flags suspected noise —
+    // the curation pass over labeled finetuning/eval data
+    "q133_label_noise" -> ((s, d) =>
+      Ann.labelNoise(T(s, d, "embeddings"), "vec_id", "embedding",
+        "label", k = 5, dim = 64, bands = 8, bitsPerBand = 8))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3524,6 +3532,52 @@ object SparkEntry {
         |SELECT a.dst AS v, count(*) AS n_chains
         |FROM c a JOIN c b ON a.dst = b.src
         |WHERE b.tu >= a.tv AND b.tv - a.tu <= 600000000 AND a.src <> b.dst
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // the q57 candidate/re-rank pipeline verbatim, folded into per-vector
+    // label agreement over the top-5 neighbors
+    "q133_label_noise" ->
+      """WITH planes AS (
+        |  SELECT bb.b, jj.j, dd.d,
+        |         CASE WHEN CAST(('0x' || substr(sha256(
+        |             CAST(bb.b AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)
+        |             || ':' || CAST(dd.d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(8)) AS b) bb,
+        |       (SELECT unnest(range(8)) AS j) jj,
+        |       (SELECT unnest(range(64)) AS d) dd),
+        |qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |comp AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d,
+        |                unnest(q) AS x
+        |         FROM qv),
+        |dots AS (SELECT c.vec_id, p.b, p.j, sum(c.x * p.s) AS dot
+        |         FROM comp c JOIN planes p ON p.d = c.d GROUP BY 1, 2, 3),
+        |sig AS (SELECT vec_id, b,
+        |               sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS nn_id
+        |         FROM sig a JOIN sig c
+        |           ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |pd AS (SELECT cand.vec_id, cand.nn_id,
+        |              CAST(list_dot_product(CAST(x.q AS DOUBLE[]),
+        |                                    CAST(y.q AS DOUBLE[])) AS BIGINT) AS dot
+        |       FROM cand JOIN qv x ON x.vec_id = cand.vec_id
+        |                 JOIN qv y ON y.vec_id = cand.nn_id),
+        |nn AS (SELECT vec_id, nn_id FROM pd
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dot DESC, nn_id) <= 5),
+        |ag AS (SELECT nn.vec_id, CAST(la.label AS BIGINT) AS label,
+        |              count(*) AS n_nbrs,
+        |              CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_same
+        |       FROM nn JOIN embeddings la ON la.vec_id = nn.vec_id
+        |               JOIN embeddings lb ON lb.vec_id = nn.nn_id
+        |       GROUP BY 1, 2)
+        |SELECT vec_id, label, n_nbrs, n_same,
+        |       (n_same * 1000000) // n_nbrs AS same_ppm,
+        |       CAST((n_same * 1000000) // n_nbrs < 500000 AS BIGINT) AS suspect
+        |FROM ag""".stripMargin
   )
 }

@@ -346,6 +346,35 @@ object Ann {
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
   }
 
+  /** kNN label-consistency check (the Wilson-editing family of label-
+    * noise detectors): per labeled vector, the ppm fraction of its
+    * ≤k nearest neighbors (exact integer MIPS over [[lshTopKParity]]
+    * candidates) that share its label; a vector whose neighborhood
+    * disagrees (`same_ppm < minSamePpm`) is flagged as suspected label
+    * noise — the curation pass labeled finetuning/eval data gets before
+    * training. Every decision is a sha/integer pure function, so an
+    * oracle replays the flags bit-for-bit. Scale shape: the q57 bucket
+    * join plus two |V|-keyed label joins and one aggregation. */
+  def labelNoise(vecs: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, k: Int, dim: Int, bands: Int = 8,
+                 bitsPerBand: Int = 8,
+                 minSamePpm: Long = 500000L): DataFrame = {
+    val nn = lshTopKParity(vecs, idCol, vecCol, k, dim, bands, bitsPerBand)
+    val lab = vecs.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    nn.join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("nn_id"),
+        col("label").as("nn_label")), "nn_id")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("label") === col("nn_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("same_ppm",
+        expr("(n_same * 1000000) div n_nbrs"))
+      .withColumn("suspect",
+        (col("same_ppm") < minSamePpm).cast("long"))
+  }
+
   /** SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster vectors with the [[ivfTopKParity]]
     * sha-sampled-centroid assignment, then WITHIN each cluster drop

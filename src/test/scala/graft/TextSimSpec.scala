@@ -523,6 +523,28 @@ class TextSimSpec extends SparkSpec {
     assert(got(5L)._1 && got(6L)._1)
   }
 
+  test("labelNoise: mislabeled vector in a tight cluster is flagged") {
+    // group X: three identical vectors labeled (1, 1, 2) — the label-2
+    // one disagrees with its whole neighborhood; group Y: consistent.
+    // k=2 keeps each neighborhood inside its own group (within-group
+    // dot 1e6 always outranks the cross-group dot 0)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(1.0f, 0.0f), 2),
+      (4L, Array(0.0f, 1.0f), 3), (5L, Array(0.0f, 1.0f), 3),
+      (6L, Array(0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Ann.labelNoise(vecs, "vec_id", "embedding", "label",
+        k = 2, dim = 2, bands = 4, bitsPerBand = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got(3L) == ((0L, 1L)), "mislabeled vector must be suspect")
+    // its two group-mates see labels (1, 2): exactly at the 0.5 bar ->
+    // not suspect (inclusive threshold)
+    assert(got(1L) == ((500000L, 0L)) && got(2L) == ((500000L, 0L)))
+    Seq(4L, 5L, 6L).foreach(i => assert(got(i) == ((1000000L, 0L))))
+  }
+
   test("setsim jaccardJoin: prefix filter is lossless vs brute all-pairs") {
     import graft.sim.SetSimJoin
     val rnd = new scala.util.Random(7)
