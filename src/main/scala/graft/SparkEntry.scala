@@ -1281,7 +1281,23 @@ object SparkEntry {
     // the curation pass over labeled finetuning/eval data
     "q133_label_noise" -> ((s, d) =>
       Ann.labelNoise(T(s, d, "embeddings"), "vec_id", "embedding",
-        "label", k = 5, dim = 64, bands = 8, bitsPerBand = 8))
+        "label", k = 5, dim = 64, bands = 8, bitsPerBand = 8)),
+
+    // per-community conductance of the brand partition — the
+    // cut/volume community-quality metric complementing q95's
+    // modularity (same label table, same thresholded graph)
+    "q134_conductance" -> ((s, d) => {
+      val brands = broadcast(T(s, d, "part")
+        .select(col("p_partkey").as("vid"), col("p_brand").as("label")))
+      graft.kernels.GraphStats.conductance(e2(s, d), brands)
+    }),
+
+    // BPE merge learning (tokenizer training): the first 3 merges
+    // learned from the documents corpus — integer pair counts over the
+    // distinct-word vocabulary, lexicographic tie-break, leftmost
+    // non-overlapping merge per round
+    "q135_bpe_merges" -> ((s, d) =>
+      graft.text.BpeTrain.learnMerges(T(s, d, "documents"), "text", 3))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -3578,6 +3594,71 @@ object SparkEntry {
         |SELECT vec_id, label, n_nbrs, n_same,
         |       (n_same * 1000000) // n_nbrs AS same_ppm,
         |       CAST((n_same * 1000000) // n_nbrs < 500000 AS BIGINT) AS suspect
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+    // cut(S) counts each boundary edge once per side over sym; vol(S) is
+    // the labeled-degree sum; phi = cut/min(vol, 2m-vol), NULL when the
+    // community is the whole graph
+    "q134_conductance" ->
+      s"""WITH $CTE,
+         |lbl AS (SELECT p_partkey AS vid, p_brand AS label FROM part),
+         |m2 AS (SELECT count(*) AS m2 FROM sym),
+         |per AS (SELECT a.label, count(*) AS volume,
+         |          CAST(sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS cut_edges
+         |        FROM sym JOIN lbl a ON sym.s = a.vid
+         |                 JOIN lbl b ON sym.d = b.vid
+         |        GROUP BY 1)
+         |SELECT label, cut_edges, volume,
+         |       round(CAST(cut_edges AS DOUBLE)
+         |               / nullif(least(volume, m2.m2 - volume), 0), 8)
+         |         AS conductance
+         |FROM per CROSS JOIN m2""".stripMargin,
+    // 3 BPE rounds replayed as chained CTEs: sequences are |-wrapped
+    // ||-joined symbol strings so replace('|l||r|','|lr|') IS the
+    // leftmost non-overlapping merge (the consumed delimiter blocks
+    // overlap; the wrapper blocks sub-symbol matches)
+    "q135_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |s0 AS (SELECT '|' || array_to_string(regexp_extract_all(word, '.'),
+        |                                     '||') || '|' AS seq, freq
+        |       FROM words),
+        |x1 AS (SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM s0),
+        |e1 AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS i,
+        |              syms, freq
+        |       FROM x1 WHERE len(syms) >= 2),
+        |p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+        |              CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM e1 GROUP BY 1, 2),
+        |k1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s1 AS (SELECT replace(seq, '|' || l || '||' || r || '|',
+        |                      '|' || l || r || '|') AS seq, freq
+        |       FROM s0 CROSS JOIN k1),
+        |x2 AS (SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM s1),
+        |e2 AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS i,
+        |              syms, freq
+        |       FROM x2 WHERE len(syms) >= 2),
+        |p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+        |              CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM e2 GROUP BY 1, 2),
+        |k2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s2 AS (SELECT replace(seq, '|' || l || '||' || r || '|',
+        |                      '|' || l || r || '|') AS seq, freq
+        |       FROM s1 CROSS JOIN k2),
+        |x3 AS (SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM s2),
+        |e3 AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS i,
+        |              syms, freq
+        |       FROM x3 WHERE len(syms) >= 2),
+        |p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+        |              CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM e3 GROUP BY 1, 2),
+        |k3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, l AS merge_left, r AS merge_right,
+        |       cnt AS pair_count FROM k1
+        |UNION ALL SELECT 2, l, r, cnt FROM k2
+        |UNION ALL SELECT 3, l, r, cnt FROM k3""".stripMargin
   )
 }

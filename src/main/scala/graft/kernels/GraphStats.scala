@@ -163,6 +163,35 @@ object GraphStats {
           .as("contribution"))
   }
 
+  /** Per-community conductance phi(S) = cut(S) / min(vol(S), 2m-vol(S))
+    * — the community-quality complement of [[modularity]] (low phi =
+    * well-separated; the metric FocusCO-style goodness functions bound,
+    * reference `apps/focusCO.cpp:458-485` uses the same cut/volume
+    * counts). cut and vol are exact integers from ONE symmetrized
+    * label-joined pass (cut(S) counts each boundary edge once per side,
+    * vol(S) = sum of member degrees); the division is the only float,
+    * projected per community row. Whole-graph community (vol = 2m) gets
+    * NULL conductance (no outside). Scale shape: two broadcast-able
+    * label joins + one aggregation — no new shuffle beyond degrees. */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = Edges.symmetrize(edges.select(col("src"), col("dst")))
+    val m2 = sym.count() // = 2m
+    val l = labels.select(col("vid"), col("label"))
+    sym
+      .join(l.withColumnRenamed("vid", "src")
+        .withColumnRenamed("label", "ls"), "src")
+      .join(l.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("label", "ld"), "dst")
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("volume"),
+        sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L))
+          .as("cut_edges"))
+      .select(col("label"), col("cut_edges"), col("volume"),
+        round(col("cut_edges").cast("double") /
+          nullif(least(col("volume"), lit(m2) - col("volume")), lit(0L)), 8)
+          .as("conductance"))
+  }
+
   /** Diameter lower bound by double sweep (Magnien-Latapy-Habib): BFS
     * from the max-degree vertex (ties: min vid), then BFS from the
     * farthest vertex found; that second eccentricity is within a factor

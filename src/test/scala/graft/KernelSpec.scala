@@ -570,6 +570,26 @@ class KernelSpec extends SparkSpec {
     assert(got2("B") === 0.11)
   }
 
+  test("conductance matches hand cut/volume arithmetic") {
+    import spark.implicits._
+    // triangle {1,2,3} + path {10,11,12}, plus one bridge 3-10:
+    // cut(A)=cut(B)=1; vol(A)=7, vol(B)=5, 2m=12
+    val e = edgeDF(golden("twoComp") :+ (3L, 10L))
+    val byComp = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (10L, "B"), (11L, "B"), (12L, "B")).toDF("vid", "label")
+    val got = GraphStats.conductance(e, byComp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3)))))
+      .toMap
+    assert(got("A") === ((1L, 7L, Some(0.2))))      // 1/min(7, 5) = 0.2
+    assert(got("B") === ((1L, 5L, Some(0.2))))      // 1/min(5, 7) = 0.2
+    // whole-graph community: no outside -> NULL conductance
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 12L).map(_ -> "X").toDF("vid", "label")
+    val whole = GraphStats.conductance(e, all).collect()
+    assert(whole.length == 1 && whole.head.getLong(1) == 0L
+      && whole.head.isNullAt(3))
+  }
+
   test("landmark betweenness matches single-threaded Brandes (bounded)") {
     import spark.implicits._
     val graphs = Seq(

@@ -10,6 +10,26 @@ class QualitySpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("BpeTrain.learnMerges: hand-traced rounds, ties, overlap, exhaustion") {
+    import graft.text.BpeTrain
+    // vocab: aaab freq 2 (case-folded from "Aaab"), aab freq 1.
+    // r1: (a,a)=5 beats (a,b)=3; r2: (a,b)=2 ties (aa,a)=2 -> lex picks
+    // (a,b); r3: (aa,ab)=2 beats (aa,b)=1
+    val docs = Seq((1L, "Aaab aaab! aab?")).toDF("doc_id", "text")
+    val got = BpeTrain.learnMerges(docs, "text", 3).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 5L), (2, "a", "b", 2L),
+      (3, "aa", "ab", 2L)))
+    // leftmost NON-OVERLAPPING: "aaaa" merges to [aa,aa] (not [aa,a,a]),
+    // so round 2 finds (aa,aa)=3; then no pairs remain -> 2 rows only
+    val docs2 = Seq((1L, "aaaa aaaa aaaa b")).toDF("doc_id", "text")
+    val got2 = BpeTrain.learnMerges(docs2, "text", 3).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got2.toSeq == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
   test("repetitionStats: hand-computed mode/bigram ppm and keep gate") {
     val docs = Seq(
       // 4 tokens, mode 'a' x3 -> 750000 ppm (fails the gate); bigrams
