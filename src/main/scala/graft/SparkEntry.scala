@@ -1297,7 +1297,90 @@ object SparkEntry {
     // distinct-word vocabulary, lexicographic tie-break, leftmost
     // non-overlapping merge per round
     "q135_bpe_merges" -> ((s, d) =>
-      graft.text.BpeTrain.learnMerges(T(s, d, "documents"), "text", 3))
+      graft.text.BpeTrain.learnMerges(T(s, d, "documents"), "text", 3)),
+
+    // ACL sweep-cut local clustering: personalized PageRank from the
+    // sha-sampled seed set on the thresholded graph, vertices swept in
+    // degree-normalized-rank order, exact conductance per prefix — the
+    // argmin prefix is the local cluster (composes the q62 PPR kernel
+    // with the q134 conductance metric)
+    "q136_sweep_cut" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      val pr = PageRank.run(s, sym, fixedIter = Some(10),
+          personalized = Some(seeds))
+        .ranks.select(col("vid"), round(col("rank"), 8).as("rank"))
+      graft.kernels.SweepCut.sweep(sym, pr, limit = 150)
+    }),
+
+    // truss communities: connected components of the q69 3-truss
+    // subgraph (fixed 3 peel rounds, the oracle-parity configuration) —
+    // triangle-dense communities that bridge edges cannot glue together
+    "q137_truss_comm" -> ((s, d) =>
+      graft.kernels.KTruss.communities(s, e2(s, d), k = 3, maxRounds = 3)),
+
+    // per-vertex ego-net density census (OddBall-style, integer ppm):
+    // near-clique egos (mirror clusters / spam farms) vs near-star hubs,
+    // from degree + the q07 triangle plan alone
+    "q138_ego_density" -> ((s, d) =>
+      graft.kernels.GraphStats.egoDensity(e2(s, d))),
+
+    // tokenizer application: per-doc [a-z]+ word count and symbol count
+    // after the 3 learned q135 merges — the train→encode loop closed;
+    // the merge fold runs over the distinct-word vocabulary only
+    "q139_bpe_encode" -> ((s, d) =>
+      graft.text.BpeTrain.encode(T(s, d, "documents"), "doc_id", "text", 3)),
+
+    // DSIR-style hashed n-gram domain-affinity scoring (integer ppm):
+    // target = the English slice; features = word uni+bigrams sha-hashed
+    // into 4096 buckets; score = summed smoothed rate difference (ppb)
+    "q140_domain_affinity" -> ((s, d) =>
+      graft.text.TrainPrep.domainAffinity(T(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", buckets = 4096)),
+
+    // padding-efficient length-bucketed batch assembly (group-by-length
+    // finetuning batches): width-128 token buckets, 16384-token batches,
+    // per-batch padding waste
+    "q141_length_batches" -> ((s, d) =>
+      graft.text.TrainPrep.lengthBucketBatches(T(s, d, "documents"),
+        "doc_id", TF.tokenCount(col("text")),
+        bucketWidth = 128, batchTokens = 16384)),
+
+    // attribution interval join (batch twin of the stream-stream
+    // watermarked join — StreamingSpec asserts stream == batch): every
+    // view credited for a same-user click within the next 60 minutes
+    "q142_attribution" -> ((s, d) =>
+      graft.streaming.Streaming.attributionBatch(T(s, d, "events"),
+        windowMin = 60)),
+
+    // disparity-filter backbone (integer cross-multiplied): edges whose
+    // weight exceeds 2x the uniform share of either endpoint's strength
+    // — a multiscale sparsifier STRICTLY finer than the global weight>=2
+    // threshold (63 vs 3445 edges at sf0.01; at 1500 ppt the two rules
+    // coincide on this graph, so the query uses 2000 to evidence the
+    // local rule)
+    "q143_backbone" -> ((s, d) =>
+      Edges.disparityBackbone(cooc(s, d), alphaPpt = 2000L)),
+
+    // vocabulary coverage / OOV rate against the top-500 corpus words —
+    // the tokenizer-coverage profile (vocab broadcast, one corpus pass)
+    "q144_oov" -> ((s, d) =>
+      graft.text.TrainPrep.oovStats(T(s, d, "documents"),
+        "doc_id", "text", vocabSize = 500)),
+
+    // warm-started incremental CC: labels from the thresholded subgraph
+    // seed CC on the FULL co-occurrence graph (edge-insertion
+    // maintenance, the CC complement of q100's warm PageRank); fixpoint
+    // — and the oracle — is identical to a cold run
+    "q145_cc_warm" -> ((s, d) => {
+      val warm = ConnectedComponents
+        .run(s, Edges.symmetrize(e2(s, d))).components
+      ConnectedComponents.run(s,
+        Edges.symmetrize(cooc(s, d).select(col("src"), col("dst"))),
+        initState = Some(warm)).components
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -2090,25 +2173,25 @@ object SparkEntry {
     // >= k-2 = 1 triangle of the current subgraph, recompute, repeat
     "q69_ktruss" ->
       s"""WITH $CTE,
-         |t0 AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |t0 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
          |       FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
-         |s0 AS (SELECT s, d, count(*) AS sup FROM (
+         |s0 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
          |         SELECT x AS s, y AS d FROM t0 UNION ALL
          |         SELECT x, z FROM t0 UNION ALL SELECT y, z FROM t0) u0
          |       GROUP BY 1, 2),
-         |p1 AS (SELECT e.s, e.d FROM e JOIN s0 ON e.s = s0.s AND e.d = s0.d
+         |p1 AS MATERIALIZED (SELECT e.s, e.d FROM e JOIN s0 ON e.s = s0.s AND e.d = s0.d
          |       WHERE s0.sup >= 1),
-         |t1 AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |t1 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
          |       FROM p1 a JOIN p1 b ON a.d = b.s JOIN p1 c ON a.s = c.s AND b.d = c.d),
-         |s1 AS (SELECT s, d, count(*) AS sup FROM (
+         |s1 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
          |         SELECT x AS s, y AS d FROM t1 UNION ALL
          |         SELECT x, z FROM t1 UNION ALL SELECT y, z FROM t1) u1
          |       GROUP BY 1, 2),
-         |p2 AS (SELECT p1.s, p1.d FROM p1 JOIN s1 ON p1.s = s1.s AND p1.d = s1.d
+         |p2 AS MATERIALIZED (SELECT p1.s, p1.d FROM p1 JOIN s1 ON p1.s = s1.s AND p1.d = s1.d
          |       WHERE s1.sup >= 1),
-         |t2 AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |t2 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
          |       FROM p2 a JOIN p2 b ON a.d = b.s JOIN p2 c ON a.s = c.s AND b.d = c.d),
-         |s2 AS (SELECT s, d, count(*) AS sup FROM (
+         |s2 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
          |         SELECT x AS s, y AS d FROM t2 UNION ALL
          |         SELECT x, z FROM t2 UNION ALL SELECT y, z FROM t2) u2
          |       GROUP BY 1, 2)
@@ -3659,6 +3742,254 @@ object SparkEntry {
         |SELECT CAST(1 AS INT) AS round, l AS merge_left, r AS merge_right,
         |       cnt AS pair_count FROM k1
         |UNION ALL SELECT 2, l, r, cnt FROM k2
-        |UNION ALL SELECT 3, l, r, cnt FROM k3""".stripMargin
+        |UNION ALL SELECT 3, l, r, cnt FROM k3""".stripMargin,
+    // ACL sweep replay: the q62 PPR recursion on the THRESHOLDED graph
+    // (symmetric -> no dangling mass), ranks rounded to 8 (the oracle
+    // discipline), top-150 by rank/degree, prefix cut/volume via one
+    // greatest-position charge per internal edge + running sums
+    "q136_sweep_cut" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 20),
+         |tele AS (SELECT g.vid,
+         |                CASE WHEN sd.vid IS NOT NULL
+         |                     THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM seeds)
+         |                     ELSE CAST(0.0 AS DOUBLE) END AS t
+         |         FROM deg g LEFT JOIN seeds sd ON g.vid = sd.vid),
+         |ppr(iter, vid, rank) AS (
+         |  SELECT 0, vid, t FROM tele
+         |  UNION ALL
+         |  SELECT p.iter + 1, t.vid,
+         |         CAST(0.15 AS DOUBLE) * t.t
+         |         + CAST(0.85 AS DOUBLE) * sum(p.rank / g.degree)
+         |  FROM ppr p JOIN deg g ON p.vid = g.vid JOIN sym s ON p.vid = s.s
+         |       JOIN tele t ON s.d = t.vid
+         |  WHERE p.iter < 10
+         |  GROUP BY 1, 2, t.t
+         |),
+         |r8 AS (SELECT vid, round(rank, 8) AS rank FROM ppr
+         |       WHERE iter = 10 AND round(rank, 8) > 0),
+         |cand AS (SELECT r8.vid, r8.rank / deg.degree AS ratio, deg.degree
+         |         FROM r8 JOIN deg ON r8.vid = deg.vid
+         |         ORDER BY ratio DESC, r8.vid LIMIT 150),
+         |pos AS (SELECT vid, degree,
+         |               row_number() OVER (ORDER BY ratio DESC, vid) AS k
+         |        FROM cand),
+         |m2 AS (SELECT count(*) AS m2 FROM sym),
+         |internal AS (SELECT greatest(a.k, b.k) AS kk,
+         |                    CAST(count(*) AS BIGINT) AS cnt
+         |             FROM sym JOIN pos a ON sym.s = a.vid
+         |                      JOIN pos b ON sym.d = b.vid
+         |             GROUP BY 1),
+         |sweep AS (SELECT p.k, p.vid,
+         |                 CAST(sum(p.degree) OVER (ORDER BY p.k) AS BIGINT) AS vol,
+         |                 CAST(coalesce(sum(i.cnt) OVER (ORDER BY p.k), 0) AS BIGINT) AS icum
+         |          FROM pos p LEFT JOIN internal i ON p.k = i.kk)
+         |SELECT CAST(k AS INT) AS k, vid, vol - icum AS cut_edges,
+         |       vol AS volume,
+         |       round(CAST(vol - icum AS DOUBLE)
+         |               / nullif(least(vol, m2.m2 - vol), 0), 8) AS conductance
+         |FROM sweep CROSS JOIN m2""".stripMargin,
+    // q69's 3-round truss peel, then the q08 hash-min recursion over the
+    // surviving (symmetrized) edges
+    "q137_truss_comm" ->
+      s"""WITH RECURSIVE $CTE,
+         |t0 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |s0 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t0 UNION ALL
+         |         SELECT x, z FROM t0 UNION ALL SELECT y, z FROM t0) u0
+         |       GROUP BY 1, 2),
+         |p1 AS MATERIALIZED (SELECT e.s, e.d FROM e JOIN s0 ON e.s = s0.s AND e.d = s0.d
+         |       WHERE s0.sup >= 1),
+         |t1 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM p1 a JOIN p1 b ON a.d = b.s JOIN p1 c ON a.s = c.s AND b.d = c.d),
+         |s1 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t1 UNION ALL
+         |         SELECT x, z FROM t1 UNION ALL SELECT y, z FROM t1) u1
+         |       GROUP BY 1, 2),
+         |p2 AS MATERIALIZED (SELECT p1.s, p1.d FROM p1 JOIN s1 ON p1.s = s1.s AND p1.d = s1.d
+         |       WHERE s1.sup >= 1),
+         |t2 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM p2 a JOIN p2 b ON a.d = b.s JOIN p2 c ON a.s = c.s AND b.d = c.d),
+         |s2 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t2 UNION ALL
+         |         SELECT x, z FROM t2 UNION ALL SELECT y, z FROM t2) u2
+         |       GROUP BY 1, 2),
+         |p3 AS MATERIALIZED (SELECT p2.s, p2.d FROM p2 JOIN s2 ON p2.s = s2.s AND p2.d = s2.d
+         |       WHERE s2.sup >= 1),
+         |tsym AS MATERIALIZED (SELECT s, d FROM p3 UNION ALL SELECT d, s FROM p3),
+         |tv AS (SELECT DISTINCT s AS vid FROM tsym),
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM tv
+         |  UNION
+         |  SELECT t.d, r.lbl FROM reach r JOIN tsym t ON r.vid = t.s
+         |)
+         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin,
+    // ego density: the q07 triangle corners per vertex + degree, then
+    // pure integer ppm arithmetic per row
+    "q138_ego_density" ->
+      s"""WITH $CTE,
+         |tri AS (SELECT a.s AS x, a.d AS y, b.d AS z
+         |        FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |            UNION ALL SELECT z FROM tri),
+         |tcv AS (SELECT v AS vid, CAST(count(*) AS BIGINT) AS tri FROM corners GROUP BY 1)
+         |SELECT d.vid, d.degree, coalesce(t.tri, 0) AS tri,
+         |       d.degree + coalesce(t.tri, 0) AS ego_edges,
+         |       (2 * (d.degree + coalesce(t.tri, 0)) * 1000000)
+         |         // ((d.degree + 1) * d.degree) AS density_ppm
+         |FROM deg d LEFT JOIN tcv t ON d.vid = t.vid""".stripMargin,
+    // the q135 merge chain with the word carried through, one more
+    // replace round (s3), then docs join the (word -> n_syms) map
+    "q139_bpe_encode" ->
+      """WITH dw AS MATERIALIZED (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |words AS MATERIALIZED (SELECT word, count(*) AS freq FROM dw GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, '|' || array_to_string(regexp_extract_all(word, '.'),
+        |                                      '||') || '|' AS seq, freq
+        |  FROM words),
+        |x1 AS (SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM s0),
+        |e1 AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS i,
+        |              syms, freq
+        |       FROM x1 WHERE len(syms) >= 2),
+        |p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+        |              CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM e1 GROUP BY 1, 2),
+        |k1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s1 AS MATERIALIZED (
+        |  SELECT word, replace(seq, '|' || l || '||' || r || '|',
+        |                       '|' || l || r || '|') AS seq, freq
+        |  FROM s0 CROSS JOIN k1),
+        |x2 AS (SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM s1),
+        |e2 AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS i,
+        |              syms, freq
+        |       FROM x2 WHERE len(syms) >= 2),
+        |p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+        |              CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM e2 GROUP BY 1, 2),
+        |k2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT word, replace(seq, '|' || l || '||' || r || '|',
+        |                       '|' || l || r || '|') AS seq, freq
+        |  FROM s1 CROSS JOIN k2),
+        |x3 AS (SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM s2),
+        |e3 AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS i,
+        |              syms, freq
+        |       FROM x3 WHERE len(syms) >= 2),
+        |p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+        |              CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM e3 GROUP BY 1, 2),
+        |k3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s3 AS MATERIALIZED (
+        |  SELECT word, replace(seq, '|' || l || '||' || r || '|',
+        |                       '|' || l || r || '|') AS seq
+        |  FROM s2 CROSS JOIN k3),
+        |toks AS (SELECT word,
+        |                CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS ntok
+        |         FROM s3)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(t.ntok) AS BIGINT) AS n_tokens
+        |FROM dw d JOIN toks t USING (word)
+        |GROUP BY 1""".stripMargin,
+    // hashed-gram rates: per-bucket target/raw counts densified over all
+    // 4096 buckets, add-one-smoothed integer ppm, per-doc summed diff
+    "q140_domain_affinity" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+        |                     regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |uni AS (SELECT doc_id, is_t, unnest(t) AS g FROM toks),
+        |bi AS (SELECT doc_id, is_t, array_to_string(t[i:i+1], ' ') AS g
+        |       FROM (SELECT doc_id, is_t, t,
+        |                    unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM toks WHERE len(t) >= 2)),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, is_t, g,
+        |         CAST(('0x' || substr(sha256(g), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |counts AS (SELECT b, CAST(count(*) AS BIGINT) AS rc,
+        |                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |           FROM g GROUP BY 1),
+        |dense AS (SELECT gs.b, coalesce(c.rc, 0) AS rc, coalesce(c.tc, 0) AS tc
+        |          FROM (SELECT unnest(generate_series(0, 4095)) AS b) gs
+        |          LEFT JOIN counts c ON gs.b = c.b),
+        |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rt,
+        |               CAST(sum(tc) AS BIGINT) AS tt FROM dense),
+        |rates AS (SELECT b,
+        |            CAST((tc + 1) * 1000000000 // (tt + 4096) AS BIGINT) AS t_ppb,
+        |            CAST((rc + 1) * 1000000000 // (rt + 4096) AS BIGINT) AS r_ppb
+        |          FROM dense CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(t_ppb - r_ppb) AS BIGINT) AS score_ppb
+        |FROM g JOIN rates USING (b)
+        |GROUP BY 1""".stripMargin,
+    // width-128 length buckets, 16384-token batch capacity, id-ordered
+    // row_number per bucket, integer division throughout
+    "q141_length_batches" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |             ((n_tokens - 1) // 128 + 1) * 128 AS bucket_cap
+        |      FROM d WHERE n_tokens >= 1),
+        |c AS (SELECT doc_id, n_tokens, bucket_cap,
+        |             greatest(1, 16384 // bucket_cap) AS capacity,
+        |             row_number() OVER (PARTITION BY bucket_cap
+        |                                ORDER BY doc_id) AS rn
+        |      FROM b)
+        |SELECT bucket_cap, (rn - 1) // capacity AS batch_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * bucket_cap - sum(n_tokens) AS BIGINT) AS padded_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // user-keyed equi-join + the (0, 60 min] interval predicate
+    "q142_attribution" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, view_us, click_id, click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |WHERE click_us > view_us AND click_us <= view_us + 3600000000""".stripMargin,
+    // per-endpoint degree/strength over the symmetrized weighted graph,
+    // integer cross-multiplied keep rule, either-endpoint semantics
+    "q143_backbone" ->
+      s"""WITH $CTE,
+         |symw AS (SELECT src AS s, dst AS d, weight FROM cooc
+         |         UNION ALL SELECT dst, src, weight FROM cooc),
+         |st AS (SELECT s AS vid, count(*) AS k,
+         |              CAST(sum(weight) AS BIGINT) AS str
+         |       FROM symw GROUP BY 1)
+         |SELECT c.src, c.dst, c.weight
+         |FROM cooc c JOIN st u ON c.src = u.vid JOIN st v ON c.dst = v.vid
+         |WHERE c.weight * u.k * 1000 >= 2000 * u.str
+         |   OR c.weight * v.k * 1000 >= 2000 * v.str""".stripMargin,
+    // top-500 vocabulary by (count desc, word), whitespace tokens, per-
+    // doc OOV ppm by integer division
+    "q144_oov" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |             FROM documents),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)
+        |          ORDER BY cnt DESC, w LIMIT 500)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+        |              // count(*) AS BIGINT) AS oov_ppm
+        |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY 1""".stripMargin,
+    // the q08 hash-min recursion on the FULL graph — warm start cannot
+    // change the fixpoint (labels are member ids), so the oracle is a
+    // cold replay
+    "q145_cc_warm" ->
+      s"""WITH RECURSIVE $CTE, $FULL,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM fdeg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN fsym s ON r.vid = s.s
+         |)
+         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin
   )
 }

@@ -95,6 +95,34 @@ object Edges {
   def vertexIds(sym: DataFrame): DataFrame =
     sym.select(col("src").as("vid")).distinct()
 
+  /** Disparity-filter backbone (Serrano–Boguñá–Vespignani PNAS'09, integer
+    * cross-multiplied variant): keep a weighted edge iff its weight
+    * significantly exceeds the uniform share of EITHER endpoint's
+    * strength — w·k·1000 ≥ alphaPpt·s, where k/s are the endpoint's
+    * degree/strength. The multiscale sparsifier for power-law link
+    * graphs: hub edges survive only if locally dominant, so the backbone
+    * keeps structure at every scale (a global weight threshold like
+    * `e2`'s keeps only the densest region). alphaPpt = 1000 is exactly
+    * "above uniform share"; all arithmetic is integer cross-
+    * multiplication — no p-value float to disagree across engines.
+    * Shape: one degree/strength aggregation + two broadcast-sized joins
+    * back to the canonical edge table — one shuffle, no iteration. */
+  def disparityBackbone(weighted: DataFrame, alphaPpt: Long = 1500L): DataFrame = {
+    val symW = weighted.select(col("src"), col("dst"), col("weight"))
+      .union(weighted.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    val ds = symW.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("k"), sum(col("weight")).as("s"))
+    weighted.select(col("src"), col("dst"), col("weight"))
+      .join(ds.select(col("vid").as("src"), col("k").as("ku"),
+        col("s").as("su")), "src")
+      .join(ds.select(col("vid").as("dst"), col("k").as("kv"),
+        col("s").as("sv")), "dst")
+      .filter(col("weight") * col("ku") * 1000L >= lit(alphaPpt) * col("su") ||
+        col("weight") * col("kv") * 1000L >= lit(alphaPpt) * col("sv"))
+      .select(col("src"), col("dst"), col("weight"))
+  }
+
   /** Salt expression for two-phase hub aggregation (SURVEY §4.3). */
   def saltOf(c: Column, salts: Int): Column = pmod(xxhash64(c), lit(salts))
 

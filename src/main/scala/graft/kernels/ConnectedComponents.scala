@@ -28,11 +28,23 @@ object ConnectedComponents {
     def components: DataFrame = state.select(col("vid"), col("component"))
   }
 
-  /** @param sym symmetric edge table (src, dst) — both directions present */
+  /** @param sym symmetric edge table (src, dst) — both directions present
+    * @param initState optional warm-start labels (vid, component) from a
+    *   previous run on a SUBGRAPH of `sym` (e.g. before an edge insert /
+    *   threshold relaxation): vertices seed from their old component
+    *   label instead of their own id, so already-collapsed regions skip
+    *   straight to their old minimum and only the newly-connected
+    *   frontier iterates. SAFE precondition (callers must hold it): each
+    *   label is the id of a vertex inside the same NEW component — true
+    *   whenever labels come from hash-min CC on a subgraph, since the
+    *   old min-vid is itself a member. The fixpoint is then identical to
+    *   the cold run (min vid per component); vertices absent from
+    *   `initState` seed with their own id. */
   def run(spark: SparkSession, sym: DataFrame,
           maxIter: Int = 200,
           ckpt: Option[Checkpointer] = None,
-          resume: Boolean = false): Result = {
+          resume: Boolean = false,
+          initState: Option[DataFrame] = None): Result = {
     // hash-partition the persisted edge table on the join key: every
     // superstep's state join then reuses this partitioning instead of
     // re-shuffling |E| rows per iteration (state is already hash(vid)-
@@ -43,10 +55,21 @@ object ConnectedComponents {
     // state carries a per-vertex `changed` flag so convergence is a filter
     // over the already-materialized checkpoint instead of a prev⋈next join
     // (one extra superstep-sized join per iteration saved)
-    def init: DataFrame =
-      Edges.vertexIds(edges)
-        .select(col("vid"), col("vid").as("component"),
-          lit(true).as("changed"))
+    def init: DataFrame = {
+      val ids = Edges.vertexIds(edges)
+      initState match {
+        case None =>
+          ids.select(col("vid"), col("vid").as("component"),
+            lit(true).as("changed"))
+        case Some(st) =>
+          ids.join(st.select(col("vid"), col("component").as("c0")),
+              Seq("vid"), "left")
+            .select(col("vid"),
+              least(col("vid"), coalesce(col("c0"), col("vid")))
+                .as("component"),
+              lit(true).as("changed"))
+      }
+    }
 
     def step(labels: DataFrame): DataFrame = {
       // SHUFFLE_HASH hints: the state side is the hash build side, so the

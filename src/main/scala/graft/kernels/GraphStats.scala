@@ -35,6 +35,26 @@ object GraphStats {
           (col("degree") * (col("degree") - 1)), 8).as("lcc"))
   }
 
+  /** Per-vertex ego-net density census (OddBall, Akoglu et al. PAKDD'10
+    * intuition, integer fixed point): for each vertex, its ego network
+    * has n_ego = degree+1 nodes and ego_edges = degree + tri(v) edges
+    * (every edge among neighbors is a triangle through v). density_ppm =
+    * ego_edges / C(n_ego, 2) in parts-per-million — 1 000 000 flags a
+    * near-clique ego (spam farms / mirror clusters in a link graph),
+    * values near the 2/n_ego floor flag near-stars (hubs). All integer
+    * arithmetic on top of the q07 triangle plan — no float-sum hazard,
+    * one extra per-row projection over [[localClustering]]'s inputs. */
+  def egoDensity(edges: DataFrame): DataFrame = {
+    val deg = Edges.degrees(Edges.symmetrize(edges))
+    val tc = TriangleCount.perVertex(edges).withColumnRenamed("tc", "tc0")
+    deg.join(tc, Seq("vid"), "left")
+      .withColumn("tri", coalesce(col("tc0"), lit(0L)))
+      .select(col("vid"), col("degree"), col("tri"),
+        (col("degree") + col("tri")).as("ego_edges"),
+        expr("2 * (degree + tri) * 1000000L div ((degree + 1) * degree)")
+          .as("density_ppm"))
+  }
+
   /** Per-edge embeddedness (src, dst, sup, jaccard): sup = common
     * neighbors of the endpoints (= the edge's triangle support, the
     * quantity [[KTruss]] peels on), jaccard = sup / (deg(u)+deg(v)-sup)

@@ -79,4 +79,18 @@ object KTruss {
     }
     e
   }
+
+  /** Truss communities (Huang et al. SIGMOD'14, vertex-component
+    * variant): connected components of the k-truss subgraph — each
+    * component is a triangle-dense community robust to bridge edges
+    * (the k-truss keeps only edges with >= k-2 triangle support, so
+    * weak ties never glue two communities together). Composes two
+    * verified stages: the [[run]] peel and hash-min
+    * [[ConnectedComponents]]. Returns (vid, community) for vertices
+    * that survive the peel. */
+  def communities(spark: org.apache.spark.sql.SparkSession,
+                  edges: DataFrame, k: Int,
+                  maxRounds: Int = Int.MaxValue): DataFrame =
+    ConnectedComponents.run(spark,
+      graft.graph.Edges.symmetrize(run(edges, k, maxRounds))).components
 }

@@ -175,6 +175,56 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Attribution interval join, batch twin: every (view, click) pair of
+    * the SAME user with the click in (view_ts, view_ts + windowMin] —
+    * "which impressions get credit for this click". A user-keyed
+    * equi-join plus a range predicate: the range condition never leaves
+    * the user key, per-user event counts are bounded, so at 100 TB this
+    * shuffles each side once by user and nothing else — and it is the
+    * same plan [[attributionStream]] executes incrementally. */
+  def attributionBatch(events: DataFrame, windowMin: Int): DataFrame = {
+    val wUs = windowMin * 60L * 1000000L
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("view_us"),
+        col("event_id").as("view_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("click_us"),
+        col("event_id").as("click_id"))
+    views.join(clicks, Seq("user_id"))
+      .filter(col("click_us") > col("view_us") &&
+        col("click_us") <= col("view_us") + wUs)
+      .select(col("user_id"), col("view_id"), col("view_us"),
+        col("click_id"), col("click_us"))
+  }
+
+  /** Stream-stream interval join with watermarks — the Structured
+    * Streaming surface the windowed aggs (q24/q87), sessionization (q53)
+    * and dedup (q115) don't cover. Both sides carry a watermark and the
+    * join condition is user equality + the event-time interval, so each
+    * side's join state is bounded by watermark + window (Spark evicts
+    * rows that can no longer match). Emits the same rows as
+    * [[attributionBatch]] — parity asserted in StreamingSpec. */
+  def attributionStream(views: DataFrame, clicks: DataFrame,
+                        windowMin: Int): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", s"${2 * windowMin} minutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", s"${2 * windowMin} minutes")
+    v.join(c,
+        v("user_id") === c("c_user") &&
+          c("click_ts") > v("view_ts") &&
+          c("click_ts") <= v("view_ts") + expr(s"INTERVAL $windowMin MINUTES"))
+      .select(col("user_id"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_us"))
+  }
+
   /** Streaming corpus ingest into the snapshot catalog: corpus files
     * arriving in `dir` are appended batch-by-batch as catalog snapshots
     * (`foreachBatch` → `CatalogAdapter.append`), giving the incremental-

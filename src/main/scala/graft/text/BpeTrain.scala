@@ -31,14 +31,40 @@ object BpeTrain {
   /** Learn the first `rounds` BPE merges from `docs(textCol)`.
     * Returns one row per round: (round, merge_left, merge_right,
     * pair_count), in round order. */
-  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    train(docs, textCol, rounds)._1
+
+  /** Tokenize with the first `rounds` learned merges (the inference side
+    * of the trained tokenizer — q34 tokenizes with a FIXED rule; this
+    * closes the train→apply loop): per document, its [a-z]+ word count
+    * and total symbol count after applying the merges. The merge fold
+    * runs once over the DISTINCT-word vocabulary; documents then join
+    * the (word → n_syms) map — the corpus itself never re-folds. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             rounds: Int): DataFrame = {
+    val (_, vocab) = train(docs, textCol, rounds)
+    val toks = vocab
+      .select(col("word"), size(col("syms")).cast("long").as("ntok"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .join(toks, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Shared trainer: (merge table, final vocabulary (word, syms, freq)).
+    * The vocabulary result is only valid until the next action on the
+    * returned frame completes — it is consumed eagerly by both callers. */
+  private def train(docs: DataFrame, textCol: String,
+                    rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val words = docs
       .select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", expr("regexp_extract_all(word, '.', 0)"))
-      .select(col("syms"), col("freq"))
+      .select(col("word"), col("syms"), col("freq"))
       .persist()
     try {
       var cur = words
@@ -81,8 +107,10 @@ object BpeTrain {
         StructField("merge_right", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false)))
       // <= rounds driver rows — bounded like the argmax collects (A3)
-      spark.createDataFrame(
+      val mergeTable = spark.createDataFrame(
         spark.sparkContext.parallelize(merges.result(), 1), schema)
+      // vocab materialized before the cache under it is released
+      (mergeTable, cur.localCheckpoint(eager = true))
     } finally words.unpersist()
   }
 }

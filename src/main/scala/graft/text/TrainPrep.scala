@@ -288,4 +288,105 @@ object TrainPrep {
         // whose floor can disagree with exact integer floor at the ulp
         expr("min_docs * 1000000L div n_docs").as("keep_ppm"))
   }
+
+  /** Hashed n-gram domain-affinity scoring (the DSIR idea — Xie et al.
+    * NeurIPS'23 "Data Selection for Language Models via Importance
+    * Resampling" — in integer fixed point): featurize every document by
+    * its word unigrams+bigrams hashed into `buckets` sha-derived
+    * buckets, learn per-bucket rates from a TARGET slice vs the RAW
+    * corpus (add-one smoothing, ppm), and score each document by the
+    * summed per-gram rate difference — a linear domain classifier whose
+    * positive scores mark target-like documents for up-sampling.
+    *
+    * Integer-exact by construction: bucket rates are smoothed integer
+    * parts-per-billion (`div` — ppb, not ppm: the add-one smoothing
+    * denominator is dominated by `buckets`, so ppm resolution (~244
+    * per count at 4096 buckets) would truncate small-corpus rate
+    * differences to zero), the doc score is a SUM of per-gram longs
+    * (order-independent), so the oracle replays it bit-for-bit — no
+    * log-likelihood floats to disagree at the ulp.
+    *
+    * Scale shape: both rate tables are <= `buckets` rows (broadcast —
+    * independent of corpus size); the corpus explodes to gram rows,
+    * joins the broadcast table, and aggregates back by doc — ONE
+    * corpus-keyed shuffle, nothing quadratic. */
+  def domainAffinity(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, buckets: Int = 4096): DataFrame = {
+    def grams(t: Column): Column = concat(
+      TextFunctions.wordNgrams(t, 1), TextFunctions.wordNgrams(t, 2))
+    val g = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(grams(col(textCol))).as("g"))
+      .withColumn("b", pmod(Dedup.shaTokenHash60(col("g")),
+        lit(buckets.toLong)))
+    // per-bucket gram counts for the target slice and the whole corpus,
+    // densified over 0..buckets-1 so add-one smoothing covers unseen
+    // buckets; totals folded in as literal scalars (two bounded jobs)
+    val spark = docs.sparkSession
+    val all = spark.range(buckets).select(col("id").as("b"))
+      .join(g.groupBy(col("b"))
+        .agg(count(lit(1)).as("rc0"),
+          sum(col("is_target").cast("long")).as("tc0")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("rc0"), lit(0L)).as("rc"),
+        coalesce(col("tc0"), lit(0L)).as("tc"))
+    val tot = all.agg(sum(col("rc")), sum(col("tc"))).head()
+    val (rTot, tTot) = (tot.getLong(0), tot.getLong(1))
+    val rates = all.select(col("b"),
+      expr(s"(tc + 1L) * 1000000000L div ${tTot + buckets}L").as("t_ppb"),
+      expr(s"(rc + 1L) * 1000000000L div ${rTot + buckets}L").as("r_ppb"))
+    g.join(broadcast(rates), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("t_ppb") - col("r_ppb")).as("score_ppb"))
+  }
+
+  /** Vocabulary-coverage / OOV-rate profiling: the top-`vocabSize`
+    * corpus words (by total occurrences, ties lexicographic — a total
+    * order, so the vocabulary boundary is deterministic) form the
+    * vocabulary; per document, token count, OOV count and oov_ppm — the
+    * fixed-vocab coverage check run before committing to a tokenizer.
+    * Scale shape: the vocabulary is a distributed TakeOrdered broadcast
+    * back (≤ vocabSize rows however big the corpus); the corpus shuffles
+    * once to aggregate per doc. */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tokens"))
+  }
+
+  /** Padding-efficient length-bucketed batch assembly (the group-by-
+    * length batching of finetuning pipelines): documents fall into
+    * width-`bucketWidth` token-length buckets, each bucket packs
+    * `batchTokens div bucket_cap` docs per batch in id order, and every
+    * batch reports its padding waste (docs are padded to the bucket
+    * cap). All integer; the per-bucket window is PARTITIONED (no global
+    * single-task window), so batches assemble in parallel per bucket.
+    * Docs with zero tokens are excluded (nothing to pack). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, nTokensCol: Column,
+                          bucketWidth: Int = 128,
+                          batchTokens: Int = 16384): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"),
+        nTokensCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket_cap",
+        (expr(s"(n_tokens - 1L) div ${bucketWidth}L") + 1)
+          * bucketWidth)
+      .withColumn("capacity",
+        greatest(lit(1L), expr(s"${batchTokens}L div bucket_cap")))
+    t.withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket_cap")).orderBy(col("doc_id"))))
+      .withColumn("batch_id", expr("(rn - 1L) div capacity"))
+      .groupBy(col("bucket_cap"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens",
+        col("n_docs") * col("bucket_cap") - col("sum_tokens"))
+  }
 }

@@ -1000,4 +1000,68 @@ class KernelSpec extends SparkSpec {
       4L -> ((0L, 1L, 1L)),
       5L -> ((0L, 1L, 1L))))
   }
+
+  test("sweep cut: hand-computed prefix conductances on the bowtie") {
+    import spark.implicits._
+    val sym = Edges.symmetrize(edgeDF(golden("bowtie")))
+    // rank mass on triangle {1,2,3}: ratios 0.2, 0.2, 0.05 -> order 1,2,3
+    val ranks = Seq((1L, 0.4), (2L, 0.4), (3L, 0.2)).toDF("vid", "rank")
+    val got = SweepCut.sweep(sym, ranks, limit = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // 2m = 12; {1}: vol 2 cut 2 phi 1; {1,2}: vol 4 internal 2 cut 2
+    // phi 0.5; {1,2,3}: vol 8 internal 6 cut 2 denom min(8,4) phi 0.5
+    assert(got == Map(
+      1 -> ((1L, 2L, 2L, 1.0)),
+      2 -> ((2L, 2L, 4L, 0.5)),
+      3 -> ((3L, 2L, 8L, 0.5))))
+  }
+
+  test("truss communities: bridge between two triangles is cut") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = KTruss.communities(spark, edgeDF(es), k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("disparity backbone keeps only locally dominant edges") {
+    import spark.implicits._
+    // hub 1: one heavy edge (w=10) among four light ones (w=1). Keep rule
+    // w*k*1000 >= 1500*s: (1,2) from hub 50000 >= 21000 keeps; every
+    // light edge fails from both sides (leaf side: 1000w < 1500w — the
+    // paper's k=1 exclusion)
+    val w = Seq((1L, 2L, 10L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 1L),
+      (1L, 6L, 1L)).toDF("src", "dst", "weight")
+    val got = Edges.disparityBackbone(w, alphaPpt = 1500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 10L)))
+  }
+
+  test("warm-started CC equals the cold fixpoint after edge insertion") {
+    golden.foreach { case (name, es) =>
+      val full = Edges.symmetrize(edgeDF(es))
+      val sub = Edges.symmetrize(edgeDF(es.tail)) // drop one edge
+      val warm = ConnectedComponents.run(spark, sub).components
+      val inc = ConnectedComponents.run(spark, full,
+        initState = Some(warm))
+      assert(inc.converged, s"graph=$name")
+      val got = inc.components.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Oracles.connectedComponents(es), s"graph=$name")
+    }
+  }
+
+  test("ego density: star is sparse, clique and leaf are 1.0") {
+    def densities(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      GraphStats.egoDensity(edgeDF(es)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+          r.getLong(4)))).toMap
+    val star = densities(golden("star5"))
+    assert(star(1L) == ((4L, 4L, 400000L))) // hub: 4 spokes, no closure
+    assert(star(2L) == ((1L, 1L, 1000000L))) // leaf ego = one edge
+    val k4 = densities(golden("k4"))
+    (1L to 4L).foreach(v => assert(k4(v) == ((3L, 6L, 1000000L))))
+  }
 }

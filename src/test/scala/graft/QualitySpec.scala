@@ -205,4 +205,53 @@ class QualitySpec extends SparkSpec {
     assert(d.count() == 13L)
     assert(d.filter(col("vid") === 13L).head.getLong(2) == 12L)
   }
+
+  test("BpeTrain.encode: hand-traced token counts after learned merges") {
+    import graft.text.BpeTrain
+    // vocab low:2, lower:1. r1: (l,o)=3 -> 'lo'; r2: (lo,w)=3 -> 'low'.
+    // encode: low -> 1 symbol, lower -> [low,e,r] = 3
+    val docs = Seq((1L, "low low lower"), (2L, "lower")).toDF("doc_id", "text")
+    val got = BpeTrain.encode(docs, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 5L)), 2L -> ((1L, 3L))))
+  }
+
+  test("domainAffinity: target-unique grams score positive, raw negative") {
+    import graft.text.TrainPrep
+    val docs = Seq((1L, "x x", "en"), (2L, "y y", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TrainPrep.domainAffinity(docs, "doc_id", "text",
+        col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L) // 2 unigrams + 1 bigram
+    assert(got(1L)._2 > 0L, s"target doc score ${got(1L)._2}")
+    assert(got(2L)._2 < 0L, s"raw doc score ${got(2L)._2}")
+  }
+
+  test("oovStats: deterministic vocabulary boundary and integer ppm") {
+    import graft.text.TrainPrep
+    // counts a:2 b:2 c:1 d:1 -> top-2 by (cnt desc, w) = {a, b}
+    val docs = Seq((1L, "a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val got = TrainPrep.oovStats(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((3L, 0L, 0L)), 2L -> ((3L, 2L, 666666L))))
+  }
+
+  test("lengthBucketBatches: hand-traced buckets, capacity, padding") {
+    import graft.text.TrainPrep
+    // token counts 1,100,128 -> bucket 128 (capacity 2); 129,200 ->
+    // bucket 256 (capacity 1)
+    val docs = Seq((1L, 1L), (2L, 100L), (3L, 128L), (4L, 129L),
+      (5L, 200L)).toDF("doc_id", "n")
+    val got = TrainPrep.lengthBucketBatches(docs, "doc_id", col("n"),
+        bucketWidth = 128, batchTokens = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (128L, 0L) -> ((2L, 101L, 155L)),
+      (128L, 1L) -> ((1L, 128L, 0L)),
+      (256L, 0L) -> ((1L, 129L, 127L)),
+      (256L, 1L) -> ((1L, 200L, 56L))))
+  }
 }

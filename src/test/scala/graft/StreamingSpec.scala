@@ -175,4 +175,38 @@ class StreamingSpec extends SparkSpec {
     assert(first((1L, "view")) == (3L, 2L))
     assert(first((2L, "click")) == (4L, 2L))
   }
+
+  test("stream-stream attribution interval join equals the batch twin") {
+    def mk(id: Long, u: Long, t: String, ts: String) =
+      (id, u, t, Timestamp.valueOf(ts), 0.0)
+    val rows = Seq(
+      mk(1, 1, "view", "2026-01-01 00:00:00"),
+      mk(2, 1, "click", "2026-01-01 00:03:00"), // credits view 1
+      mk(3, 1, "view", "2026-01-01 00:05:00"),
+      mk(4, 1, "click", "2026-01-01 00:06:00"), // credits view 3 only
+      mk(5, 2, "click", "2026-01-01 00:01:00"), // no prior view
+      mk(6, 2, "view", "2026-01-01 00:10:00"),  // no later click
+      mk(7, 1, "click", "2026-01-01 00:05:00")  // ties view 3: NOT > its ts
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = Files.createTempDirectory("graft-attr").toString
+    rows.repartition(2).write.mode("overwrite").parquet(dir)
+
+    val expected = Set((1L, 1L, 2L), (1L, 1L, 7L), (1L, 3L, 4L))
+    val batch = Streaming.attributionBatch(spark.read.parquet(dir), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(batch == expected) // (user, view_id, click_id)
+
+    val src = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streaming.attributionStream(
+        src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"), 5)
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(streamed == expected)
+  }
 }
