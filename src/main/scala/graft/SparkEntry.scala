@@ -1380,6 +1380,132 @@ object SparkEntry {
       ConnectedComponents.run(s,
         Edges.symmetrize(cooc(s, d).select(col("src"), col("dst"))),
         initState = Some(warm)).components
+    }),
+
+    // motif (triangle-weighted) conductance of the brand partition:
+    // communities judged by the TRIANGLES they cut (edge weight = q74's
+    // triangle support) — robust to weak-tie noise; complements q134
+    "q146_motif_conductance" -> ((s, d) => {
+      val supE = graft.kernels.GraphStats.edgeEmbeddedness(e2(s, d))
+        .select(col("src"), col("dst"), col("sup").as("weight"))
+      val brands = broadcast(T(s, d, "part")
+        .select(col("p_partkey").as("vid"), col("p_brand").as("label")))
+      graft.kernels.GraphStats.conductanceWeighted(supE, brands)
+    }),
+
+    // hub-removal robustness census: for each of the top-5 degree hubs,
+    // the component count and largest-component size among vertices that
+    // retain an edge after the hub is removed — the single-point-of-
+    // failure profile; 5 bounded per-seed CC runs (J4 license, like MCF)
+    "q147_hub_impact" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
+      val hubs = Edges.degrees(sym)
+        .orderBy(col("degree").desc, col("vid")).limit(5)
+        .select(col("vid")).collect().map(_.getLong(0)) // 5-row collect
+      val per = hubs.toSeq.map { h =>
+        val rem = sym.filter(col("src") =!= h && col("dst") =!= h)
+        ConnectedComponents.run(s, rem).components
+          .groupBy(col("component")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_components"), max(col("n")).as("largest"))
+          .select(lit(h).as("hub"), col("n_components"), col("largest"))
+      }
+      per.reduce(_ union _).localCheckpoint(eager = true)
+    }),
+
+    // s-core (weighted core, Eidsaa-Almaas): strength-based peel on the
+    // full co-occurrence weights, 3 FIXED rounds for the staged oracle
+    // (the fixpoint path is spec-covered); survivors' strengths
+    "q148_score" -> ((s, d) =>
+      graft.kernels.KCore.sCore(cooc(s, d), s = 8L, maxRounds = 3)),
+
+    // corpus-curation funnel: the end-to-end keep pipeline (language ->
+    // length -> exact-dedup survivor -> decontamination) with per-stage
+    // attrition counts — every stage is an already-verified operator
+    // (q20/q18/q16/q65) composed into one plan
+    "q149_curation_funnel" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val s1 = docs
+      val s2 = s1.filter(TF.langId(col("text")) === "en")
+      val s3 = s2.filter(TF.tokenCount(col("text")) >= 20)
+      val keepers = s3.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s4 = s3.join(keepers, Seq("doc_id"), "left_semi")
+      val isBench = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(1000L)) < 30
+      val flagged = graft.text.TrainPrep.contamination(
+          s4.filter(!isBench), "doc_id", "text",
+          docs.filter(isBench), "text", n = 3, minShared = 1L)
+        .select(col("doc_id"))
+      val s5 = s4.filter(!isBench).join(flagged, Seq("doc_id"), "left_anti")
+      Seq(("1_all", s1), ("2_lang", s2), ("3_length", s3),
+        ("4_dedup", s4), ("5_decontam", s5))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
+            col("n_docs"))
+        }
+        .reduce(_ union _)
+    }),
+
+    // Iceberg-style MERGE INTO (upsert): a deterministic update batch
+    // (sha%10 slice relabeled) plus an insert batch (shifted ids) merged
+    // into a documents catalog; the latest snapshot is read back — prior
+    // snapshots stay time-travelable (CatalogSpec)
+    "q150_catalog_merge" -> ((s, d) => {
+      val root = scratchDir("graft_mrg")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      cat.createOrReplace("docs", docs)
+      val touched = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(10L)) === 0
+      val updates = docs.filter(touched)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+      val inserts = docs.filter(touched)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("new").as("lang"), col("n_chars"))
+      cat.merge(s, "docs", updates.unionByName(inserts), "doc_id")
+      cat.read(s, "docs")
+    }),
+
+    // row-level CDC between two catalog snapshots (changelog scan):
+    // delete a sha%7 slice, upsert the q150-style update batch, then
+    // diff snapshot 0 vs latest — one (key, payload-sha) full outer join
+    "q151_cdc" -> ((s, d) => {
+      val root = scratchDir("graft_cdc")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val s0 = cat.createOrReplace("docs", docs)
+      cat.deleteWhere(s, "docs",
+        pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+          lit(7L)) === 0)
+      val touched = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(10L)) === 0
+      cat.merge(s, "docs",
+        docs.filter(touched)
+          .select(col("doc_id"), lit("xx").as("lang"), col("n_chars")),
+        "doc_id")
+      graft.catalog.Cdc.rowDiff(cat.readSnapshot(s, "docs", s0),
+        cat.read(s, "docs"), "doc_id", Seq("lang", "n_chars"))
+    }),
+
+    // exact-percentile winsorization of document token counts at
+    // p05/p95 — outlier capping before packing/weighted sampling
+    "q152_winsorize" -> ((s, d) =>
+      graft.text.TrainPrep.winsorize(T(s, d, "documents"), "doc_id",
+        TF.tokenCount(col("text")), loPct = 5, hiPct = 95)),
+
+    // HLL register-set ALGEBRA: per-type register tables for view/click
+    // merged by max into the union sketch — the mergeability that makes
+    // the sketch a scale primitive (distinct users over view ∪ click
+    // without re-touching either side's raw events)
+    "q153_hll_union" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .filter(col("event_type").isin("view", "click"))
+      graft.text.Sketches.hllRegisters(ev, "event_type", "user_id")
+        .groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
     })
   )
 
@@ -3990,6 +4116,165 @@ object SparkEntry {
          |  UNION
          |  SELECT s.d, r.lbl FROM reach r JOIN fsym s ON r.vid = s.s
          |)
-         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin
+         |SELECT vid, min(lbl) AS component FROM reach GROUP BY vid""".stripMargin,
+    // triangle support per canonical edge (the q69 s0 stage), then the
+    // q134 conductance shape with weighted sums
+    "q146_motif_conductance" ->
+      s"""WITH $CTE,
+         |t0 AS MATERIALIZED (SELECT a.s AS x, a.d AS y, b.d AS z
+         |       FROM e a JOIN e b ON a.d = b.s JOIN e c ON a.s = c.s AND b.d = c.d),
+         |s0 AS MATERIALIZED (SELECT s, d, count(*) AS sup FROM (
+         |         SELECT x AS s, y AS d FROM t0 UNION ALL
+         |         SELECT x, z FROM t0 UNION ALL SELECT y, z FROM t0) u0
+         |       GROUP BY 1, 2),
+         |w AS (SELECT e.s, e.d, coalesce(s0.sup, 0) AS weight
+         |      FROM e LEFT JOIN s0 ON e.s = s0.s AND e.d = s0.d),
+         |symw AS (SELECT s, d, weight FROM w
+         |         UNION ALL SELECT d, s, weight FROM w),
+         |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM symw),
+         |lbl AS (SELECT p_partkey AS vid, p_brand AS label FROM part),
+         |per AS (SELECT a.label,
+         |          CAST(sum(symw.weight) AS BIGINT) AS volume_w,
+         |          CAST(sum(CASE WHEN a.label <> b.label
+         |                        THEN symw.weight ELSE 0 END) AS BIGINT) AS cut_w
+         |        FROM symw JOIN lbl a ON symw.s = a.vid
+         |                  JOIN lbl b ON symw.d = b.vid
+         |        GROUP BY 1)
+         |SELECT label, cut_w, volume_w,
+         |       round(CAST(cut_w AS DOUBLE)
+         |               / nullif(least(volume_w, tot.tw - volume_w), 0), 8)
+         |         AS conductance
+         |FROM per CROSS JOIN tot""".stripMargin,
+    // hub-keyed hash-min recursion: one recursive CTE carries the hub id
+    // through, seeds = endpoints of edges that survive the hub's removal
+    "q147_hub_impact" ->
+      s"""WITH RECURSIVE $CTE,
+         |hubs AS (SELECT vid FROM deg ORDER BY degree DESC, vid LIMIT 5),
+         |reach(hub, vid, lbl) AS (
+         |  SELECT h.vid, s.s, s.s FROM hubs h
+         |  JOIN sym s ON s.s <> h.vid AND s.d <> h.vid
+         |  UNION
+         |  SELECT r.hub, s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |  WHERE s.d <> r.hub
+         |),
+         |comp AS (SELECT hub, vid, min(lbl) AS c FROM reach GROUP BY 1, 2),
+         |sizes AS (SELECT hub, c, count(*) AS n FROM comp GROUP BY 1, 2)
+         |SELECT hub, CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(max(n) AS BIGINT) AS largest
+         |FROM sizes GROUP BY 1""".stripMargin,
+    // 3 staged strength-peel rounds over the full weighted graph, then
+    // survivors' strengths (the round the Spark peel stops at)
+    "q148_score" ->
+      s"""WITH $CTE,
+         |w0 AS MATERIALIZED (SELECT src AS s, dst AS d, weight FROM cooc),
+         |st0 AS (SELECT s AS vid, CAST(sum(weight) AS BIGINT) AS str FROM
+         |        (SELECT s, d, weight FROM w0
+         |         UNION ALL SELECT d, s, weight FROM w0) GROUP BY 1),
+         |k0 AS (SELECT vid FROM st0 WHERE str >= 8),
+         |w1 AS MATERIALIZED (SELECT w0.s, w0.d, w0.weight FROM w0
+         |       JOIN k0 a ON w0.s = a.vid JOIN k0 b ON w0.d = b.vid),
+         |st1 AS (SELECT s AS vid, CAST(sum(weight) AS BIGINT) AS str FROM
+         |        (SELECT s, d, weight FROM w1
+         |         UNION ALL SELECT d, s, weight FROM w1) GROUP BY 1),
+         |k1 AS (SELECT vid FROM st1 WHERE str >= 8),
+         |w2 AS MATERIALIZED (SELECT w1.s, w1.d, w1.weight FROM w1
+         |       JOIN k1 a ON w1.s = a.vid JOIN k1 b ON w1.d = b.vid),
+         |st2 AS (SELECT s AS vid, CAST(sum(weight) AS BIGINT) AS str FROM
+         |        (SELECT s, d, weight FROM w2
+         |         UNION ALL SELECT d, s, weight FROM w2) GROUP BY 1),
+         |k2 AS (SELECT vid FROM st2 WHERE str >= 8),
+         |w3 AS MATERIALIZED (SELECT w2.s, w2.d, w2.weight FROM w2
+         |       JOIN k2 a ON w2.s = a.vid JOIN k2 b ON w2.d = b.vid)
+         |SELECT s AS vid, CAST(sum(weight) AS BIGINT) AS strength FROM
+         |       (SELECT s, d, weight FROM w3
+         |        UNION ALL SELECT d, s, weight FROM w3) GROUP BY 1""".stripMargin,
+    // the q20 lang rule, a length gate, the q16 min-id dedup survivor,
+    // and the q65 trigram decontamination, composed; one count per stage
+    "q149_curation_funnel" ->
+      """WITH lang AS (SELECT doc_id, text,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS e,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht'))) AS d,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','est','que'))) AS f
+        |  FROM documents),
+        |d2 AS MATERIALIZED (SELECT doc_id, text FROM lang
+        |      WHERE e >= d AND e >= f AND e > 0),
+        |d3 AS MATERIALIZED (SELECT doc_id, text FROM d2
+        |      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+        |kp AS (SELECT min(doc_id) AS doc_id FROM d3 GROUP BY sha256(text)),
+        |d4 AS MATERIALIZED (SELECT d3.doc_id, d3.text FROM d3
+        |      JOIN kp ON d3.doc_id = kp.doc_id),
+        |nb AS MATERIALIZED (SELECT doc_id, text FROM d4
+        |      WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 >= 30),
+        |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |       FROM documents
+        |       WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 30),
+        |bpos AS (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+        |         FROM bt WHERE len(t) >= 3),
+        |bg AS MATERIALIZED (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+        |      FROM bpos),
+        |npos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |               FROM nb) WHERE len(t) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM npos),
+        |flagged AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bg ON n.g = bg.g),
+        |d5 AS (SELECT nb.doc_id FROM nb LEFT JOIN flagged fl
+        |       ON nb.doc_id = fl.doc_id WHERE fl.doc_id IS NULL)
+        |SELECT '1_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |UNION ALL SELECT '2_lang', CAST(count(*) AS BIGINT) FROM d2
+        |UNION ALL SELECT '3_length', CAST(count(*) AS BIGINT) FROM d3
+        |UNION ALL SELECT '4_dedup', CAST(count(*) AS BIGINT) FROM d4
+        |UNION ALL SELECT '5_decontam', CAST(count(*) AS BIGINT) FROM d5""".stripMargin,
+    // simulated MERGE: matched keys take the update payload, the insert
+    // batch appends shifted ids
+    "q150_catalog_merge" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |  CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS h10
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN h10 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       CASE WHEN h10 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+        |FROM h
+        |UNION ALL
+        |SELECT doc_id + 10000000, 'new', n_chars FROM h WHERE h10 = 0""".stripMargin,
+    // the delete+merge sequence folded into CASE logic: the sha%10 slice
+    // ends updated (its lang always changes), the rest of the sha%7
+    // slice ends deleted; everything else is unchanged and not emitted
+    "q151_cdc" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 7 AS h7,
+        |  CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS h10
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN h10 = 0 THEN 'update' ELSE 'delete' END AS op
+        |FROM h WHERE h10 = 0 OR h7 = 0""".stripMargin,
+    // exact-percentile thresholds from the cumulative value histogram,
+    // per-row integer clipping
+    "q152_winsorize" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n FROM d),
+        |hist AS (SELECT v, count(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+        |lo AS (SELECT min(v) AS lo FROM cum CROSS JOIN n WHERE cum * 100 >= n.n * 5),
+        |hi AS (SELECT min(v) AS hi FROM cum CROSS JOIN n WHERE cum * 100 >= n.n * 95)
+        |SELECT doc_id, v, least(greatest(v, lo), hi) AS v_clipped,
+        |       CAST(CASE WHEN v < lo THEN -1 WHEN v > hi THEN 1 ELSE 0 END
+        |            AS BIGINT) AS tail
+        |FROM d CROSS JOIN lo CROSS JOIN hi""".stripMargin,
+    // the q114 register replay restricted to view/click, merged by max
+    "q153_hll_union" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |           FROM events WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT h % 64 AS reg, h // 64 AS rest FROM h)
+        |SELECT reg,
+        |       CAST(max(CASE WHEN rest = 0 THEN 55
+        |                ELSE instr(lpad(bin(rest), 54, '0'), '1') END) AS BIGINT)
+        |         AS max_rank
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

@@ -40,6 +40,23 @@ trait CatalogAdapter {
     createOrReplace(name, remaining)
   }
 
+  /** Iceberg-style MERGE INTO (upsert by key): commit a NEW snapshot
+    * where rows of `updates` REPLACE current rows sharing their `key`
+    * and keys absent from the table INSERT; untouched rows carry over.
+    * (MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT —
+    * the write path of any SCD/refresh pipeline.) One anti-join + one
+    * union; prior snapshots stay time-travelable. `updates` must carry
+    * the table schema and at most one row per key (enforced by the
+    * caller, as in Iceberg). */
+  def merge(spark: SparkSession, name: String, updates: DataFrame,
+            key: String): Long = {
+    val cur = read(spark, name)
+    val kept = cur.join(
+      updates.select(org.apache.spark.sql.functions.col(key)),
+      Seq(key), "left_anti")
+    createOrReplace(name, kept.unionByName(updates))
+  }
+
   /** Iceberg-style compaction (rewrite data files): commit a NEW snapshot
     * with the SAME content as the latest, rewritten into `files` output
     * files — the table-maintenance pass a long-lived append-heavy table

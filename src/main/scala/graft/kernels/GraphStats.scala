@@ -212,6 +212,39 @@ object GraphStats {
           .as("conductance"))
   }
 
+  /** Weighted (motif) conductance: [[conductance]] generalized to a
+    * weighted canonical edge table — with triangle support as the weight
+    * this is MOTIF conductance (Benson–Gleich–Leskovec, Science 2016):
+    * communities are judged by how many TRIANGLES they cut, not raw
+    * edges, which is robust to the weak-tie noise of co-occurrence
+    * graphs. volW(S) = member-incident weight sum, cutW(S) =
+    * cross-label weight sum, phi = cutW / min(volW, totW − volW). All
+    * sums are exact integers (supports/weights are counts); same
+    * two-broadcast-join shape as the unweighted metric. */
+  def conductanceWeighted(weighted: DataFrame, labels: DataFrame): DataFrame = {
+    val symW = weighted.select(col("src"), col("dst"), col("weight"))
+      .union(weighted.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    // empty-input guard (sum over zero rows is NULL)
+    val tot = Option(symW.agg(sum(col("weight"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val l = labels.select(col("vid"), col("label"))
+    symW
+      .join(l.withColumnRenamed("vid", "src")
+        .withColumnRenamed("label", "ls"), "src")
+      .join(l.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("label", "ld"), "dst")
+      .groupBy(col("ls").as("label"))
+      .agg(sum(col("weight")).as("volume_w"),
+        sum(when(col("ls") =!= col("ld"), col("weight")).otherwise(0L))
+          .as("cut_w"))
+      .select(col("label"), col("cut_w"), col("volume_w"),
+        round(col("cut_w").cast("double") /
+          nullif(least(col("volume_w"), lit(tot) - col("volume_w")),
+            lit(0L)), 8)
+          .as("conductance"))
+  }
+
   /** Diameter lower bound by double sweep (Magnien-Latapy-Habib): BFS
     * from the max-degree vertex (ties: min vid), then BFS from the
     * farthest vertex found; that second eccentricity is within a factor

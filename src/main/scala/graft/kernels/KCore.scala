@@ -68,6 +68,51 @@ object KCore {
     c
   }
 
+  /** s-core (weighted k-core — Eidsaa & Almaas, PRE 2013): peel vertices
+    * whose STRENGTH (sum of incident weights) is below `s` until
+    * fixpoint; the natural core notion on weighted link graphs, where a
+    * vertex with two weight-10 edges is more embedded than one with five
+    * weight-1 edges. Same peel shape as [[run]] (one strength agg + two
+    * semi-joins per round, localCheckpoint-truncated lineage).
+    * `maxRounds` fixes the round count for oracle-parity replay (the
+    * fixpoint path is spec-covered). Returns (vid, strength) over the
+    * surviving edge set — after a capped run, strengths are as of the
+    * last completed round, exactly what the staged oracle computes.
+    * @param weighted canonical undirected (src, dst, weight) */
+  def sCore(weighted: DataFrame, s: Long,
+            maxRounds: Int = Int.MaxValue): DataFrame = {
+    def symW(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    def strengths(e: DataFrame): DataFrame =
+      symW(e).groupBy(col("src").as("vid"))
+        .agg(sum(col("weight")).as("strength"))
+    var e = weighted.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(eager = true)
+    var n = e.count()
+    var round = 0
+    var done = n == 0
+    while (!done && round < maxRounds) {
+      round += 1
+      val keep = strengths(e).filter(col("strength") >= s)
+        .select(col("vid"))
+      val kept = e
+        .join(keep.withColumnRenamed("vid", "src").hint("SHUFFLE_HASH"),
+          Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("vid", "dst").hint("SHUFFLE_HASH"),
+          Seq("dst"), "left_semi")
+        // the Seq-key joins move their key to column 0; restore the
+        // canonical order symW's positional union depends on
+        .select(col("src"), col("dst"), col("weight"))
+        .localCheckpoint(eager = true)
+      val kn = kept.count()
+      done = kn == n
+      e = kept
+      n = kn
+    }
+    strengths(e)
+  }
+
   final case class Result(core: DataFrame,
                           metrics: Seq[IterationMetric],
                           iterations: Int,

@@ -362,6 +362,39 @@ object TrainPrep {
       .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tokens"))
   }
 
+  /** Exact-percentile winsorization (outlier capping): clip an integer
+    * value column at the exact loPct/hiPct percentiles (smallest value
+    * whose cumulative count reaches ceil(p·n/100) — the q104/degree-
+    * profile order statistic) and report the clipped value + which tail
+    * each row hit. The outlier-control pass before length-weighted
+    * sampling or packing: one extreme doc otherwise dominates token
+    * budgets. Shape: one value-histogram aggregation, a window over the
+    * DISTINCT values (bounded by the value cardinality, not |rows|),
+    * two scalar thresholds folded back as literals via a broadcast-sized
+    * cross join; the data pass is per-row arithmetic. */
+  def winsorize(df: DataFrame, idCol: String, valueCol: Column,
+                loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100)
+    val base = df.select(col(idCol).as("id"), valueCol.cast("long").as("v"))
+    val hist = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .persist()
+    val n = base.count()
+    if (n == 0)
+      return base.select(col("id").as(idCol), col("v"),
+        col("v").as("v_clipped"), lit(0L).as("tail")).filter(lit(false))
+    def pct(q: Int): Long = cum.filter(col("cum") * 100 >= n * q)
+      .agg(min(col("v"))).head().getLong(0)
+    val (lo, hi) = (pct(loPct), pct(hiPct))
+    cum.unpersist()
+    base.select(col("id").as(idCol), col("v"),
+      least(greatest(col("v"), lit(lo)), lit(hi)).as("v_clipped"),
+      when(col("v") < lo, -1L).when(col("v") > hi, 1L).otherwise(0L)
+        .as("tail"))
+  }
+
   /** Padding-efficient length-bucketed batch assembly (the group-by-
     * length batching of finetuning pipelines): documents fall into
     * width-`bucketWidth` token-length buckets, each bucket packs

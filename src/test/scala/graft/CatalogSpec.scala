@@ -1,6 +1,6 @@
 package graft
 
-import graft.catalog.LocalCatalog
+import graft.catalog.{Cdc, LocalCatalog}
 import java.nio.file.Files
 
 /** Catalog seam: atomic snapshot commits, append-as-new-snapshot,
@@ -115,5 +115,32 @@ class CatalogSpec extends SparkSpec {
     assert(cat.snapshots("t").max > snapPre)
     assert(cat.readSnapshot(spark, "t", snapPre)
       .collect().map(_.getLong(0)).sorted === before)
+  }
+
+  test("merge: matched keys update, new keys insert, history intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val cat = new LocalCatalog(root)
+    val s0 = cat.createOrReplace("t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    cat.merge(spark, "t", Seq((2L, "B"), (9L, "i")).toDF("k", "v"), "k")
+    val latest = cat.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
+    // pre-merge snapshot unchanged
+    val old = cat.readSnapshot(spark, "t", s0).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("cdc rowDiff: insert/delete/update classified, unchanged silent") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "n")
+    val after = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L))
+      .toDF("k", "v", "n")
+    val got = Cdc.rowDiff(before, after, "k", Seq("v", "n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
   }
 }

@@ -1053,6 +1053,31 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("weighted conductance: hand-computed cut/volume on a labeled path") {
+    import spark.implicits._
+    val w = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 5L))
+      .toDF("src", "dst", "weight")
+    val lbl = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("vid", "label")
+    // tot = 18; A: vol 13, cut 5 -> 5/min(13,5) = 1.0; B: vol 5, cut 5
+    val got = GraphStats.conductanceWeighted(w, lbl).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map("A" -> ((5L, 13L, 1.0)), "B" -> ((5L, 5L, 1.0))))
+  }
+
+  test("s-core: strength peel to fixpoint and cascade-to-empty") {
+    import spark.implicits._
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 3L), (3L, 4L, 5L))
+      .toDF("src", "dst", "weight")
+    // s=4: strengths 5,8,8,5 all survive round 1 unchanged -> fixpoint
+    val s4 = KCore.sCore(w, s = 4L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s4 == Map(1L -> 5L, 2L -> 8L, 3L -> 8L, 4L -> 5L))
+    // s=6: keep {2,3} -> edge (2,3) only -> strengths 3,3 -> empty
+    assert(KCore.sCore(w, s = 6L).count() == 0L)
+  }
+
   test("ego density: star is sparse, clique and leaf are 1.0") {
     def densities(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
       GraphStats.egoDensity(edgeDF(es)).collect()

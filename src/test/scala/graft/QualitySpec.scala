@@ -238,6 +238,22 @@ class QualitySpec extends SparkSpec {
     assert(got == Map(1L -> ((3L, 0L, 0L)), 2L -> ((3L, 2L, 666666L))))
   }
 
+  test("winsorize: exact-percentile clipping and tail flags") {
+    import graft.text.TrainPrep
+    // counts: 1 x4, 5 x4, 100, 200 -> cum(1)=4, cum(5)=8, cum(100)=9,
+    // cum(200)=10; lo(p20): cum*100 >= 200 -> v=1; hi(p80): >= 800 -> v=5
+    val vals = Seq(1L, 1L, 1L, 1L, 5L, 5L, 5L, 5L, 100L, 200L)
+    val docs = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "n")
+    val got = TrainPrep.winsorize(docs, "doc_id", col("n"), 20, 80)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(8L) == ((100L, 5L, 1L)))
+    assert(got(9L) == ((200L, 5L, 1L)))
+    assert(got(0L) == ((1L, 1L, 0L)))
+    assert(got(4L) == ((5L, 5L, 0L)))
+  }
+
   test("lengthBucketBatches: hand-traced buckets, capacity, padding") {
     import graft.text.TrainPrep
     // token counts 1,100,128 -> bucket 128 (capacity 2); 129,200 ->
