@@ -1506,6 +1506,53 @@ object SparkEntry {
         .filter(col("event_type").isin("view", "click"))
       graft.text.Sketches.hllRegisters(ev, "event_type", "user_id")
         .groupBy(col("reg")).agg(max(col("max_rank")).as("max_rank"))
+    }),
+
+    // oracle-parity product quantization ANN (ADC): m=8 subspace
+    // codebooks from the q58 sha sample, integer encode argmin, exact
+    // asymmetric-distance scan for a sha-sampled query slice — the
+    // codes-in-memory quantization member next to int8 (q91) and IVF
+    // (q58); at 100 TB the IVF routing composes in front of the ADC scan
+    "q154_pq_parity" -> ((s, d) =>
+      Ann.pqTopKParity(T(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ksub = 16)),
+
+    // lexical diversity (type-token ratio + Gini–Simpson index, integer
+    // ppm): the repetitive/template/spam text gate that length and
+    // stopword ratios (q19) miss
+    "q155_diversity" -> ((s, d) =>
+      graft.text.QualityRules.tokenDiversity(
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // catalog ADD COLUMN schema evolution: append a batch carrying a new
+    // `quality` column; the merged read widens the table and back-fills
+    // prior rows (surfaced as -1 via coalesce: a null bigint would
+    // round-trip as float through the driver's pandas compare)
+    "q156_schema_evolution" -> ((s, d) => {
+      val root = scratchDir("graft_evo")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents")
+      cat.createOrReplace("evo", docs.select(col("doc_id"), col("lang")))
+      val touched = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(10L)) === 0
+      cat.append("evo", docs.filter(touched)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).as("quality")))
+      cat.read(s, "evo")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("quality"), lit(-1L)).as("quality"))
+    }),
+
+    // contamination severity ladder: longest benchmark n-gram shared
+    // (3/6/12 words) — triage between incidental phrase overlap and
+    // verbatim benchmark leakage (the graded twin of q65's boolean)
+    "q157_contamination_severity" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val isBench = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(1000L)) < 30
+      graft.text.TrainPrep.contaminationSeverity(
+        docs.filter(!isBench), "doc_id", "text",
+        docs.filter(isBench), "text", sizes = Seq(3, 6, 12))
     })
   )
 
@@ -4275,6 +4322,86 @@ object SparkEntry {
         |       CAST(max(CASE WHEN rest = 0 THEN 55
         |                ELSE instr(lpad(bin(rest), 54, '0'), '1') END) AS BIGINT)
         |         AS max_rank
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+    // PQ replay: codebook = subvectors of the 16 sha-ranked vectors,
+    // integer encode argmin (ties low cid), exact ADC sum over stored
+    // codes for the sha%1000<40 query slice, top-5 by (adc, id)
+    "q154_pq_parity" ->
+      """WITH qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |hh AS (SELECT vec_id, q,
+        |              CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |       FROM qv),
+        |samp AS (SELECT q, CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
+        |         FROM hh QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+        |cb AS (SELECT (generate_subscripts(q, 1) - 1) // 8 AS s, cid,
+        |              (generate_subscripts(q, 1) - 1) % 8 AS dpos, unnest(q) AS c
+        |       FROM samp),
+        |comp AS (SELECT vec_id, (generate_subscripts(q, 1) - 1) // 8 AS s,
+        |                (generate_subscripts(q, 1) - 1) % 8 AS dpos, unnest(q) AS x
+        |         FROM qv),
+        |d2 AS (SELECT comp.vec_id, cb.s, cb.cid,
+        |              sum((comp.x - cb.c) * (comp.x - cb.c)) AS d2
+        |       FROM comp JOIN cb ON cb.s = comp.s AND cb.dpos = comp.dpos
+        |       GROUP BY 1, 2, 3),
+        |code AS (SELECT vec_id AS nn_id, s, cid FROM d2
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) = 1),
+        |qd AS (SELECT d.* FROM d2 d JOIN hh ON hh.vec_id = d.vec_id
+        |       WHERE hh.h % 1000 < 40),
+        |adc AS (SELECT qd.vec_id, code.nn_id, CAST(sum(qd.d2) AS BIGINT) AS adc
+        |        FROM qd JOIN code ON code.s = qd.s AND code.cid = qd.cid
+        |        WHERE code.nn_id <> qd.vec_id
+        |        GROUP BY 1, 2)
+        |SELECT vec_id, nn_id,
+        |       CAST(row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY adc, nn_id) AS BIGINT) AS rnk,
+        |       adc
+        |FROM adc
+        |QUALIFY rnk <= 5""".stripMargin,
+    // integer diversity replay: same whitespace tokens, per-word counts,
+    // ppm floor division
+    "q155_diversity" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |wc AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |              CAST(sum(c * c) AS BIGINT) AS sumsq
+        |       FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tokens, distinct_tokens,
+        |       CAST(distinct_tokens * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |       CAST(1000000 - sumsq * 1000000 // (n_tokens * n_tokens) AS BIGINT)
+        |         AS gini_ppm
+        |FROM ag""".stripMargin,
+    // schema evolution replay: the base snapshot lacks `quality`
+    // (back-filled -1); the appended slice carries its token count
+    "q156_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(-1 AS BIGINT) AS quality FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000 AS doc_id, lang,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS quality
+        |FROM documents
+        |WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0""".stripMargin,
+    // severity ladder replay: q65's gram pipeline over sizes {3,6,12},
+    // max matched size per non-benchmark doc
+    "q157_contamination_severity" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |                    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 30 AS is_bench
+        |             FROM documents),
+        |sz AS (SELECT unnest([3, 6, 12]) AS g_n),
+        |pos AS (SELECT doc_id, t, is_bench, g_n,
+        |               unnest(generate_series(1, len(t) - g_n + 1)) AS i
+        |        FROM tok CROSS JOIN sz WHERE len(t) >= g_n),
+        |ng AS (SELECT DISTINCT doc_id, is_bench, g_n,
+        |              array_to_string(t[i:i+g_n-1], ' ') AS g
+        |       FROM pos),
+        |bg AS (SELECT DISTINCT g_n, g FROM ng WHERE is_bench)
+        |SELECT n.doc_id, CAST(max(n.g_n) AS BIGINT) AS max_gram
+        |FROM ng n JOIN bg ON n.g_n = bg.g_n AND n.g = bg.g
+        |WHERE NOT n.is_bench
+        |GROUP BY 1""".stripMargin
   )
 }

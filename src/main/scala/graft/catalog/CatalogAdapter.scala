@@ -120,12 +120,17 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
         .map(_.group(2).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
     }.headOption.getOrElse(Seq.empty)
 
-  /** A snapshot's content = its own files plus (for appends) its parents'. */
+  /** A snapshot's content = its own files plus (for appends) its parents'.
+    * `mergeSchema` gives Iceberg-style ADD COLUMN evolution: an append
+    * whose schema has extra columns widens the table and back-fills prior
+    * rows with null on read (real Iceberg resolves the schema from table
+    * metadata instead of file footers; this local stand-in pays one
+    * footer read per file, fine at its scale). */
   override def readSnapshot(spark: SparkSession, name: String,
                             snapshot: Long): DataFrame = {
     val dirs = (parentsOf(name, snapshot) :+ snapshot).distinct.sorted
       .map(s => tableDir(name).resolve(f"snap_$s%06d").toString)
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   override def snapshots(name: String): Seq[Long] =

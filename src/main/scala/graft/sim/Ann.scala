@@ -346,6 +346,73 @@ object Ann {
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
   }
 
+  /** Oracle-parity product quantization (PQ) ANN — the codes-in-memory
+    * quantization family member next to scalar int8 ([[quantizeInt8]]'s
+    * q91 caller) and coarse IVF ([[ivfTopKParity]]): the vector is split
+    * into `m` subspaces of dim/m components, each subspace gets a ksub-
+    * codeword codebook, and a vector is stored as m small codes. Queries
+    * rank the corpus by asymmetric distance (ADC): the EXACT query-to-
+    * codeword distance per subspace, summed over the stored codes — the
+    * IVF-PQ design point (Jégou et al., TPAMI'11), where the scan touches
+    * m bytes per vector instead of dim floats.
+    *
+    * Every decision is integer/sha-deterministic, so an oracle replays it
+    * bit-for-bit (the same discipline as [[lshTopKParity]]):
+    *  - vectors quantized via [[quantize]];
+    *  - codebook (s, cid) = subvector s of the `ksub` sha-ranked sample
+    *    vectors ([[shaCentroids]] sample — no Lloyd refinement);
+    *  - encoding argmin by exact integer ‖v_sub − c‖², ties to lower cid;
+    *  - ADC = Σ_s ‖q_sub − c_code(v,s)‖² (integers), top-k by (adc, id).
+    *
+    * Scale shape: the codebook is m·ksub·subDim rows BROADCAST; encoding
+    * is one explode + map-side-combined aggregation (no corpus shuffle);
+    * the ADC scan joins the (query, s, cid) distance table — m·ksub rows
+    * per query — against the m-rows-per-vector code table on (s, cid),
+    * i.e. the linear-scan-over-codes PQ is designed for. Queries are a
+    * sha-sampled `queryPpt`/1000 slice so the scan is a fraction of n²
+    * at any corpus size; at 100 TB the q58 IVF routing composes in front
+    * (probe lists first, ADC inside probed lists). */
+  def pqTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+                   scale: Int = 1000, queryPpt: Int = 40): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val subDim = dim / m
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qv = vecs.select(col(idCol).as("vid"),
+      quantize(col(vecCol), scale).as("q"))
+    val samp = shaCentroids(qv, ksub)
+    val cb = (for {
+      cid <- samp.indices; pos <- 0 until dim
+    } yield (pos / subDim, cid.toLong, pos % subDim, samp(cid)(pos)))
+      .toDF("s", "cid", "dpos", "c")
+    val comp = qv.select(col("vid"), posexplode(col("q")))
+      .select(col("vid"), expr(s"pos div $subDim").as("s"),
+        expr(s"pos % $subDim").as("dpos"), col("col").as("x"))
+    // exact integer distance of every vector's every subvector to every
+    // codeword of that subspace: m·ksub rows per vector, map-side combined
+    val d2 = comp.join(broadcast(cb), Seq("s", "dpos"))
+      .groupBy(col("vid"), col("s"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    // the PQ code: argmin codeword per (vector, subspace), ties low cid
+    val code = d2.groupBy(col("vid"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("vid").as("nn_id"), col("s"),
+        col("mn").getField("cid").as("cid"))
+    val qd = d2.filter(pmod(graft.text.Dedup.shaTokenHash60(
+        col("vid").cast("string")), lit(1000L)) < queryPpt)
+      .select(col("vid").as("vec_id"), col("s"), col("cid"), col("d2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("adc"), col("nn_id"))
+    qd.join(code, Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .groupBy(col("vec_id"), col("nn_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("adc"))
+  }
+
   /** kNN label-consistency check (the Wilson-editing family of label-
     * noise detectors): per labeled vector, the ppm fraction of its
     * ≤k nearest neighbors (exact integer MIPS over [[lshTopKParity]]

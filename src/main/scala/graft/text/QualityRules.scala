@@ -138,6 +138,32 @@ object QualityRules {
     * exactly the point and a count is skew-proof), join back on phrase,
     * re-aggregate by doc. The document text itself never shuffles; only
     * (id, phrase-hash, count) triples move. */
+  /** Lexical diversity as an integer-exact quality signal: per document,
+    * the type-token ratio and the Gini–Simpson index of the word
+    * distribution, both in ppm. Gini–Simpson = 1 − Σ(cᵢ/n)² — the
+    * probability two random tokens differ — computed entirely in integer
+    * arithmetic (1e6 − sumsq·1e6 div n²), no libm, so any engine replays
+    * it bit-for-bit. Low diversity flags repetitive/template/spam text
+    * that length or stopword ratios miss (cf. repetition filters in
+    * Gopher/C4-style pipelines; [[repetitionStats]] is the n-gram twin).
+    * Scale: one explode + two map-side-combined aggregations keyed by
+    * doc_id — no corpus-text shuffle. */
+  def tokenDiversity(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val cnt = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        expr("distinct_tokens * 1000000L div n_tokens").as("ttr_ppm"),
+        (lit(1000000L) -
+          expr("sumsq * 1000000L div (n_tokens * n_tokens)")).as("gini_ppm"))
+  }
+
   def frequentPhraseStats(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 5, minDf: Long = 5L,
                           boilerPpmMax: Long = 500000L): DataFrame = {

@@ -175,6 +175,26 @@ object TrainPrep {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Contamination SEVERITY grading: the longest benchmark n-gram each
+    * corpus doc shares, over a ladder of gram sizes (default 3/6/12 words)
+    * — the triage signal decontamination pipelines use to separate
+    * incidental phrase overlap (short gram only) from verbatim benchmark
+    * leakage (long gram). Sharing an n-gram implies sharing every
+    * contained shorter gram, so `max_gram` is the natural severity level.
+    * Scale shape = [[contamination]] per rung: the benchmark's distinct
+    * gram set is BROADCAST; the corpus is scanned once per rung with no
+    * text shuffle (at 100 TB fold the rungs into one pass by tagging
+    * grams with their size before the broadcast join). */
+  def contaminationSeverity(docs: DataFrame, idCol: String, textCol: String,
+                            bench: DataFrame, benchTextCol: String,
+                            sizes: Seq[Int] = Seq(3, 6, 12)): DataFrame =
+    sizes.map { n =>
+      contamination(docs, idCol, textCol, bench, benchTextCol, n, 1L)
+        .select(col("doc_id"), lit(n.toLong).as("g_n"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(max(col("g_n")).as("max_gram"))
+
   /** Bloom-filter decontamination — the fixed-memory scale twin of
     * [[contamination]]: instead of broadcasting the benchmark's FULL
     * distinct n-gram set (which grows with the benchmark), broadcast a

@@ -27,6 +27,24 @@ class CatalogSpec extends SparkSpec {
     assert(s3 > s2)
   }
 
+  test("schema evolution: appended column widens reads, back-fills null") {
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog-evo").toString)
+    val s1 = cat.createOrReplace("t", Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "lang"))
+    cat.append("t", Seq((3L, "c", 42L)).toDF("id", "lang", "quality"))
+    val latest = cat.read(spark, "t")
+    assert(latest.columns.sorted === Array("id", "lang", "quality"))
+    val byId = latest.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("quality"))) None
+         else Some(r.getLong(r.fieldIndex("quality"))))).toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(42L)))
+    // the pre-evolution snapshot still reads with its original schema
+    assert(cat.readSnapshot(spark, "t", s1).columns.sorted
+      === Array("id", "lang"))
+  }
+
   test("append after replace keeps the fresh lineage (no resurrection)") {
     val cat = new LocalCatalog(
       Files.createTempDirectory("graft-catalog3").toString)

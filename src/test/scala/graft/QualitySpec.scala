@@ -79,6 +79,24 @@ class QualitySpec extends SparkSpec {
       s"fluent ${s2(10L)} should beat rare ${s2(13L)}")
   }
 
+  test("tokenDiversity: hand-computed TTR and Gini-Simpson ppm") {
+    val docs = Seq(
+      // "a a b": n=3, distinct=2, ttr=666666; sumsq=2^2+1=5,
+      // gini = 1e6 - 5e6/9 = 1e6 - 555555 = 444445
+      (1L, "a a b"),
+      // all distinct: n=4, ttr=1e6, sumsq=4, gini = 1e6 - 250000 = 750000
+      (2L, "w x y z"),
+      // degenerate single repeated token: gini = 0 (1e6 - 9e6/9)
+      (3L, "t t t")
+    ).toDF("doc_id", "text")
+    val r = QualityRules.tokenDiversity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(3L, 4L, 3L)) // n_tokens
+    assert(r.map(_.getLong(2)).toSeq === Seq(2L, 4L, 1L)) // distinct
+    assert(r.map(_.getLong(3)).toSeq === Seq(666666L, 1000000L, 333333L))
+    assert(r.map(_.getLong(4)).toSeq === Seq(444445L, 750000L, 0L))
+  }
+
   test("piiStats: counts and masked sha match a hand-masked document") {
     val docs = Seq(
       (1L, "reach me at jo.na+x@sub.example.org or 192.168.0.1 ok"),

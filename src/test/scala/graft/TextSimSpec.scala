@@ -376,6 +376,55 @@ class TextSimSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture produced no probed candidates")
   }
 
+  test("parity PQ ANN (q154) equals a single-threaded ADC replay") {
+    val (emb, q) = parityFixture()
+    val m = 8; val ksub = 16; val dim = 64; val subDim = dim / m; val k = 5
+    def sha60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val samp = q.keys.toSeq.sortBy(v => (sha60(v.toString), v)).take(ksub)
+      .map(q).toArray
+    def sub(v: Array[Long], s: Int): Array[Long] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    def dist2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val code = q.map { case (vid, v) =>
+      vid -> (0 until m).map(s =>
+        (0 until ksub).minBy(c => (dist2(sub(v, s), sub(samp(c), s)), c))
+      ).toArray
+    }
+    val queries = q.keys.filter(v => sha60(v.toString) % 1000L < 40)
+    val expected = queries.flatMap { vid =>
+      q.keys.filter(_ != vid).map { nn =>
+        val adc = (0 until m).map(s =>
+          dist2(sub(q(vid), s), sub(samp(code(nn)(s)), s))).sum
+        (nn, adc)
+      }.toSeq.sortBy { case (nn, a) => (a, nn) }.take(k).zipWithIndex
+        .map { case ((nn, a), i) => (vid, nn, (i + 1).toLong, a) }
+    }.toSet
+    val got = Ann.pqTopKParity(emb, "vec_id", "embedding",
+        k = k, dim = dim, m = m, ksub = ksub)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no sampled queries")
+  }
+
+  test("contamination severity ladder grades by longest shared gram") {
+    import graft.text.TrainPrep
+    val bench = docs(1L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")
+    val corpus = docs(
+      10L -> "x w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 y", // verbatim 12
+      11L -> "a w1 w2 w3 w4 w5 w6 b",                      // 6 but not 12
+      12L -> "c w1 w2 w3 d",                               // 3 only
+      13L -> "nothing shared here at all")
+    val sev = TrainPrep.contaminationSeverity(corpus, "doc_id", "text",
+        bench, "text", sizes = Seq(3, 6, 12))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sev === Map(10L -> 12L, 11L -> 6L, 12L -> 3L))
+  }
+
   test("word n-grams, contamination check, and corpus top-k n-grams") {
     import graft.text.TrainPrep
     // wordNgrams basics
