@@ -1553,7 +1553,27 @@ object SparkEntry {
       graft.text.TrainPrep.contaminationSeverity(
         docs.filter(!isBench), "doc_id", "text",
         docs.filter(isBench), "text", sizes = Seq(3, 6, 12))
-    })
+    }),
+
+    // HyperANF ball sketches (Boldi–Vigna WWW'11): per-vertex HLL of the
+    // 2-hop ball, advanced by max-merging neighbor registers — the
+    // effective-diameter/ball-size primitive whose state is 16 registers
+    // per vertex regardless of ball size (q90's k-hop is the exact twin)
+    "q158_anf" -> ((s, d) =>
+      graft.kernels.GraphStats.anf(
+        Edges.symmetrize(e2(s, d)), hops = 2, regBits = 4)),
+
+    // GraphSAGE-style layer-wise neighbor sampling: per-vertex adjacency
+    // down-sampled to the 5 (then 3) lowest sha-ranked neighbors, 2-hop
+    // expansion from the sha-sampled seeds — the bounded GNN mini-batch
+    // computation graph
+    "q159_sage_sample" -> ((s, d) =>
+      graft.kernels.GraphStats.sageSample(
+        Edges.symmetrize(e2(s, d)), seedPpt = 20, fanouts = Seq(5, 3))),
+
+    // exact 4-clique census: the oriented-DAG sextuple join (triangle-
+    // first join order), one motif up from q06's triangles
+    "q160_k4" -> ((s, d) => graft.kernels.GraphStats.k4Count(e2(s, d)))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -4402,6 +4422,64 @@ object SparkEntry {
         |SELECT n.doc_id, CAST(max(n.g_n) AS BIGINT) AS max_gram
         |FROM ng n JOIN bg ON n.g_n = bg.g_n AND n.g = bg.g
         |WHERE NOT n.is_bench
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // HyperANF replay: sha-derived registers (the q114 family at 16
+    // registers), two staged max-merge hops over sym, per-vertex summary
+    "q158_anf" ->
+      s"""WITH $CTE,
+         |h0 AS (SELECT vid,
+         |              CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |       FROM deg),
+         |r0 AS (SELECT vid, h % 16 AS reg,
+         |              CASE WHEN h // 16 = 0 THEN 57
+         |                   ELSE instr(lpad(bin(h // 16), 56, '0'), '1') END AS max_rank
+         |       FROM h0),
+         |r1 AS (SELECT vid, reg, max(max_rank) AS max_rank FROM (
+         |         SELECT vid, reg, max_rank FROM r0
+         |         UNION ALL
+         |         SELECT s.s, r.reg, r.max_rank FROM sym s JOIN r0 r ON r.vid = s.d
+         |       ) u GROUP BY 1, 2),
+         |r2 AS (SELECT vid, reg, max(max_rank) AS max_rank FROM (
+         |         SELECT vid, reg, max_rank FROM r1
+         |         UNION ALL
+         |         SELECT s.s, r.reg, r.max_rank FROM sym s JOIN r1 r ON r.vid = s.d
+         |       ) u GROUP BY 1, 2)
+         |SELECT vid, CAST(count(*) AS BIGINT) AS n_regs,
+         |       CAST(sum(max_rank) AS BIGINT) AS rank_sum
+         |FROM r2 GROUP BY 1""".stripMargin,
+    // sampled-adjacency replay: one sha-ranked row_number window per
+    // vertex, seeds expand through the rn<=5 then rn<=3 blocks
+    "q159_sage_sample" ->
+      s"""WITH $CTE,
+         |rk AS (SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY
+         |         CAST(('0x' || substr(sha256(CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT), d) AS rn
+         |       FROM sym),
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 20),
+         |l1 AS (SELECT DISTINCT seeds.vid AS seed, CAST(1 AS BIGINT) AS hop,
+         |              rk.s AS src, rk.d AS dst
+         |       FROM seeds JOIN rk ON rk.s = seeds.vid WHERE rk.rn <= 5),
+         |l2 AS (SELECT DISTINCT l1.seed, CAST(2 AS BIGINT) AS hop,
+         |              rk.s AS src, rk.d AS dst
+         |       FROM l1 JOIN rk ON rk.s = l1.dst WHERE rk.rn <= 3)
+         |SELECT seed, hop, src, dst FROM l1
+         |UNION ALL
+         |SELECT seed, hop, src, dst FROM l2""".stripMargin,
+    // K4 replay: q04's degree orientation (MATERIALIZED — six self-
+    // references), the oriented-DAG sextuple join counts each 4-clique
+    // exactly once
+    "q160_k4" ->
+      s"""WITH $CTE,
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN x.degree < y.degree OR (x.degree = y.degree AND e.s < e.d) THEN e.s ELSE e.d END AS s,
+         |         CASE WHEN x.degree < y.degree OR (x.degree = y.degree AND e.s < e.d) THEN e.d ELSE e.s END AS d
+         |  FROM e JOIN deg x ON e.s = x.vid JOIN deg y ON e.d = y.vid)
+         |SELECT count(*) AS k4
+         |FROM o ab
+         |JOIN o ac ON ac.s = ab.s AND ac.d <> ab.d
+         |JOIN o bc ON bc.s = ab.d AND bc.d = ac.d
+         |JOIN o cd ON cd.s = ac.d
+         |JOIN o ad ON ad.s = ab.s AND ad.d = cd.d
+         |JOIN o bd ON bd.s = ab.d AND bd.d = cd.d""".stripMargin
   )
 }

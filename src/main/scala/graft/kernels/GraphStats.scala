@@ -485,4 +485,118 @@ object GraphStats {
             (col("n_v") * (col("n_v") - 1)).cast("double"), 6))
           .otherwise(lit(0.0)).as("phi"))
   }
+
+  /** Approximate neighborhood function (HyperANF, Boldi–Vigna WWW'11):
+    * per-vertex HLL sketch of the h-hop ball, advanced by max-merging
+    * neighbor registers each hop — the ball-size/effective-diameter
+    * primitive that runs where exact k-hop reachability (q90's integer
+    * twin) cannot: sketch size is `2^regBits` registers per vertex
+    * REGARDLESS of ball size. Registers are sha-derived (the q114 HLL
+    * family), so the whole iteration — estimates included — is a pure
+    * integer function an oracle replays exactly. Returns per-vertex
+    * (n_regs, rank_sum): the sketch summary downstream estimates fold
+    * from (specs assert the raw-HLL estimate tracks the exact ball).
+    *
+    * Scale: each hop is ONE join+max-aggregate moving |E|·2^regBits
+    * integer rows over the src-partitioned persisted edge fabric (the
+    * superstep shape); lineage is checkpoint-truncated per hop. */
+  def anf(sym: DataFrame, hops: Int = 2, regBits: Int = 4): DataFrame = {
+    val m = 1L << regBits
+    val restBits = 60 - regBits
+    val e = sym.select(col("src"), col("dst")).repartition(col("src"))
+      .persist()
+    val h = graft.text.Dedup.shaTokenHash60(col("vid").cast("string"))
+    val rest = shiftright(h, regBits)
+    var regs = e.select(col("src").as("vid")).distinct()
+      .select(col("vid"), pmod(h, lit(m)).as("reg"),
+        when(rest === 0L, lit(restBits + 1).cast("long"))
+          .otherwise(instr(lpad(bin(rest), restBits, "0"), "1")
+            .cast("long")).as("max_rank"))
+    for (_ <- 1 to hops) {
+      val nbr = e.join(regs.withColumnRenamed("vid", "dst")
+          .hint("SHUFFLE_HASH"), "dst")
+        .select(col("src").as("vid"), col("reg"), col("max_rank"))
+      regs = regs.unionByName(nbr)
+        .groupBy(col("vid"), col("reg"))
+        .agg(max(col("max_rank")).as("max_rank"))
+        .localCheckpoint()
+    }
+    val out = regs.groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_regs"), sum(col("max_rank")).as("rank_sum"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  /** Deterministic layer-wise neighbor sampling (the GraphSAGE
+    * mini-batch primitive, Hamilton et al. NeurIPS'17): each vertex's
+    * adjacency is down-sampled ONCE to its `fanouts(i)` lowest
+    * sha-ranked neighbors per layer, then the sampled blocks are
+    * expanded from the sha-sampled seed set — the bounded computation
+    * graph a GNN trainer consumes, where full k-hop expansion (q90)
+    * would touch hub-sized neighborhoods. sha ranking makes the sample
+    * reproducible across engines/runs (no RNG state). Output rows
+    * (seed, hop, src, dst) are the sampled message edges per layer.
+    *
+    * Scale: ONE window per layer partitioned by src (per-vertex work is
+    * its degree, no global ordering), then `fanouts.size` bounded joins
+    * whose left side grows by at most ×fanout per layer. */
+  def sageSample(sym: DataFrame, seedPpt: Int = 20,
+                 fanouts: Seq[Int] = Seq(5, 3)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = graft.text.Dedup.shaTokenHash60(
+      concat(col("src").cast("string"), lit(":"), col("dst").cast("string")))
+    val w = Window.partitionBy(col("src")).orderBy(rank, col("dst"))
+    val sampled = sym.select(col("src"), col("dst"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= fanouts.max).persist()
+    val seeds = sampled.select(col("src").as("seed")).distinct()
+      .filter(pmod(graft.text.Dedup.shaTokenHash60(
+        col("seed").cast("string")), lit(1000L)) < seedPpt)
+    var frontier = seeds.select(col("seed"), col("seed").as("v"))
+    var out: DataFrame = null
+    fanouts.zipWithIndex.foreach { case (f, i) =>
+      val layer = frontier.join(sampled.filter(col("rn") <= f),
+          frontier("v") === sampled("src"))
+        .select(col("seed"), lit((i + 1).toLong).as("hop"),
+          col("src"), col("dst"))
+        .distinct()
+      out = if (out == null) layer else out.unionByName(layer)
+      frontier = layer.select(col("seed"), col("dst").as("v")).distinct()
+    }
+    val materialized = out.localCheckpoint()
+    sampled.unpersist()
+    materialized
+  }
+
+  /** Exact 4-clique (K4) census — the next motif up from triangles
+    * (q06) and the truss/density family's calibration count. Degree
+    * orientation turns the graph into a DAG where every K4 appears as
+    * exactly one oriented quadruple a→{b,c,d}, b→{c,d}, c→d, so the
+    * count is six joins over the oriented edge table with the same
+    * √E-bounded out-degree skew guarantee as triangle counting
+    * (reference semantics: apps/trianglecount.cpp's orientation argument
+    * lifted one motif up). */
+  def k4Count(edges: DataFrame): DataFrame = {
+    val e = Edges.orientByDegree(edges)
+      .select(col("src"), col("dst")).persist()
+    // triangle-first join order: the (ab, ac, bc) prefix is bounded by
+    // the triangle count, not out-degree³ — each later join then extends
+    // a triangle by one constrained edge
+    val n = e.as("ab")
+      .join(e.as("ac"), col("ac.src") === col("ab.src") &&
+        col("ac.dst") =!= col("ab.dst"))
+      .join(e.as("bc"), col("bc.src") === col("ab.dst") &&
+        col("bc.dst") === col("ac.dst"))
+      .join(e.as("cd"), col("cd.src") === col("ac.dst"))
+      .join(e.as("ad"), col("ad.src") === col("ab.src") &&
+        col("ad.dst") === col("cd.dst"))
+      .join(e.as("bd"), col("bd.src") === col("ab.dst") &&
+        col("bd.dst") === col("cd.dst"))
+      .count()
+    e.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq(n).toDF("k4").localCheckpoint()
+  }
 }

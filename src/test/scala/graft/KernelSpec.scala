@@ -1078,6 +1078,74 @@ class KernelSpec extends SparkSpec {
     assert(KCore.sCore(w, s = 6L).count() == 0L)
   }
 
+  test("anf: register summary equals a single-threaded HLL ball replay") {
+    val regBits = 4; val restBits = 60 - regBits
+    def rank(h: Long): Long = {
+      val rest = h >> regBits
+      if (rest == 0L) restBits + 1L
+      // first-'1' position in the restBits-wide padded binary string
+      else restBits + 1L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    }
+    def replay(es: Seq[(Long, Long)], hops: Int): Map[Long, (Long, Long)] = {
+      val sym = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val verts = nbrs.keySet
+      var regs: Map[Long, Map[Long, Long]] = verts.map { v =>
+        val h = Oracles.sha60(v.toString)
+        v -> Map((h % (1L << regBits)) -> rank(h))
+      }.toMap
+      for (_ <- 1 to hops) regs = verts.map { v =>
+        val merged = (v +: nbrs(v)).map(regs)
+          .flatten.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        v -> merged
+      }.toMap
+      regs.map { case (v, m) => v -> ((m.size.toLong, m.values.sum)) }
+    }
+    Seq("path4", "twoComp", "sample15").foreach { g =>
+      val got = GraphStats.anf(Edges.symmetrize(edgeDF(golden(g))), hops = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === replay(golden(g), 2), s"graph=$g")
+      assert(got.values.forall(_._1 <= 16L))
+    }
+  }
+
+  test("sage sampling: fanout-capped, sha-deterministic, layered") {
+    // star hub 1 with 8 spokes: fanouts (3,2) from seed-forced hub
+    val es = (2L to 9L).map(k => (1L, k))
+    val sym = Edges.symmetrize(edgeDF(es))
+    val got = GraphStats.sageSample(sym, seedPpt = 1000, fanouts = Seq(3, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // single-threaded replay of the sha-ranked sampled adjacency
+    def ranked(v: Long, nbrs: Seq[Long]): Seq[Long] =
+      nbrs.sortBy(d => (Oracles.sha60(s"$v:$d"), d))
+    val adj = (es.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = adj.keySet // seedPpt=1000 keeps every vertex
+    val l1 = seeds.flatMap(sd =>
+      ranked(sd, adj(sd)).take(3).map(d => (sd, 1L, sd, d)))
+    val l2 = l1.flatMap { case (sd, _, _, v) =>
+      ranked(v, adj(v)).take(2).map(d => (sd, 2L, v, d)) }
+    assert(got === (l1 ++ l2))
+    // every hub row respects the fanout cap
+    assert(got.count { case (s, h, src, _) =>
+      s == 1L && h == 1L && src == 1L } == 3)
+  }
+
+  test("k4 census: golden counts (K4=1, K5=5, triangle/star=0)") {
+    def k4(es: Seq[(Long, Long)]): Long =
+      GraphStats.k4Count(edgeDF(es)).collect().head.getLong(0)
+    assert(k4(golden("k4")) === 1L)
+    assert(k4(golden("triangle")) === 0L)
+    assert(k4(golden("star5")) === 0L)
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSeq
+    assert(k4(k5) === 5L) // C(5,4)
+    // two K4s sharing a triangle
+    val shared = golden("k4") ++ Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(k4(shared) === 2L)
+  }
+
   test("ego density: star is sparse, clique and leaf are 1.0") {
     def densities(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
       GraphStats.egoDensity(edgeDF(es)).collect()
