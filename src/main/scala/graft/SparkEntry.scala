@@ -1573,7 +1573,48 @@ object SparkEntry {
 
     // exact 4-clique census: the oriented-DAG sextuple join (triangle-
     // first join order), one motif up from q06's triangles
-    "q160_k4" -> ((s, d) => graft.kernels.GraphStats.k4Count(e2(s, d)))
+    "q160_k4" -> ((s, d) => graft.kernels.GraphStats.k4Count(e2(s, d))),
+
+    // streaming UPSERT ingest: a deterministic one-row-per-key change
+    // feed applied micro-batch by micro-batch via foreachBatch MERGE —
+    // the continuous CDC-application path (q150 is the one-shot twin);
+    // final state is batch-split-independent because each key merges once
+    "q161_stream_upsert" -> ((s, d) => {
+      val root = scratchDir("graft_supsert")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      cat.createOrReplace("docs", docs)
+      val feed = docs.filter(pmod(Dedup.shaTokenHash60(
+          col("doc_id").cast("string")), lit(5L)) === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          (col("n_chars") + 7L).as("n_chars"))
+      val feedDir = s"$root/feed"
+      feed.repartition(3).write.mode("overwrite").parquet(feedDir)
+      graft.streaming.Streaming.ingestUpsert(s, feedDir, feed.schema,
+        cat, "docs", "doc_id")
+      cat.read(s, "docs")
+    }),
+
+    // snapshot expiry (compact-then-expire table maintenance): three
+    // staged commits compacted into a self-contained snapshot, history
+    // expired to keep=1 — content intact, unreachable files deleted
+    // (CatalogSpec asserts expired time travel fails, kept ids read)
+    "q162_snapshot_expiry" -> ((s, d) => {
+      val root = scratchDir("graft_exp")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val h = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(3L))
+      cat.createOrReplace("docs", docs.filter(h === 0))
+      cat.append("docs", docs.filter(h === 1))
+      cat.append("docs", docs.filter(h === 2))
+      cat.compact(s, "docs")
+      val expired = cat.expireSnapshots("docs", keep = 1)
+      require(expired.nonEmpty, "compact-then-expire must prune history")
+      cat.read(s, "docs")
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -4480,6 +4521,18 @@ object SparkEntry {
          |JOIN o bc ON bc.s = ab.d AND bc.d = ac.d
          |JOIN o cd ON cd.s = ac.d
          |JOIN o ad ON ad.s = ab.s AND ad.d = cd.d
-         |JOIN o bd ON bd.s = ab.d AND bd.d = cd.d""".stripMargin
+         |JOIN o bd ON bd.s = ab.d AND bd.d = cd.d""".stripMargin,
+    // change-feed replay: one update row per sha%5 key, latest-wins
+    "q161_stream_upsert" ->
+      """SELECT doc_id,
+        |       CASE WHEN h % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       CASE WHEN h % 5 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |FROM (SELECT doc_id, lang, n_chars,
+        |             CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |      FROM documents) t""".stripMargin,
+    // expiry preserves the compacted content: staged thirds re-union to
+    // the whole table
+    "q162_snapshot_expiry" ->
+      "SELECT doc_id, lang, n_chars FROM documents"
   )
 }

@@ -139,4 +139,36 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
       .flatMap(l => """"snapshot":(\d+)""".r.findFirstMatchIn(l)
         .map(_.group(1).toLong))
       .filter(s => Files.exists(tableDir(name).resolve(f"snap_$s%06d")))
+
+  /** Iceberg-style expire_snapshots (table maintenance): drop history
+    * older than the newest `keep` snapshots, RETAINING any snapshot a
+    * kept one still reads through (append parents — Iceberg's file-
+    * reachability rule), so kept reads never lose data files. The usual
+    * flow is compact-then-expire: compaction commits a self-contained
+    * snapshot with no parents, after which the whole prior chain is
+    * expirable. The log is rewritten first (the commit point), then the
+    * unreachable snapshot dirs are deleted; time travel to an expired id
+    * now fails, kept ids are untouched. Returns expired ids. */
+  def expireSnapshots(name: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val snaps = snapshots(name).sorted
+    val newest = snaps.takeRight(keep).toSet
+    val kept = newest ++ newest.flatMap(s => parentsOf(name, s))
+    val expired = snaps.filterNot(kept)
+    if (expired.nonEmpty) {
+      val lines = Files.readAllLines(log(name)).asScala.filter { l =>
+        """"snapshot":(\d+)""".r.findFirstMatchIn(l)
+          .exists(m => kept(m.group(1).toLong))
+      }
+      Files.write(log(name), lines.asJava,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      expired.foreach { s =>
+        val dir = tableDir(name).resolve(f"snap_$s%06d")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+      }
+    }
+    expired
+  }
 }

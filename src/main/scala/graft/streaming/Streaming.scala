@@ -233,6 +233,35 @@ object Streaming {
     * reads the latest one, and time travel reaches any ingest point.
     * Bounded run (processAllAvailable + stop); returns committed
     * snapshot ids in commit order. */
+  /** Streaming UPSERT ingest (CDC-feed application): each micro-batch is
+    * MERGEd into the catalog table by `key` (matched keys update, new
+    * keys insert) — the lakehouse pattern for applying a change feed
+    * continuously, one committed snapshot per batch, full history
+    * time-travelable. With at most one feed row per key the final state
+    * is independent of how the source files split into micro-batches
+    * (each key merges exactly once), which is what makes the bounded run
+    * oracle-replayable. Bounded run (processAllAvailable + stop);
+    * returns committed snapshot ids in commit order. */
+  def ingestUpsert(spark: SparkSession, dir: String, schema: StructType,
+                   catalog: graft.catalog.CatalogAdapter,
+                   table: String, key: String): Seq[Long] = {
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          snaps += catalog.merge(spark, table, batch.toDF(), key)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    snaps.toSeq
+  }
+
   def ingestCorpus(spark: SparkSession, dir: String, schema: StructType,
                    catalog: graft.catalog.CatalogAdapter,
                    table: String): Seq[Long] = {

@@ -27,6 +27,29 @@ class CatalogSpec extends SparkSpec {
     assert(s3 > s2)
   }
 
+  test("expire snapshots: history pruned, content intact, parents kept") {
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog-exp").toString)
+    val s1 = cat.createOrReplace("t", Seq(1L).toDF("x"))
+    val s2 = cat.append("t", Seq(2L).toDF("x"))
+    val s3 = cat.createOrReplace("t", Seq(9L, 10L).toDF("x"))
+    assert(cat.expireSnapshots("t", keep = 1) === Seq(s1, s2))
+    assert(cat.snapshots("t") === Seq(s3))
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(9L, 10L))
+    // time travel to an expired snapshot now fails (files deleted)
+    intercept[Exception](cat.readSnapshot(spark, "t", s1).collect())
+    // reachability: keep=1 on an append chain retains the parents a
+    // kept snapshot still reads through — nothing expires
+    val c2 = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog-exp2").toString)
+    c2.createOrReplace("u", Seq(1L).toDF("x"))
+    c2.append("u", Seq(2L).toDF("x"))
+    assert(c2.expireSnapshots("u", keep = 1) === Seq.empty)
+    assert(c2.read(spark, "u").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+  }
+
   test("schema evolution: appended column widens reads, back-fills null") {
     val cat = new LocalCatalog(
       Files.createTempDirectory("graft-catalog-evo").toString)

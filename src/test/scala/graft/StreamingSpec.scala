@@ -77,6 +77,27 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("streaming upsert ingest: per-batch MERGE equals one-shot merge") {
+    import graft.catalog.LocalCatalog
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("id", "lang", "n")
+    val feed = Seq((2L, "xx", 27L), (4L, "xx", 47L), (9L, "xx", 90L))
+      .toDF("id", "lang", "n")
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-upsert-cat").toString)
+    cat.createOrReplace("t", base)
+    val feedDir = Files.createTempDirectory("graft-upsert-feed").toString
+    feed.repartition(3).write.mode("overwrite").parquet(feedDir)
+    val snaps = Streaming.ingestUpsert(spark, feedDir, feed.schema,
+      cat, "t", "id")
+    assert(snaps.nonEmpty && snaps == snaps.sorted)
+    val got = cat.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // matched keys updated, new key inserted, untouched rows carried
+    assert(got === Set((1L, "a", 10L), (2L, "xx", 27L), (3L, "c", 30L),
+      (4L, "xx", 47L), (9L, "xx", 90L)))
+  }
+
   test("flatMapGroupsWithState sessionization: stream equals batch") {
     def mk(id: Long, u: Long, ts: String, v: Double) =
       (id, u, Timestamp.valueOf(ts), v)
