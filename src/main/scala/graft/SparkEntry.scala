@@ -1614,7 +1614,141 @@ object SparkEntry {
       val expired = cat.expireSnapshots("docs", keep = 1)
       require(expired.nonEmpty, "compact-then-expire must prune history")
       cat.read(s, "docs")
-    })
+    }),
+
+    // 1-WL color refinement, 3 rounds: canonical per-vertex structural
+    // fingerprints (GNN role features, subgraph-dedup keys); sha-hashed
+    // counted neighbor-color multisets, initial color = degree
+    "q163_wl_colors" -> ((s, d) =>
+      graft.kernels.WlRefinement.colors(
+        Edges.symmetrize(e2(s, d)), rounds = 3)),
+
+    // zone-map data skipping over documents value-clustered by n_chars
+    // (width-64 zones): the range predicate on the clustered column
+    // skips most zones by bounds alone, the same-shaped predicate on
+    // the scattered doc_id column prunes nothing — the layout-decision
+    // evidence a 100 TB table is clustered from
+    "q164_zone_skip" -> ((s, d) =>
+      graft.catalog.ZoneMap.skippingStats(T(s, d, "documents"),
+        "n_chars", width = 64L, "doc_id",
+        cLo = 200L, cHi = 400L, pLo = 100L, pHi = 5000L)),
+
+    // optimistic-concurrency commit validation: txn B staged against the
+    // base snapshot must detect the keys txn A changed under it (its
+    // sha%17==3 slice), abort those, and rebase — output is B's write
+    // set with the conflict verdict and the post-rebase state (A's
+    // n_chars bump preserved under B's lang rewrite)
+    "q165_commit_conflict" -> ((s, d) => {
+      val root = scratchDir("graft_txn")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val s0 = cat.createOrReplace("docs", docs)
+      val h = pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+        lit(17L))
+      cat.merge(s, "docs", docs.filter(h === 3)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars")), "doc_id")
+      val bKeys = docs.filter(h === 3 || h === 5).select(col("doc_id"))
+      val verdict = graft.catalog.Cdc.conflictKeys(
+        cat.readSnapshot(s, "docs", s0), cat.read(s, "docs"),
+        "doc_id", Seq("lang", "n_chars"), bKeys)
+      val rebased = cat.read(s, "docs")
+        .join(bKeys, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit("xx").as("lang"), col("n_chars"))
+      cat.merge(s, "docs", rebased, "doc_id")
+      cat.read(s, "docs").join(verdict, "doc_id")
+        .select(col("doc_id"), col("conflicted"), col("lang"),
+          col("n_chars"))
+    }),
+
+    // watermark late-data quarantine ledger: 10-min tumbling windows,
+    // 5-min allowed lateness, deterministic 0..19-min arrival jitter —
+    // per window the on-time / late-accepted / dropped split a
+    // withWatermark stream would produce at steady state
+    "q166_late_quarantine" -> ((s, d) =>
+      graft.streaming.Streaming.lateAccounting(T(s, d, "events"),
+        "event_id", "ts", windowMin = 10, latenessMin = 5,
+        maxJitterMin = 20)),
+
+    // Molloy-Reed percolation profile: kappa = <k^2>/<k> (ppm) for the
+    // full graph and after removing the top-1% hubs — the quantitative
+    // robustness complement of q147's per-hub census
+    "q167_robustness" -> ((s, d) =>
+      graft.kernels.GraphStats.molloyReed(
+        Edges.symmetrize(e2(s, d)), hubPct = 1)),
+
+    // per-vertex neighbor-label Gini diversity (p_brand labels): the
+    // heterophily feature a GNN sampler stratifies on; label dim
+    // broadcast, counted-histogram two-phase agg
+    "q168_nbr_diversity" -> ((s, d) =>
+      graft.kernels.GraphStats.neighborLabelDiversity(
+        Edges.symmetrize(e2(s, d)),
+        broadcast(T(s, d, "part")
+          .select(col("p_partkey").as("vid"), col("p_brand").as("label"))))),
+
+    // bond-percolation profile: component structure under RANDOM edge
+    // failure (sha-kept edges at 400/800 ppt) — the random-failure
+    // complement of q167's targeted attack; two bounded CC runs (J4)
+    "q169_percolation" -> ((s, d) => {
+      val e = e2(s, d).localCheckpoint(eager = true)
+      val per = Seq(400L, 800L).map { p =>
+        val kept = e.filter(pmod(Dedup.shaTokenHash60(
+          concat(col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))), lit(1000L)) < p)
+        val sizes = ConnectedComponents.run(s, Edges.symmetrize(kept))
+          .components
+          .groupBy(col("component")).agg(count(lit(1)).as("n"))
+        kept.agg(count(lit(1)).as("n_edges")).crossJoin(
+            sizes.agg(count(lit(1)).as("n_components"),
+              coalesce(max(col("n")), lit(0L)).as("largest")))
+          .select(lit(p).as("keep_ppt"), col("n_edges"),
+            col("n_components"), col("largest"))
+      }
+      per.reduce(_ union _).localCheckpoint(eager = true)
+    }),
+
+    // incremental degree-view maintenance: a deleted slice (sha%10==7)
+    // and an inserted shifted slice (sha%10==3) applied to the
+    // materialized view WITHOUT rescanning the base edges; oracle
+    // recomputes from the modified edge set — additivity makes the two
+    // provably identical
+    "q170_ivm_degrees" -> ((s, d) => {
+      val e = e2(s, d)
+      val hh = pmod(Dedup.shaTokenHash60(concat(col("src").cast("string"),
+        lit(":"), col("dst").cast("string"))), lit(10L))
+      val view = Edges.degrees(Edges.symmetrize(e))
+      val deleted = e.filter(hh === 7)
+      val inserted = e.filter(hh === 3)
+        .select((col("src") + 100000L).as("src"),
+          (col("dst") + 100000L).as("dst"))
+      Edges.maintainDegrees(view, deleted, inserted)
+    }),
+
+    // compaction planning over a simulated file manifest (doc_id div 20
+    // files, size = total chars): small files greedily packed into
+    // ~15000-byte output groups — pure metadata planning, never the data
+    "q171_compaction_plan" -> ((s, d) =>
+      graft.catalog.Compaction.plan(
+        T(s, d, "documents")
+          .groupBy(expr("doc_id div 20L").as("file_id"))
+          .agg(sum(col("n_chars")).as("size_bytes")),
+        "file_id", "size_bytes",
+        smallBytes = 6000L, targetBytes = 15000L)),
+
+    // deterministic negative-edge sampling (link-prediction training
+    // labels): 3 sha-derived candidates per vertex, rejected on
+    // non-vertex / self / actual-edge — no RNG state anywhere
+    "q172_neg_samples" -> ((s, d) =>
+      graft.kernels.GraphStats.negativeSamples(
+        Edges.symmetrize(e2(s, d)), k = 3)),
+
+    // MinHash calibration ledger (sketch QA): per estimate-decile
+    // absolute error of the q26 signature estimate vs exact shingle
+    // Jaccard, exact side computed over CANDIDATE pairs only
+    "q173_sketch_calibration" -> ((s, d) =>
+      Dedup.minHashCalibration(T(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -4533,6 +4667,208 @@ object SparkEntry {
     // expiry preserves the compacted content: staged thirds re-union to
     // the whole table
     "q162_snapshot_expiry" ->
-      "SELECT doc_id, lang, n_chars FROM documents"
+      "SELECT doc_id, lang, n_chars FROM documents",
+    // 1-WL replay: three staged refinements (MATERIALIZED — each color
+    // table feeds both the next round's multiset and its own rehash),
+    // sha60 color hash over the sorted "color:count" encoding
+    "q163_wl_colors" ->
+      s"""WITH $CTE,
+         |c0 AS MATERIALIZED (SELECT vid, CAST(degree AS BIGINT) AS c FROM deg),
+         |n1 AS (SELECT s.d AS vid, c.c AS nc, count(*) AS n
+         |       FROM sym s JOIN c0 c ON s.s = c.vid GROUP BY 1, 2),
+         |c1 AS MATERIALIZED (
+         |  SELECT c0.vid, CAST(('0x' || substr(sha256(CAST(c0.c AS VARCHAR) || '|' || a.enc), 1, 15)) AS BIGINT) AS c
+         |  FROM c0 JOIN (SELECT vid, string_agg(CAST(nc AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY nc) AS enc
+         |                FROM n1 GROUP BY 1) a ON c0.vid = a.vid),
+         |n2 AS (SELECT s.d AS vid, c.c AS nc, count(*) AS n
+         |       FROM sym s JOIN c1 c ON s.s = c.vid GROUP BY 1, 2),
+         |c2 AS MATERIALIZED (
+         |  SELECT c1.vid, CAST(('0x' || substr(sha256(CAST(c1.c AS VARCHAR) || '|' || a.enc), 1, 15)) AS BIGINT) AS c
+         |  FROM c1 JOIN (SELECT vid, string_agg(CAST(nc AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY nc) AS enc
+         |                FROM n2 GROUP BY 1) a ON c1.vid = a.vid),
+         |n3 AS (SELECT s.d AS vid, c.c AS nc, count(*) AS n
+         |       FROM sym s JOIN c2 c ON s.s = c.vid GROUP BY 1, 2),
+         |c3 AS MATERIALIZED (
+         |  SELECT c2.vid, CAST(('0x' || substr(sha256(CAST(c2.c AS VARCHAR) || '|' || a.enc), 1, 15)) AS BIGINT) AS c
+         |  FROM c2 JOIN (SELECT vid, string_agg(CAST(nc AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY nc) AS enc
+         |                FROM n3 GROUP BY 1) a ON c2.vid = a.vid),
+         |sz AS (SELECT c, count(*) AS class_size FROM c3 GROUP BY 1)
+         |SELECT c3.vid, c3.c AS wl_color, sz.class_size
+         |FROM c3 JOIN sz ON c3.c = sz.c""".stripMargin,
+    // zone bounds + bounds-first scan verdicts, pure integer
+    "q164_zone_skip" ->
+      """WITH z AS (SELECT n_chars // 64 AS zone, n_chars AS c, doc_id AS p
+        |           FROM documents),
+        |ag AS (SELECT zone, count(*) AS n_rows,
+        |              min(c) AS c_min, max(c) AS c_max,
+        |              min(p) AS p_min, max(p) AS p_max
+        |       FROM z GROUP BY 1)
+        |SELECT zone, n_rows, c_min, c_max, p_min, p_max,
+        |       CAST(NOT (c_max < 200 OR c_min > 400) AS INT) AS scan_clustered,
+        |       CAST(NOT (p_max < 100 OR p_min > 5000) AS INT) AS scan_probe
+        |FROM ag""".stripMargin,
+    // OCC replay: A's slice (sha%17==3) conflicts with B's write set
+    // (sha%17 in (3,5)); the final state carries A's bump under B's
+    // rebased lang rewrite
+    "q165_commit_conflict" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |                  CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 17 AS cls
+        |           FROM documents)
+        |SELECT doc_id, CAST(cls = 3 AS INT) AS conflicted,
+        |       'xx' AS lang,
+        |       CASE WHEN cls = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM h WHERE cls IN (3, 5)""".stripMargin,
+    // fixed-delay watermark ledger replay: integral epoch seconds,
+    // sha-derived 0..19-min jitter, 600 s windows, 300 s lateness
+    "q166_late_quarantine" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000000 AS es,
+        |                   CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 * 60 AS jit
+        |            FROM events),
+        |w AS (SELECT es - es % 600 AS window_start_es,
+        |             es + jit - (es - es % 600 + 600) AS delay
+        |      FROM ev)
+        |SELECT window_start_es,
+        |       CAST(sum(CASE WHEN delay <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+        |       CAST(sum(CASE WHEN delay > 0 AND delay <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_accepted,
+        |       CAST(sum(CASE WHEN delay > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM w GROUP BY 1""".stripMargin,
+    // Molloy-Reed replay: top-ceil(n/100) hubs by (degree desc, vid),
+    // survivors' degree moments, kappa in integral ppm
+    "q167_robustness" ->
+      s"""WITH $CTE,
+         |nv AS (SELECT count(*) AS n FROM deg),
+         |hub AS (SELECT vid FROM (
+         |          SELECT vid, row_number() OVER (ORDER BY degree DESC, vid) AS r FROM deg)
+         |        WHERE r <= (SELECT (n * 1 + 99) // 100 FROM nv)),
+         |att AS (SELECT s, d FROM sym
+         |        WHERE s NOT IN (SELECT vid FROM hub)
+         |          AND d NOT IN (SELECT vid FROM hub)),
+         |deg2 AS (SELECT s AS vid, count(*) AS degree FROM att GROUP BY 1),
+         |p AS (SELECT '1_full' AS scenario, count(*) AS n_vertices,
+         |             CAST(COALESCE(sum(degree), 0) AS BIGINT) AS sum_deg,
+         |             CAST(COALESCE(sum(degree * degree), 0) AS BIGINT) AS sum_deg2
+         |      FROM deg
+         |      UNION ALL
+         |      SELECT '2_hubs_removed', count(*),
+         |             CAST(COALESCE(sum(degree), 0) AS BIGINT),
+         |             CAST(COALESCE(sum(degree * degree), 0) AS BIGINT)
+         |      FROM deg2)
+         |SELECT scenario, n_vertices, sum_deg, sum_deg2,
+         |       CASE WHEN sum_deg = 0 THEN 0 ELSE sum_deg2 * 1000000 // sum_deg END AS kappa_ppm,
+         |       CAST(CASE WHEN sum_deg = 0 THEN 0 ELSE sum_deg2 * 1000000 // sum_deg END >= 2000000 AS INT) AS supercritical
+         |FROM p""".stripMargin,
+    // neighbor-label Gini: counted label histogram then 1 - sum p^2 ppm
+    "q168_nbr_diversity" ->
+      s"""WITH $CTE,
+         |lab AS (SELECT p_partkey AS vid, p_brand AS label FROM part),
+         |nl AS (SELECT s.d AS vid, l.label, count(*) AS n
+         |       FROM sym s JOIN lab l ON s.s = l.vid GROUP BY 1, 2),
+         |ag AS (SELECT vid, CAST(sum(n) AS BIGINT) AS deg_labeled,
+         |              CAST(count(*) AS BIGINT) AS n_labels,
+         |              CAST(sum(n * n) AS BIGINT) AS sumsq
+         |       FROM nl GROUP BY 1)
+         |SELECT vid, deg_labeled, n_labels,
+         |       1000000 - sumsq * 1000000 // (deg_labeled * deg_labeled) AS div_ppm
+         |FROM ag""".stripMargin,
+    // percolation replay: one p-keyed recursive hash-min CC over the
+    // sha-kept edge sets (same move as q147's hub-keyed CTE)
+    "q169_percolation" ->
+      s"""WITH RECURSIVE $CTE,
+         |lad(p) AS (SELECT unnest([400, 800])),
+         |keptp AS MATERIALIZED (
+         |  SELECT lad.p, e.s, e.d FROM lad JOIN e
+         |  ON CAST(('0x' || substr(sha256(CAST(e.s AS VARCHAR) || ':' || CAST(e.d AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < lad.p),
+         |symp AS MATERIALIZED (SELECT p, s, d FROM keptp UNION ALL SELECT p, d, s FROM keptp),
+         |reach(p, vid, lbl) AS (
+         |  SELECT DISTINCT p, s, s FROM symp
+         |  UNION
+         |  SELECT r.p, s.d, r.lbl FROM reach r JOIN symp s ON r.p = s.p AND r.vid = s.s
+         |),
+         |cc AS (SELECT p, vid, min(lbl) AS component FROM reach GROUP BY 1, 2),
+         |sizes AS (SELECT p, component, count(*) AS n FROM cc GROUP BY 1, 2),
+         |stats AS (SELECT p, count(*) AS n_components, max(n) AS largest FROM sizes GROUP BY 1),
+         |ecnt AS (SELECT p, count(*) AS n_edges FROM keptp GROUP BY 1)
+         |SELECT CAST(lad.p AS BIGINT) AS keep_ppt,
+         |       COALESCE(ecnt.n_edges, 0) AS n_edges,
+         |       COALESCE(stats.n_components, 0) AS n_components,
+         |       COALESCE(stats.largest, 0) AS largest
+         |FROM lad LEFT JOIN ecnt ON lad.p = ecnt.p
+         |         LEFT JOIN stats ON lad.p = stats.p""".stripMargin,
+    // IVM replay: degrees recomputed from the modified edge set —
+    // additivity makes the incremental path provably identical
+    "q170_ivm_degrees" ->
+      s"""WITH $CTE,
+         |hcls AS (SELECT s, d,
+         |                CAST(('0x' || substr(sha256(CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS h
+         |         FROM e),
+         |m AS (SELECT s, d FROM hcls WHERE h <> 7
+         |      UNION ALL
+         |      SELECT s + 100000, d + 100000 FROM hcls WHERE h = 3),
+         |msym AS (SELECT s, d FROM m UNION ALL SELECT d, s FROM m)
+         |SELECT s AS vid, count(*) AS degree FROM msym GROUP BY 1""".stripMargin,
+    // greedy pack replay: cumulative candidate size over file order
+    "q171_compaction_plan" ->
+      """WITH mf AS (SELECT doc_id // 20 AS file_id,
+        |                   CAST(sum(n_chars) AS BIGINT) AS size_bytes
+        |            FROM documents GROUP BY 1),
+        |cand AS (SELECT file_id, size_bytes,
+        |                CAST(size_bytes < 6000 AS INT) AS candidate
+        |         FROM mf),
+        |cum AS (SELECT file_id, size_bytes, candidate,
+        |               CAST(COALESCE(sum(CASE WHEN candidate = 1 THEN size_bytes END)
+        |                 OVER (ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |        FROM cand)
+        |SELECT file_id, size_bytes, candidate,
+        |       CAST(CASE WHEN candidate = 1 THEN cb // 15000 ELSE -1 END AS BIGINT) AS target_group
+        |FROM cum""".stripMargin,
+    // negative-sampling replay: modular sha candidates, semi/anti checks
+    "q172_neg_samples" ->
+      s"""WITH $CTE,
+         |verts AS (SELECT DISTINCT s AS vid FROM sym),
+         |mv AS (SELECT max(vid) AS mv FROM verts),
+         |cand AS (SELECT v.vid AS src, CAST(i.i AS BIGINT) AS i,
+         |                CAST(('0x' || substr(sha256(CAST(v.vid AS VARCHAR) || '#' || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % ((SELECT mv FROM mv) + 1) AS dst
+         |         FROM verts v, (SELECT unnest([0, 1, 2]) AS i) i)
+         |SELECT c.src, c.i, c.dst
+         |FROM cand c
+         |JOIN verts x ON c.dst = x.vid
+         |LEFT JOIN sym s ON c.src = s.s AND c.dst = s.d
+         |WHERE c.src <> c.dst AND s.s IS NULL""".stripMargin,
+    // calibration replay: q26's sha-seeded signatures + banding, exact
+    // shingle Jaccard on candidates, integer ppm error per decile
+    "q173_sketch_calibration" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |             FROM documents),
+        |shg AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
+        |hx AS MATERIALIZED (
+        |  SELECT doc_id, j,
+        |         min(CAST(('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS m
+        |  FROM shg, (SELECT unnest(range(16)) AS j) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, list(m ORDER BY j) AS key
+        |        FROM hx GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bnd a JOIN bnd b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |est AS (SELECT c.d1, c.d2,
+        |               CAST(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) * 1000000 // 16 AS BIGINT) AS est_ppm
+        |        FROM cand c JOIN hx x ON x.doc_id = c.d1
+        |                    JOIN hx y ON y.doc_id = c.d2 AND x.j = y.j
+        |        GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+        |ix AS (SELECT c.d1, c.d2, count(*) AS i
+        |       FROM cand c JOIN shg a ON a.doc_id = c.d1
+        |                   JOIN shg b ON b.doc_id = c.d2 AND b.g = a.g
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT CAST(e.est_ppm // 100000 AS BIGINT) AS bucket,
+        |                 abs(e.est_ppm - COALESCE(ix.i, 0) * 1000000 // (sa.n + sb.n - COALESCE(ix.i, 0))) AS err
+        |          FROM est e
+        |          LEFT JOIN ix ON e.d1 = ix.d1 AND e.d2 = ix.d2
+        |          JOIN sz sa ON sa.doc_id = e.d1
+        |          JOIN sz sb ON sb.doc_id = e.d2)
+        |SELECT bucket, count(*) AS n_pairs,
+        |       CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+        |       CAST(max(err) AS BIGINT) AS max_err_ppm
+        |FROM pairs GROUP BY 1""".stripMargin
   )
 }

@@ -34,4 +34,22 @@ object Cdc {
           .as("op"))
       .filter(col("op").isNotNull)
   }
+
+  /** Optimistic-concurrency write-write validation (Iceberg's
+    * serializable-isolation commit check): a transaction staged against
+    * `base` may commit onto `current` only where its write set does not
+    * touch a key some OTHER commit changed in between. Returns the
+    * write set keyed rows tagged conflicted ∈ {0,1}: conflicted keys
+    * must abort/rebase, clean keys are safe to apply. Shape: the
+    * changed-key set is [[rowDiff]] (narrow key+hash full-outer join);
+    * the verdict is one more key-only join — the payloads never move. */
+  def conflictKeys(base: DataFrame, current: DataFrame, key: String,
+                   payloadCols: Seq[String],
+                   writeSet: DataFrame): DataFrame = {
+    val changed = rowDiff(base, current, key, payloadCols)
+      .select(col(key), lit(1).as("conflicted"))
+    writeSet.select(col(key)).distinct()
+      .join(changed, Seq(key), "left_outer")
+      .select(col(key), coalesce(col("conflicted"), lit(0)).as("conflicted"))
+  }
 }

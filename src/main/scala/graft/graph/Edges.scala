@@ -189,4 +189,29 @@ object Edges {
       .withColumn("delta", col("deg_after") - col("deg_before"))
       .filter(col("delta") =!= 0L)
   }
+
+  /** Incremental view maintenance for the degree view: apply an edge
+    * delta (deleted + inserted canonical edges) to a materialized
+    * (vid, degree) table WITHOUT rescanning the base edge set — the
+    * cost is O(|delta| + |touched vertices|), which is what makes a
+    * maintained view worth materializing at 100 TB. Degrees are
+    * additive, so the maintained result is provably identical to a
+    * recompute over the modified edge set (the q170 oracle recomputes;
+    * KernelSpec asserts equality on golden deltas). Vertices whose
+    * degree reaches 0 drop out, new vertices appear — matching
+    * [[degrees]] over the modified graph exactly. */
+  def maintainDegrees(view: DataFrame, deleted: DataFrame,
+                      inserted: DataFrame): DataFrame = {
+    val ins = degrees(symmetrize(inserted))
+      .select(col("vid"), col("degree").as("dd"))
+    val del = degrees(symmetrize(deleted))
+      .select(col("vid"), (-col("degree")).as("dd"))
+    val delta = ins.unionByName(del)
+      .groupBy(col("vid")).agg(sum(col("dd")).as("dd"))
+    view.join(delta, Seq("vid"), "full_outer")
+      .select(col("vid"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("degree"))
+      .filter(col("degree") > 0L)
+  }
 }

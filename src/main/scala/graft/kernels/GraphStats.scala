@@ -599,4 +599,87 @@ object GraphStats {
     import spark.implicits._
     Seq(n).toDF("k4").localCheckpoint()
   }
+
+  /** Molloy–Reed percolation criterion (Molloy & Reed 1995; Cohen et
+    * al. PRL 2000): a random graph with this degree sequence has a
+    * giant component iff κ = ⟨k²⟩/⟨k⟩ ≥ 2. Reported for the full graph
+    * and after a targeted attack removing the top `hubPct`% highest-
+    * degree vertices (ties broken by vid) — the quantitative robustness
+    * profile behind q147's per-hub census. Integer-exact: κ in ppm via
+    * integral division; two degree aggregations and two hub anti-joins,
+    * the only collect is the 1-row vertex count. */
+  def molloyReed(sym: DataFrame, hubPct: Int = 1): DataFrame = {
+    val deg = Edges.degrees(sym).persist()
+    val n = deg.count()
+    val k = ((n * hubPct + 99L) / 100L).toInt
+    val hubs = deg.orderBy(col("degree").desc, col("vid")).limit(k)
+      .select(col("vid")).persist()
+    val attacked = sym
+      .join(hubs.withColumnRenamed("vid", "src"), Seq("src"), "left_anti")
+      .join(hubs.withColumnRenamed("vid", "dst"), Seq("dst"), "left_anti")
+    def profile(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_vertices"),
+          coalesce(sum(col("degree")), lit(0L)).as("sum_deg"),
+          coalesce(sum(col("degree") * col("degree")), lit(0L))
+            .as("sum_deg2"))
+        .select(lit(name).as("scenario"), col("n_vertices"),
+          col("sum_deg"), col("sum_deg2"),
+          // attack can empty the graph (e.g. a star) — kappa of nothing is 0
+          expr("CASE WHEN sum_deg = 0 THEN 0L " +
+            "ELSE sum_deg2 * 1000000L div sum_deg END").as("kappa_ppm"),
+          expr("CASE WHEN sum_deg = 0 THEN 0L " +
+            "ELSE sum_deg2 * 1000000L div sum_deg END >= 2000000L")
+            .cast("int").as("supercritical"))
+    val out = profile("1_full", deg)
+      .union(profile("2_hubs_removed", Edges.degrees(attacked)))
+      .localCheckpoint(eager = true)
+    deg.unpersist(); hubs.unpersist()
+    out
+  }
+
+  /** Deterministic negative-edge sampling for link-prediction /
+    * embedding training: k sha-derived candidate partners per vertex,
+    * kept only if the candidate id is a real vertex, not self, and not
+    * an actual neighbor. No RNG state, no vertex-list broadcast — the
+    * candidate id is modular sha arithmetic against the max vid (one
+    * 1-row agg crossed in), existence and non-edge checks are one semi-
+    * and one anti-join, all shuffle-bounded by k·|V|. Rejection leaves
+    * < k negatives for some vertices (denser ids sample out more) —
+    * the standard rejection-sampling contract, deterministic here. */
+  def negativeSamples(sym: DataFrame, k: Int): DataFrame = {
+    val verts = sym.select(col("src").as("vid")).distinct()
+    val mv = verts.agg(max(col("vid")).as("mv"))
+    val cands = verts
+      .select(col("vid").as("src"),
+        explode(array((0 until k).map(lit(_)): _*)).as("i"))
+      .crossJoin(broadcast(mv))
+      .select(col("src"), col("i").cast("long").as("i"),
+        pmod(graft.text.Dedup.shaTokenHash60(
+          concat(col("src").cast("string"), lit("#"),
+            col("i").cast("string"))), col("mv") + 1L).as("dst"))
+    cands
+      .join(verts.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      .filter(col("src") =!= col("dst"))
+      .join(sym, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("i"), col("dst"))
+  }
+
+  /** Per-vertex neighbor-label diversity — Gini–Simpson 1 − Σp² of the
+    * labels in the 1-hop neighborhood, the heterophily feature a GNN
+    * sampler stratifies on (complements [[khopFeatures]]' structural
+    * sums). Integer ppm, two aggregations: per-(vertex,label) counts
+    * first (map-side combinable — a hub shuffles its distinct-label
+    * histogram, not its adjacency), then the Σ over labels. Vertices
+    * whose neighbors carry no label are absent. */
+  def neighborLabelDiversity(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.withColumnRenamed("vid", "src"), "src")
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("dst").as("vid"))
+      .agg(sum(col("n")).as("deg_labeled"),
+        count(lit(1)).as("n_labels"),
+        sum(col("n") * col("n")).as("sumsq"))
+      .select(col("vid"), col("deg_labeled"), col("n_labels"),
+        expr("1000000L - sumsq * 1000000L div (deg_labeled * deg_labeled)")
+          .as("div_ppm"))
 }

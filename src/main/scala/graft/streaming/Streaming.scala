@@ -182,6 +182,42 @@ object Streaming {
     * the user key, per-user event counts are bounded, so at 100 TB this
     * shuffles each side once by user and nothing else — and it is the
     * same plan [[attributionStream]] executes incrementally. */
+  /** Fixed-delay watermark accounting — the late-data quarantine ledger
+    * every production stream needs next to its windowed aggregates:
+    * per tumbling EVENT-time window, how many rows arrived on time, how
+    * many landed late but inside the allowed lateness (the stream
+    * updates the window), and how many a `withWatermark(latenessMin)`
+    * stream would have DROPPED (the quarantine the batch backfill must
+    * re-ingest). Arrival time is deterministic — event time plus a
+    * sha-derived per-event delay of 0..maxJitterMin-1 minutes — so the
+    * ledger is bit-exactly oracle-replayable; a real deployment feeds
+    * the observed ingest timestamp instead. All-integer epoch-second
+    * arithmetic, one aggregation, no state. (A micro-batch stream's
+    * actual drop set is ≤ this ledger's: its watermark only advances
+    * between batches — this is the steady-state bound.) */
+  def lateAccounting(events: DataFrame, idCol: String, tsCol: String,
+                     windowMin: Int, latenessMin: Int,
+                     maxJitterMin: Int): DataFrame = {
+    val w = windowMin * 60L
+    // integral floor of the micros clock (events carry sub-second
+    // precision; unix_micros div is the DuckDB epoch_us // twin)
+    val es = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 1000000L")
+    val jitter = pmod(graft.text.Dedup.shaTokenHash60(
+      col(idCol).cast("string")), lit(maxJitterMin.toLong)) * 60L
+    events
+      .select((es - pmod(es, lit(w))).as("window_start_es"),
+        (es + jitter).as("arrival_es"))
+      .withColumn("delay",
+        col("arrival_es") - (col("window_start_es") + w))
+      .groupBy(col("window_start_es"))
+      .agg(sum(when(col("delay") <= 0L, 1L).otherwise(0L)).as("n_on_time"),
+        sum(when(col("delay") > 0L &&
+          col("delay") <= latenessMin * 60L, 1L).otherwise(0L))
+          .as("n_late_accepted"),
+        sum(when(col("delay") > latenessMin * 60L, 1L).otherwise(0L))
+          .as("n_dropped"))
+  }
+
   def attributionBatch(events: DataFrame, windowMin: Int): DataFrame = {
     val wUs = windowMin * 60L * 1000000L
     val views = events.filter(col("event_type") === "view")

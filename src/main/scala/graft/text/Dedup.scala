@@ -159,6 +159,70 @@ object Dedup {
         (col(idCol) === col("canonical_id")).cast("long"))
   }
 
+  /** MinHash calibration ledger — the sketch-QA pass a production dedup
+    * pipeline runs before trusting a (numHashes, bands) configuration:
+    * for every LSH candidate pair, the signature-estimated Jaccard is
+    * compared against the EXACT shingle Jaccard, and the absolute error
+    * is aggregated per estimate decile. All-integer ppm (matches·1e6
+    * div numHashes vs i·1e6 div u), so the ledger is bit-exactly
+    * oracle-replayable.
+    *
+    * Scale shape: the exact side is computed ONLY for candidate pairs
+    * (bounded by the LSH bucket join + maxBucket guard), never all
+    * pairs — calibration costs one extra shingle join over the
+    * candidate set, not the quadratic scan the sketch exists to avoid. */
+  def minHashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         maxBucket: Int = 1000,
+                         hashFn: (Column, Int) => Column =
+                           shaSeededHash60): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, k).persist()
+    val sigs = minHashSignatures(sh, numHashes, hashFn).persist()
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * r + 1, lit(r)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+    val inBucket = banded.join(counts, Seq("band", "bucket"), "left_semi")
+    val cands = inBucket.as("a")
+      .join(inBucket.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("matches", size(filter(zip_with(col("s1"), col("s2"),
+        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+        .cast("long"))
+      .select(col("d1"), col("d2"),
+        expr(s"matches * 1000000L div $numHashes").as("est_ppm"))
+      .persist()
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val ix = cands.select(col("d1"), col("d2"))
+      .join(sh.select(col("id").as("d1"), col("g")), "d1")
+      .join(sh.select(col("id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    val out = cands
+      .join(ix, Seq("d1", "d2"), "left_outer")
+      .join(sz.select(col("id").as("d1"), col("n").as("na")), "d1")
+      .join(sz.select(col("id").as("d2"), col("n").as("nb")), "d2")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .withColumn("jacc_ppm", expr("i * 1000000L div (na + nb - i)"))
+      .withColumn("err", abs(col("est_ppm") - col("jacc_ppm")))
+      .groupBy(expr("est_ppm div 100000L").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("se"),
+        max(col("err")).as("max_err_ppm"))
+      .select(col("bucket"), col("n_pairs"),
+        expr("se div n_pairs").as("mean_abs_err_ppm"), col("max_err_ppm"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(); sigs.unpersist(); cands.unpersist()
+    out
+  }
+
   /** Token hash for oracle-parity SimHash: the top 60 bits of sha256,
     * parsed from the first 15 hex chars — the one 64-bit-ish hash both
     * Spark and DuckDB compute identically (`xxhash64` has no DuckDB

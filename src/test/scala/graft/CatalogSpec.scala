@@ -184,4 +184,55 @@ class CatalogSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
   }
+
+  test("cdc conflictKeys: only concurrently-changed write-set keys flag") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    // another txn updated k=2 and deleted k=4 since base
+    val current = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v")
+    val writeSet = Seq(2L, 3L, 4L, 9L).toDF("k")
+    val got = Cdc.conflictKeys(base, current, "k", Seq("v"), writeSet)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 2 conflicts (update), 4 conflicts (delete), 3 clean, 9 (insert-only
+    // key no other txn touched) clean
+    assert(got == Map(2L -> 1, 3L -> 0, 4L -> 1, 9L -> 0))
+  }
+
+  test("zone map: bounds-first verdicts skip by the clustered column") {
+    import spark.implicits._
+    import graft.catalog.ZoneMap
+    val df = Seq((0L, 5L), (1L, 17L), (5L, 19L), (2L, 23L), (4L, 42L))
+      .toDF("id", "x")
+    // zones of width 10 on x; cluster predicate x in [15,25]; probe
+    // predicate id in [0,100] (scatters over every zone)
+    val got = ZoneMap.skippingStats(df, "x", 10L, "id",
+        cLo = 15L, cHi = 25L, pLo = 0L, pHi = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6), r.getInt(7)))).toMap
+    assert(got(0L) === ((1L, 5L, 5L, 0L, 0L, 0, 1)))
+    assert(got(1L) === ((2L, 17L, 19L, 1L, 5L, 1, 1)))
+    assert(got(2L) === ((1L, 23L, 23L, 2L, 2L, 1, 1)))
+    assert(got(4L) === ((1L, 42L, 42L, 4L, 4L, 0, 1)))
+  }
+
+  test("compaction plan: small files pack into cumulative groups") {
+    import spark.implicits._
+    import graft.catalog.Compaction
+    val manifest = Seq((1L, 30L), (2L, 90L), (3L, 40L), (4L, 20L),
+      (5L, 35L), (6L, 10L)).toDF("file_id", "size_bytes")
+    val got = Compaction.plan(manifest, "file_id", "size_bytes",
+        smallBytes = 50L, targetBytes = 60L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    // candidates 1,3,4,5,6 (sizes 30,40,20,35,10); cumulative-before:
+    // 0,30,70,90,125 -> groups 0,0,1,1,2
+    assert(got(1L) === ((30L, 1, 0L)))
+    assert(got(2L) === ((90L, 0, -1L))) // big file: not rewritten
+    assert(got(3L) === ((40L, 1, 0L)))
+    assert(got(4L) === ((20L, 1, 1L)))
+    assert(got(5L) === ((35L, 1, 1L)))
+    assert(got(6L) === ((10L, 1, 2L)))
+  }
 }

@@ -1146,6 +1146,119 @@ class KernelSpec extends SparkSpec {
     assert(k4(shared) === 2L)
   }
 
+  test("wl colors: orbit partition on golden graphs, degree-refining") {
+    def classes(es: Seq[(Long, Long)], rounds: Int = 3): Map[Long, Long] =
+      WlRefinement.colors(Edges.symmetrize(edgeDF(es)), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 is vertex-transitive: one color class of size 4
+    val k4 = classes(golden("k4"))
+    assert(k4.values.toSet.size === 1)
+    // star: hub alone, leaves together
+    val star = classes(golden("star5"))
+    assert(star(1L) !== star(2L))
+    assert((2L to 5L).map(star).toSet.size === 1)
+    // path4: ends {1,4} vs middles {2,3}
+    val p = classes(golden("path4"))
+    assert(p(1L) === p(4L))
+    assert(p(2L) === p(3L))
+    assert(p(1L) !== p(2L))
+    // refinement never merges distinct degrees (bowtie: center vs wings)
+    val bow = classes(golden("bowtie"))
+    assert(bow(3L) !== bow(1L))
+    assert(Seq(1L, 2L, 4L, 5L).map(bow).toSet.size === 1)
+    // class_size column is consistent with the partition
+    val rows = WlRefinement.colors(Edges.symmetrize(edgeDF(golden("star5"))), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySize = rows.groupBy(_._2).map { case (c, g) => c -> g.length }
+    rows.foreach { case (_, c, sz) => assert(sz === bySize(c)) }
+  }
+
+  test("wl colors: round-1 hash replays the sha60 multiset encoding") {
+    // star5 leaf: degree 1, one neighbor of degree 4 -> sha60("1|4:1")
+    val got = WlRefinement.colors(Edges.symmetrize(edgeDF(golden("star5"))), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === Oracles.sha60("1|4:1"))
+    assert(got(1L) === Oracles.sha60("4|1:4"))
+  }
+
+  test("molloy-reed: star collapses under hub attack, clique does not") {
+    def rows(es: Seq[(Long, Long)]): Map[String, (Long, Long, Long, Long, Int)] =
+      GraphStats.molloyReed(Edges.symmetrize(edgeDF(es)), hubPct = 1)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getInt(5)))).toMap
+    val star = rows(golden("star5"))
+    // full: degrees 4,1,1,1,1 -> kappa = 20/8 = 2.5 (supercritical)
+    assert(star("1_full") === ((5L, 8L, 20L, 2500000L, 1)))
+    // removing the single hub (ceil(5/100)=1) leaves no edges at all
+    assert(star("2_hubs_removed") === ((0L, 0L, 0L, 0L, 0)))
+    val k4 = rows(golden("k4"))
+    assert(k4("1_full") === ((4L, 12L, 36L, 3000000L, 1)))
+    // K4 minus one vertex is a triangle: kappa = 12/6 = 2, still critical
+    assert(k4("2_hubs_removed") === ((3L, 6L, 12L, 2000000L, 1)))
+  }
+
+  test("neighbor-label diversity: gini over the 1-hop label histogram") {
+    import spark.implicits._
+    val labels = Seq((2L, "A"), (3L, "A"), (4L, "B"), (5L, "C"))
+      .toDF("vid", "label")
+    val got = GraphStats.neighborLabelDiversity(
+        Edges.symmetrize(edgeDF(golden("star5"))), labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // hub sees {A:2, B:1, C:1}: 1 - (4+1+1)/16 = 0.625
+    assert(got(1L) === ((4L, 3L, 625000L)))
+    // leaves see the unlabeled hub only -> absent from the output
+    assert(!got.contains(2L))
+    // label the hub too: each leaf sees one label, diversity 0
+    val withHub = labels.union(Seq((1L, "H")).toDF("vid", "label"))
+    val got2 = GraphStats.neighborLabelDiversity(
+        Edges.symmetrize(edgeDF(golden("star5"))), withHub)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (2L to 5L).foreach(v => assert(got2(v) === ((1L, 1L, 0L))))
+  }
+
+  test("ivm degrees: maintained view equals recompute on golden deltas") {
+    val base = golden("bowtie")
+    val deleted = Seq((1L, 2L))
+    val inserted = Seq((5L, 6L), (6L, 7L))
+    val modified = (base.filterNot(deleted.contains) ++ inserted)
+    val expect = Edges.degrees(Edges.symmetrize(edgeDF(modified)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Edges.maintainDegrees(
+        Edges.degrees(Edges.symmetrize(edgeDF(base))),
+        edgeDF(deleted), edgeDF(inserted))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // deleting a leaf's only edge drops it from the view entirely
+    val got2 = Edges.maintainDegrees(
+        Edges.degrees(Edges.symmetrize(edgeDF(golden("path4")))),
+        edgeDF(Seq((1L, 2L))), edgeDF(Seq.empty))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("negative samples: sha replay, never a real edge or self") {
+    val sym = Edges.symmetrize(edgeDF(golden("twoComp")))
+    val got = GraphStats.negativeSamples(sym, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    val verts = Set(1L, 2L, 3L, 10L, 11L, 12L)
+    val edges = golden("twoComp")
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // single-threaded replay of the modular-sha rejection sampler
+    val mv = verts.max
+    val expect = (for {
+      v <- verts.toSeq; i <- 0L to 2L
+      c = Oracles.sha60(s"$v#$i") % (mv + 1)
+      if verts.contains(c) && c != v && !edges.contains((v, c))
+    } yield (i, v, c)).toSet
+    assert(got === expect)
+    got.foreach { case (_, s, d) =>
+      assert(!edges.contains((s, d)) && s != d && verts.contains(d))
+    }
+  }
+
   test("ego density: star is sparse, clique and leaf are 1.0") {
     def densities(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
       GraphStats.egoDensity(edgeDF(es)).collect()

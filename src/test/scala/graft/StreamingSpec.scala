@@ -197,6 +197,39 @@ class StreamingSpec extends SparkSpec {
     assert(first((2L, "click")) == (4L, 2L))
   }
 
+  test("late-data quarantine ledger replays the sha-jitter classification") {
+    def mk(id: Long, ts: String) = (id, Timestamp.valueOf(ts))
+    val rows = Seq(
+      mk(1, "2026-01-01 00:00:30"), mk(2, "2026-01-01 00:07:00"),
+      mk(3, "2026-01-01 00:09:59"), mk(4, "2026-01-01 00:12:00"),
+      mk(5, "2026-01-01 00:15:00"), mk(6, "2026-01-01 00:19:30")
+    ).toDF("event_id", "ts")
+    val got = Streaming.lateAccounting(rows, "event_id", "ts",
+        windowMin = 10, latenessMin = 5, maxJitterMin = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // single-threaded replay of the fixed-delay watermark model
+    val expect = Seq(
+      (1L, "2026-01-01 00:00:30"), (2L, "2026-01-01 00:07:00"),
+      (3L, "2026-01-01 00:09:59"), (4L, "2026-01-01 00:12:00"),
+      (5L, "2026-01-01 00:15:00"), (6L, "2026-01-01 00:19:30"))
+      .map { case (id, t) =>
+        val es = Timestamp.valueOf(t).getTime / 1000L
+        val ws = es - es % 600
+        val delay = es + (Oracles.sha60(id.toString) % 20) * 60 - (ws + 600)
+        (ws, if (delay <= 0) 0 else if (delay <= 300) 1 else 2)
+      }
+      .groupBy(_._1).map { case (ws, g) =>
+        ws -> ((g.count(_._2 == 0).toLong, g.count(_._2 == 1).toLong,
+          g.count(_._2 == 2).toLong))
+      }
+    assert(got === expect)
+    // the jitter spread actually exercises all three classes
+    val totals = got.values.foldLeft((0L, 0L, 0L)) { case (a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3) }
+    assert(totals._1 + totals._2 + totals._3 === 6L)
+  }
+
   test("stream-stream attribution interval join equals the batch twin") {
     def mk(id: Long, u: Long, t: String, ts: String) =
       (id, u, t, Timestamp.valueOf(ts), 0.0)

@@ -659,4 +659,44 @@ class TextSimSpec extends SparkSpec {
     assert(got(1L)._2 == 2178L)
     assert(got(2L)._2 == 5578L)
   }
+
+  test("minhash calibration ledger equals a single-threaded replay") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "the quick brown fox leaps over the lazy dog",
+      4L -> "entirely different content with no overlap at all")
+    val got = Dedup.minHashCalibration(d, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // replay: shingles, sha-seeded signatures, banding, est vs exact
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "the quick brown fox leaps over the lazy dog",
+      4L -> "entirely different content with no overlap at all")
+    val grams = texts.map { case (id, t) =>
+      id -> (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet }
+    val sig = grams.map { case (id, gs) =>
+      id -> (0 until 16).map(j => gs.map(g => Oracles.sha60(s"$j:$g")).min)
+    }
+    val ids = texts.keys.toSeq.sorted
+    val cands = for {
+      a <- ids; b <- ids if a < b
+      if (0 until 4).exists(bd =>
+        sig(a).slice(bd * 4, bd * 4 + 4) == sig(b).slice(bd * 4, bd * 4 + 4))
+    } yield (a, b)
+    val expect = cands.map { case (a, b) =>
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+        .toLong * 1000000L / 16L
+      val i = (grams(a) & grams(b)).size.toLong
+      val u = grams(a).size + grams(b).size - i
+      (est / 100000L, math.abs(est - i * 1000000L / u))
+    }.groupBy(_._1).map { case (bkt, g) =>
+      bkt -> ((g.size.toLong, g.map(_._2).sum / g.size, g.map(_._2).max))
+    }
+    assert(got === expect)
+    assert(got.nonEmpty) // near-dup trio must collide in some band
+  }
 }
