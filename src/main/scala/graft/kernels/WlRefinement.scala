@@ -29,8 +29,13 @@ object WlRefinement {
     * count — 1 means the vertex is structurally unique at depth
     * `rounds`. */
   def colors(sym: DataFrame, rounds: Int): DataFrame = {
+    // each round reads the previous colors twice (multiset build + the
+    // rehash join) — checkpoint-truncated lineage per round, the same
+    // O(1)-lineage discipline as the superstep kernels (without it the
+    // final plan re-reads the base edges 2^rounds times)
     var c = Edges.degrees(sym)
       .select(col("vid"), col("degree").cast("long").as("color"))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val counted = sym
         .join(c.withColumnRenamed("vid", "src"), "src")
@@ -47,6 +52,7 @@ object WlRefinement {
         .select(col("vid"), Dedup.shaTokenHash60(
           concat(col("color").cast("string"), lit("|"), col("enc")))
           .as("color"))
+        .localCheckpoint(true)
     }
     val sizes = c.groupBy(col("color"))
       .agg(count(lit(1)).as("class_size"))
