@@ -400,7 +400,7 @@ object Bench {
     // the first TC leg, the PR kernel + pre-loop split, or the query suite
     val queriesReserve =
       if (!doQueries) 0.0
-      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "1650").toDouble
+      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "1680").toDouble
     val kernelsReserve = 280.0
     var tcEst = 150.0 // per fresh-JVM TC leg incl. spawn + parquet load
     // initial per-leg cost guesses (superstep time scales ~1/cores + a
@@ -455,7 +455,17 @@ object Bench {
     if (doScaling) {
       val acc = scala.collection.mutable.Map[Int, (Long, Vector[Double])]()
       for (round <- 1 to legRounds; c <- legCores) {
-        val mandatory = round == 1 && (c == base || c == coresN)
+        // the FIRST TWO rounds of the headline pair are unconditional:
+        // the north-rule criterion is the N->4N efficiency, and a single
+        // round cannot be phase-paired — the 5th round-4 protocol
+        // recorded a meaningless 1.14 when its only 2-core leg drew a
+        // slow host phase while the 162-query reserve budget-skipped
+        // rounds 2-3. Two interleaved rounds always produce a pairable
+        // median; the query suite still runs to completion afterwards
+        // (it only drops names when remaining < 10 s), which is the
+        // right trade: correctness evidence comes from Verify, the
+        // scaling number only from here.
+        val mandatory = round <= 2 && (c == base || c == coresN)
         val reserveAfter = (if (doTc) tcEst else 0.0) +
           kernelsReserve + queriesReserve
         if (mandatory || remaining - reserveAfter > legCost(c) * 1.2) {

@@ -1748,7 +1748,73 @@ object SparkEntry {
     // Jaccard, exact side computed over CANDIDATE pairs only
     "q173_sketch_calibration" -> ((s, d) =>
       Dedup.minHashCalibration(T(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 16, bands = 4))
+        k = 3, numHashes = 16, bands = 4)),
+
+    // weak supervision: seed-clamped label spreading over the q57
+    // parity-ANN kNN graph — a sha-chosen 20% slice carries 4-way
+    // labels, 2 argmax rounds spread them; -1 = never reached
+    "q174_label_spread" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val pairs = Ann.lshTopKParity(emb, "vec_id", "embedding",
+          k = 5, dim = 64, bands = 8, bitsPerBand = 8)
+        .select(col("vec_id").as("src"), col("nn_id").as("dst"))
+      val h = Dedup.shaTokenHash60(col("vec_id").cast("string"))
+      val seeds = emb.filter(pmod(h, lit(5L)) === 0L)
+        .select(col("vec_id").as("vid"),
+          pmod(Dedup.shaTokenHash60(
+            concat(lit("L:"), col("vec_id").cast("string"))), lit(4L))
+            .as("label"))
+      val lab = graft.kernels.LabelSpread.run(s, pairs, seeds, rounds = 2)
+      emb.select(col("vec_id"))
+        .join(lab.withColumnRenamed("vid", "vec_id"),
+          Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("label"), lit(-1L)).as("label"),
+          coalesce(col("origin"), lit(-1L)).as("origin"))
+    }),
+
+    // rendezvous (highest-random-weight) shard placement of the vertex
+    // set over 8 shards — consistent-hashing data placement with the
+    // per-shard load histogram; argmax encoded as max(sha*8 + shard)
+    // (60-bit sha, so the packed key stays in long range)
+    "q175_rendezvous" -> ((s, d) => {
+      val verts = Edges.degrees(Edges.symmetrize(e2(s, d)))
+        .select(col("vid"))
+      val packed = array_max(transform(sequence(lit(0), lit(7)),
+        sh => Dedup.shaTokenHash60(concat(col("vid").cast("string"),
+          lit(":"), sh.cast("string"))) * 8L + sh.cast("long")))
+      verts.select(col("vid"), pmod(packed, lit(8L)).as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(broadcast(verts.agg(count(lit(1)).as("n_total"))))
+        .select(col("shard"), col("n_vertices"),
+          expr("n_vertices * 8L * 1000000L div n_total").as("load_ppm"))
+    }),
+
+    // labeler-agreement harness: Cohen's kappa (integer ppm) between
+    // the length rule (tokens >= 20, q149's gate) and the diversity
+    // rule (gini >= 500000, q155's score) over documents
+    "q176_kappa" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val div = graft.text.QualityRules
+        .tokenDiversity(docs, "doc_id", "text")
+        .select(col("doc_id"), col("gini_ppm"))
+      val joined = docs.select(col("doc_id"),
+          (TF.tokenCount(col("text")) >= 20L).cast("long").as("la"))
+        .join(div, "doc_id")
+        .select(col("la"), (col("gini_ppm") >= 500000L).cast("long").as("lb"))
+      graft.text.QualityRules.agreementKappa(joined, col("la"), col("lb"))
+    }),
+
+    // curriculum export order: 8 diversity-score bins best-first,
+    // sha-shuffled within each bin, global index via the two-phase rank
+    // (no single-task window)
+    "q177_curriculum" -> ((s, d) => {
+      val score = graft.text.QualityRules
+        .tokenDiversity(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("gini_ppm"))
+      graft.text.TrainPrep.curriculumOrder(s, score, "doc_id",
+        col("gini_ppm"), bins = 8)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -4869,6 +4935,135 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n_pairs,
         |       CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_ppm,
         |       CAST(max(err) AS BIGINT) AS max_err_ppm
-        |FROM pairs GROUP BY 1""".stripMargin
+        |FROM pairs GROUP BY 1""".stripMargin,
+    // label-spread replay: q57's signature/candidate pipeline -> top-5
+    // kNN graph, sha seeds, two clamped arg_min vote rounds
+    "q174_label_spread" ->
+      """WITH planes AS (
+        |  SELECT bb.b, jj.j, dd.d,
+        |         CASE WHEN CAST(('0x' || substr(sha256(
+        |             CAST(bb.b AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)
+        |             || ':' || CAST(dd.d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(8)) AS b) bb,
+        |       (SELECT unnest(range(8)) AS j) jj,
+        |       (SELECT unnest(range(64)) AS d) dd),
+        |qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |comp AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d,
+        |                unnest(q) AS x
+        |         FROM qv),
+        |dots AS (SELECT c.vec_id, p.b, p.j, sum(c.x * p.s) AS dot
+        |         FROM comp c JOIN planes p ON p.d = c.d GROUP BY 1, 2, 3),
+        |sig AS (SELECT vec_id, b,
+        |               sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS nn_id
+        |         FROM sig a JOIN sig c
+        |           ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |pd AS (SELECT cand.vec_id, cand.nn_id,
+        |              CAST(list_dot_product(CAST(x.q AS DOUBLE[]),
+        |                                    CAST(y.q AS DOUBLE[])) AS BIGINT) AS dot
+        |       FROM cand JOIN qv x ON x.vec_id = cand.vec_id
+        |                 JOIN qv y ON y.vec_id = cand.nn_id),
+        |knn AS MATERIALIZED (
+        |  SELECT vec_id, nn_id FROM (
+        |    SELECT vec_id, nn_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dot DESC, nn_id) AS rnk
+        |    FROM pd) WHERE rnk <= 5),
+        |symg AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT vec_id AS src, nn_id AS dst FROM knn
+        |    UNION ALL SELECT nn_id, vec_id FROM knn)),
+        |l0 AS MATERIALIZED (
+        |  SELECT vec_id AS vid,
+        |         CAST(('0x' || substr(sha256('L:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS label,
+        |         CAST(0 AS BIGINT) AS origin
+        |  FROM embeddings
+        |  WHERE CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0),
+        |v1 AS (SELECT g.dst AS vid, l.label, count(*) AS cnt
+        |       FROM symg g JOIN l0 l ON g.src = l.vid GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (
+        |  SELECT * FROM l0
+        |  UNION ALL
+        |  SELECT vid, arg_min(label, cnt * (-1000000000) + label),
+        |         CAST(1 AS BIGINT)
+        |  FROM v1 WHERE vid NOT IN (SELECT vid FROM l0) GROUP BY vid),
+        |v2 AS (SELECT g.dst AS vid, l.label, count(*) AS cnt
+        |       FROM symg g JOIN l1 l ON g.src = l.vid GROUP BY 1, 2),
+        |l2 AS (SELECT * FROM l1
+        |       UNION ALL
+        |       SELECT vid, arg_min(label, cnt * (-1000000000) + label),
+        |              CAST(2 AS BIGINT)
+        |       FROM v2 WHERE vid NOT IN (SELECT vid FROM l1) GROUP BY vid)
+        |SELECT e.vec_id, COALESCE(l2.label, -1) AS label,
+        |       COALESCE(l2.origin, -1) AS origin
+        |FROM embeddings e LEFT JOIN l2 ON e.vec_id = l2.vid""".stripMargin,
+    // rendezvous replay: packed max(sha*8 + shard) per vertex
+    "q175_rendezvous" ->
+      s"""WITH $CTE,
+         |pk AS (SELECT vid,
+         |              max(CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) * 8 + sh) AS packed
+         |       FROM deg, (SELECT unnest(range(8)) AS sh) s GROUP BY 1),
+         |asg AS (SELECT vid, packed % 8 AS shard FROM pk)
+         |SELECT shard, count(*) AS n_vertices,
+         |       CAST(count(*) * 8 * 1000000 // (SELECT count(*) FROM asg) AS BIGINT) AS load_ppm
+         |FROM asg GROUP BY 1""".stripMargin,
+    // kappa replay: q155's token histogram feeds both labelers; the
+    // final division is sign-decomposed so DuckDB's floor // replays
+    // Spark's truncating div on a possibly-negative po - pe
+    "q176_kappa" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |wc AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(sum(c * c) AS BIGINT) AS sumsq
+        |       FROM cnt GROUP BY 1),
+        |lab AS (SELECT CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS a,
+        |               CASE WHEN 1000000 - sumsq * 1000000 // (n_tokens * n_tokens) >= 500000
+        |                    THEN 1 ELSE 0 END AS b
+        |        FROM ag),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |      FROM lab),
+        |k AS (SELECT n, n00, n01, n10, n11,
+        |             CAST((n00 + n11) * 1000000 // n AS BIGINT) AS po_ppm,
+        |             CAST(((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) * 1000000 // (n * n) AS BIGINT) AS pe_ppm
+        |      FROM m)
+        |SELECT n, n00, n01, n10, n11, po_ppm, pe_ppm,
+        |       CAST(CASE WHEN pe_ppm = 1000000 THEN 1000000
+        |                 WHEN po_ppm - pe_ppm >= 0
+        |                   THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+        |                 ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+        |            END AS BIGINT) AS kappa_ppm
+        |FROM k""".stripMargin,
+    // curriculum replay: q155's gini feeds the bin; rank = row_number
+    // over (packed key, doc_id) — the two-phase rank's exact total order
+    "q177_curriculum" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |wc AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(sum(c * c) AS BIGINT) AS sumsq
+        |       FROM cnt GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |              CAST(1000000 - sumsq * 1000000 // (n_tokens * n_tokens) AS BIGINT) AS gini
+        |       FROM ag),
+        |ky AS (SELECT doc_id,
+        |              CAST(gini * 8 // 1000001 AS BIGINT) AS bin,
+        |              (7 - gini * 8 // 1000001) * (CAST(1 AS BIGINT) << 60)
+        |                + CAST(('0x' || substr(sha256('cur:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+        |       FROM sc)
+        |SELECT doc_id, bin,
+        |       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS order_idx
+        |FROM ky""".stripMargin
   )
 }

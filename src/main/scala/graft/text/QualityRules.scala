@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Repetition / PII quality gates — the document-level filter rules a
@@ -185,4 +185,31 @@ object QualityRules {
           expr("n_boiler * 1000000L div n_phrases")).otherwise(lit(0L)))
       .withColumn("keep", (col("boiler_ppm") <= boilerPpmMax).cast("long"))
   }
+
+  /** Cohen's kappa between two binary labelers — the agreement metric
+    * an eval/curation harness reports before trusting a cheap rule as
+    * a stand-in for an expensive one. Integer ppm end to end:
+    * po = (n00+n11)/n, pe = (a0·b0 + a1·b1)/n², kappa = (po−pe)/(1−pe),
+    * each stage one integral `div` (marginal products need n < ~3·10⁹
+    * per evaluation slice to stay in long range — evaluate per slice at
+    * extreme scale). One aggregation over the joined label columns. */
+  def agreementKappa(df: DataFrame, labelA: Column,
+                     labelB: Column): DataFrame =
+    df.select(labelA.cast("long").as("a"), labelB.cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n11"))
+      .withColumn("po_ppm", expr("(n00 + n11) * 1000000L div n"))
+      .withColumn("pe_ppm", expr(
+        "((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) " +
+          "* 1000000L div (n * n)"))
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm = 1000000L THEN 1000000L " +
+          "ELSE (po_ppm - pe_ppm) * 1000000L div (1000000L - pe_ppm) END"))
 }

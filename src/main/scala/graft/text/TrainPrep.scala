@@ -442,4 +442,48 @@ object TrainPrep {
       .withColumn("padded_tokens",
         col("n_docs") * col("bucket_cap") - col("sum_tokens"))
   }
+
+  /** Deterministic curriculum export order: docs are ranked by quality
+    * bin (best bin first) with a sha-shuffled order inside each bin —
+    * the "easy/clean first, shuffled within difficulty" layout a
+    * curriculum-training data loader reads sequentially. The composite
+    * sort key packs (bins−1−bin) into the 3 bits above the 60-bit sha
+    * (so bins ≤ 8 keeps it in long range) and the global index is a
+    * TWO-PHASE rank — quantile range bounds on the key, per-range
+    * counts to offsets via one bounded collect, a window only inside
+    * each range ordered by (key, id) — the same no-single-task-window
+    * substrate as [[sequentialPack]], with the id tiebreak making the
+    * rank unique even across sha collisions. */
+  def curriculumOrder(spark: SparkSession, df: DataFrame, idCol: String,
+                      scorePpmCol: Column, bins: Int = 8,
+                      partitions: Int = 32): DataFrame = {
+    require(bins >= 1 && bins <= 8, "bins must fit the 3-bit key prefix")
+    val base = df.select(col(idCol).as("id"),
+        scorePpmCol.cast("long").as("score_ppm"))
+      .withColumn("bin", expr(s"score_ppm * $bins div 1000001L"))
+      .withColumn("key",
+        (lit((bins - 1).toLong) - col("bin")) * lit(1L << 60) +
+          Dedup.shaTokenHash60(concat(lit("cur:"),
+            col("id").cast("string"))))
+    val probs = (1 until partitions).map(_.toDouble / partitions).toArray
+    val withD = base.withColumn("keyd", col("key").cast("double"))
+    val bounds =
+      if (partitions <= 1) Array.empty[Double]
+      else withD.stat.approxQuantile("keyd", probs, 0.001).distinct.sorted
+    val pid = size(filter(typedLit(bounds), b => b <= col("keyd")))
+    val withPid = withD.withColumn("pid", pid)
+    val perPart = withPid.groupBy(col("pid")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = perPart.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += perPart(p); (p, o)
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.join(broadcast(offDf), "pid")
+      .withColumn("order_idx", count(lit(1)).over(w) - 1L + col("off"))
+      .select(col("id").as(idCol), col("bin"), col("order_idx"))
+  }
 }

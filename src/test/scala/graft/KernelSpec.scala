@@ -1239,6 +1239,28 @@ class KernelSpec extends SparkSpec {
     assert(got2 === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("label spread: clamped seeds, argmax ties to smaller label") {
+    import spark.implicits._
+    // path 1-2-3-4-5 with seeds at the ends; 6 isolated (never reached)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("vid", "label")
+    val got = LabelSpread.run(spark, pairs, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === ((10L, 0L)))
+    assert(got(5L) === ((20L, 0L)))
+    assert(got(2L) === ((10L, 1L))) // round 1 from seed 1
+    assert(got(4L) === ((20L, 1L))) // round 1 from seed 5
+    // 3 sees both labels in round 2 with equal votes: tie -> smaller
+    assert(got(3L) === ((10L, 2L)))
+    assert(!got.contains(6L) && !got.contains(7L))
+    // seeds never flip: vertex 2 keeps 10 even though 3 later holds 10
+    val got1 = LabelSpread.run(spark, pairs, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got1.contains(3L))
+  }
+
   test("negative samples: sha replay, never a real edge or self") {
     val sym = Edges.symmetrize(edgeDF(golden("twoComp")))
     val got = GraphStats.negativeSamples(sym, k = 3)

@@ -288,4 +288,48 @@ class QualitySpec extends SparkSpec {
       (256L, 0L) -> ((1L, 129L, 127L)),
       (256L, 1L) -> ((1L, 200L, 56L))))
   }
+
+  test("cohen's kappa: hand-computed table, perfect and inverse cases") {
+    def kappa(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Long,
+        Long, Long, Long) = {
+      val r = QualityRules.agreementKappa(rows.toDF("a", "b"),
+        col("a"), col("b")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }
+    // n=10: n00=4, n01=1, n10=2, n11=3 -> po .70, pe .50, kappa .40
+    val mixed = Seq.fill(4)((0L, 0L)) ++ Seq((0L, 1L)) ++
+      Seq.fill(2)((1L, 0L)) ++ Seq.fill(3)((1L, 1L))
+    assert(kappa(mixed) ===
+      ((10L, 4L, 1L, 2L, 3L, 700000L, 500000L, 400000L)))
+    // perfect agreement on a balanced table -> kappa 1.0
+    val perfect = Seq.fill(5)((0L, 0L)) ++ Seq.fill(5)((1L, 1L))
+    assert(kappa(perfect)._8 === 1000000L)
+    // systematic disagreement -> kappa -1.0 (negative path exercises
+    // the truncating-div sign handling the oracle decomposes)
+    val inverse = Seq.fill(5)((0L, 1L)) ++ Seq.fill(5)((1L, 0L))
+    assert(kappa(inverse)._8 === -1000000L)
+  }
+
+  test("curriculum order: best bin first, sha-shuffled within, dense rank") {
+    val docs = Seq((1L, 900000L), (2L, 100000L), (3L, 920000L),
+      (4L, 150000L), (5L, 500000L)).toDF("doc_id", "s")
+    val got = TrainPrep.curriculumOrder(spark, docs, "doc_id", col("s"),
+        bins = 8, partitions = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // bins: 900000*8 div 1000001 = 7, 920000 -> 7; 500000 -> 3;
+    // 100000 -> 0, 150000 -> 1
+    assert(got(1L)._1 === 7L && got(3L)._1 === 7L)
+    assert(got(5L)._1 === 3L)
+    assert(got(2L)._1 === 0L && got(4L)._1 === 1L)
+    // single-threaded replay of the packed-key total order
+    val expect = Seq(1L -> 7L, 2L -> 0L, 3L -> 7L, 4L -> 1L, 5L -> 3L)
+      .map { case (id, bin) =>
+        id -> ((7L - bin) * (1L << 60) + Oracles.sha60(s"cur:$id"))
+      }.sortBy { case (id, key) => (key, id) }.map(_._1)
+    expect.zipWithIndex.foreach { case (id, idx) =>
+      assert(got(id)._2 === idx.toLong, s"doc $id")
+    }
+  }
 }
