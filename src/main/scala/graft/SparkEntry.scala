@@ -1814,6 +1814,61 @@ object SparkEntry {
         .select(col("doc_id"), col("gini_ppm"))
       graft.text.TrainPrep.curriculumOrder(s, score, "doc_id",
         col("gini_ppm"), bins = 8)
+    }),
+
+    // inverted index build (search-side corpus artifact): per-(term,doc)
+    // tf + sorted position list for terms with df >= 5 — one explode +
+    // two aggs, the df gate keeps hapax noise out of the postings
+    "q178_inverted_index" -> ((s, d) => {
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "term")
+      val postings = toks.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          array_join(sort_array(collect_list(col("p")))
+            .cast("array<string>"), ",").as("positions"))
+      val df5 = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 5)
+      postings.join(df5, "term")
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          col("positions"))
+    }),
+
+    // dedup-aware split-leakage audit: near-dup pairs (q26 config)
+    // crossing the q48 train/val/test boundaries — the contamination
+    // check a split must pass before training; output = per
+    // (split_a, split_b) pair counts with the cross-split leak flag
+    "q179_split_leakage" -> ((s, d) => {
+      val pairs = Dedup.minHashLsh(T(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.7,
+        maxBucket = Int.MaxValue, hashFn = Dedup.shaSeededHash60)
+      val sp = T(s, d, "documents").select(col("doc_id"),
+        graft.text.TrainPrep.hashSplit("doc_id", "s1").as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("sa")), "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("sb")), "d2")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak",
+          (col("split_a") =!= col("split_b")).cast("int"))
+    }),
+
+    // shuffle-skew advisor over the derivation's join key (l_partkey):
+    // the top-10 heaviest keys with corpus share and vs-average ratio —
+    // the report that decides salting before the co-occurrence self-join
+    "q180_skew_advisor" -> ((s, d) => {
+      val cnt = T(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      cnt.orderBy(col("n").desc, col("key")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("key"), col("n"),
+          expr("n * 1000000L div total").as("share_ppm"),
+          expr("n * n_keys * 1000000L div total").as("vs_avg_ppm"))
     })
   )
 
@@ -5064,6 +5119,63 @@ object SparkEntry {
         |       FROM sc)
         |SELECT doc_id, bin,
         |       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS order_idx
-        |FROM ky""".stripMargin
+        |FROM ky""".stripMargin,
+    // postings replay: WITH ORDINALITY positions (1-based -> -1), df gate
+    "q178_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term,
+        |               generate_subscripts(t, 1) - 1 AS p
+        |        FROM tok),
+        |post AS MATERIALIZED (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |         string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS positions
+        |  FROM pos GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM post GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT p.term, p.doc_id, p.tf, d.df, p.positions
+        |FROM post p JOIN dfc d ON p.term = d.term""".stripMargin,
+    // leakage replay: q26's sha-banding candidates + the q48 split rule
+    "q179_split_leakage" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |             FROM documents),
+        |shg AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
+        |hx AS MATERIALIZED (
+        |  SELECT doc_id, j,
+        |         min(CAST(('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS m
+        |  FROM shg, (SELECT unnest(range(16)) AS j) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, list(m ORDER BY j) AS key
+        |        FROM hx GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bnd a JOIN bnd b
+        |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |eq AS (SELECT c.d1, c.d2,
+        |              sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 16.0 AS est
+        |       FROM cand c JOIN hx x ON x.doc_id = c.d1
+        |                   JOIN hx y ON y.doc_id = c.d2 AND x.j = y.j
+        |       GROUP BY 1, 2),
+        |prs AS (SELECT d1, d2 FROM eq WHERE est >= 0.7),
+        |sp AS (SELECT doc_id,
+        |              CASE WHEN CAST(('0x' || substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |                   WHEN CAST(('0x' || substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |                   ELSE 'test' END AS split
+        |       FROM documents),
+        |tag AS (SELECT least(a.split, b.split) AS split_a,
+        |               greatest(a.split, b.split) AS split_b
+        |        FROM prs JOIN sp a ON prs.d1 = a.doc_id
+        |                 JOIN sp b ON prs.d2 = b.doc_id)
+        |SELECT split_a, split_b, count(*) AS n_pairs,
+        |       CAST(split_a <> split_b AS INT) AS leak
+        |FROM tag GROUP BY 1, 2""".stripMargin,
+    // skew replay: top-10 keys by (count desc, key), integral shares
+    "q180_skew_advisor" ->
+      """WITH cnt AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        |             FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_keys FROM cnt)
+        |SELECT key, n,
+        |       CAST(n * 1000000 // (SELECT total FROM tot) AS BIGINT) AS share_ppm,
+        |       CAST(n * (SELECT n_keys FROM tot) * 1000000 // (SELECT total FROM tot) AS BIGINT) AS vs_avg_ppm
+        |FROM cnt ORDER BY n DESC, key LIMIT 10""".stripMargin
   )
 }
