@@ -449,9 +449,9 @@ object Bench {
     // (N,4N,N,4N,...) so a slow host phase cannot land entirely on one
     // leg; ALL raw runs are recorded in the JSON, the headline efficiency
     // uses per-leg MEDIANS, best-run efficiency alongside as the capacity
-    // estimate. Round 1 of the headline pair is unconditional; every
-    // further leg run must fit the budget net of the TC/kernels/queries
-    // reserves.
+    // estimate. Rounds 1 AND 2 of the headline pair are unconditional
+    // (a single round cannot be phase-paired); every further leg run
+    // must fit the budget net of the TC/kernels/queries reserves.
     if (doScaling) {
       val acc = scala.collection.mutable.Map[Int, (Long, Vector[Double])]()
       for (round <- 1 to legRounds; c <- legCores) {

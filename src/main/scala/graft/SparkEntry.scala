@@ -1747,8 +1747,10 @@ object SparkEntry {
     // absolute error of the q26 signature estimate vs exact shingle
     // Jaccard, exact side computed over CANDIDATE pairs only
     "q173_sketch_calibration" -> ((s, d) =>
+      // maxBucket capped off: the oracle replays UNCAPPED banding (the
+      // same configuration rule as q26); production callers keep the cap
       Dedup.minHashCalibration(T(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 16, bands = 4)),
+        k = 3, numHashes = 16, bands = 4, maxBucket = Int.MaxValue)),
 
     // weak supervision: seed-clamped label spreading over the q57
     // parity-ANN kNN graph — a sha-chosen 20% slice carries 4-way

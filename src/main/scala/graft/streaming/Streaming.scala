@@ -175,13 +175,6 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Attribution interval join, batch twin: every (view, click) pair of
-    * the SAME user with the click in (view_ts, view_ts + windowMin] —
-    * "which impressions get credit for this click". A user-keyed
-    * equi-join plus a range predicate: the range condition never leaves
-    * the user key, per-user event counts are bounded, so at 100 TB this
-    * shuffles each side once by user and nothing else — and it is the
-    * same plan [[attributionStream]] executes incrementally. */
   /** Fixed-delay watermark accounting — the late-data quarantine ledger
     * every production stream needs next to its windowed aggregates:
     * per tumbling EVENT-time window, how many rows arrived on time, how
@@ -218,6 +211,13 @@ object Streaming {
           .as("n_dropped"))
   }
 
+  /** Attribution interval join, batch twin: every (view, click) pair of
+    * the SAME user with the click in (view_ts, view_ts + windowMin] —
+    * "which impressions get credit for this click". A user-keyed
+    * equi-join plus a range predicate: the range condition never leaves
+    * the user key, per-user event counts are bounded, so at 100 TB this
+    * shuffles each side once by user and nothing else — and it is the
+    * same plan [[attributionStream]] executes incrementally. */
   def attributionBatch(events: DataFrame, windowMin: Int): DataFrame = {
     val wUs = windowMin * 60L * 1000000L
     val views = events.filter(col("event_type") === "view")

@@ -89,6 +89,35 @@ object Dedup {
     * signature components. At scale the bucket join replaces the quadratic
     * all-pairs scan; skewed buckets (boilerplate shingle sets) are bounded
     * by `maxBucket`. */
+  /** Banded-LSH candidate pairs from a persisted signature table:
+    * (d1, d2, s1, s2) for every id-ordered pair sharing a band slice.
+    * The bucket key is the band slice ITSELF (array<long> equality), not
+    * a hash of it: hashing the slice admits a ~2^-64 band-key collision
+    * that would surface a candidate pair the exact-banding oracle (q26)
+    * lacks; the r-long key costs a slightly wider bucket shuffle and
+    * removes the failure mode entirely. Hot buckets (near-universal
+    * boilerplate) are capped at `maxBucket` before the pair join. The
+    * shared candidate pipeline of [[minHashLsh]] and
+    * [[minHashCalibration]]. */
+  private def bandedCandidates(sigs: DataFrame, bands: Int, r: Int,
+                               maxBucket: Int): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * r + 1, lit(r)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+    val inBucket = banded.join(counts, Seq("band", "bucket"), "left_semi")
+    inBucket.as("a")
+      .join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .dropDuplicates("d1", "d2")
+  }
+
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7,
@@ -100,27 +129,7 @@ object Dedup {
     val sigs = minHashSignatures(shingles(docs, idCol, textCol, k),
         numHashes, hashFn)
       .persist()
-    // the bucket key is the band slice ITSELF (array<long> equality), not
-    // a hash of it: hashing the slice admits a ~2^-64 band-key collision
-    // that would surface a candidate pair the exact-banding oracle (q26)
-    // lacks; the r-long key costs a slightly wider bucket shuffle and
-    // removes the failure mode entirely
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * r + 1, lit(r)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // guard hot buckets (near-universal boilerplate) before the pair join
-    val counts = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-    val inBucket = banded.join(counts, Seq("band", "bucket"), "left_semi")
-    val cands = inBucket.as("a")
-      .join(inBucket.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        col("a.sig").as("s1"), col("b.sig").as("s2"))
-      .dropDuplicates("d1", "d2")
+    val cands = bandedCandidates(sigs, bands, r, maxBucket)
     val est = size(filter(zip_with(col("s1"), col("s2"),
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
       .cast("double") / numHashes
@@ -180,21 +189,7 @@ object Dedup {
     val r = numHashes / bands
     val sh = shingles(docs, idCol, textCol, k).persist()
     val sigs = minHashSignatures(sh, numHashes, hashFn).persist()
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * r + 1, lit(r)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val counts = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-    val inBucket = banded.join(counts, Seq("band", "bucket"), "left_semi")
-    val cands = inBucket.as("a")
-      .join(inBucket.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        col("a.sig").as("s1"), col("b.sig").as("s2"))
-      .dropDuplicates("d1", "d2")
+    val cands = bandedCandidates(sigs, bands, r, maxBucket)
       .withColumn("matches", size(filter(zip_with(col("s1"), col("s2"),
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
         .cast("long"))
