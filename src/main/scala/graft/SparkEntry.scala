@@ -1871,7 +1871,48 @@ object SparkEntry {
         .select(col("key"), col("n"),
           expr("n * 1000000L div total").as("share_ppm"),
           expr("n * n_keys * 1000000L div total").as("vs_avg_ppm"))
-    })
+    }),
+
+    // graph summarization: the WL-2 color classes as supernodes, edges
+    // aggregated per canonical color pair — the structural summary a
+    // graph-compression / visualization layer reads instead of |E| rows
+    "q181_wl_summary" -> ((s, d) => {
+      val e = e2(s, d).localCheckpoint(eager = true)
+      val colors = graft.kernels.WlRefinement
+        .colors(Edges.symmetrize(e), rounds = 2)
+        .select(col("vid"), col("wl_color"))
+      e.join(colors.select(col("vid").as("src"), col("wl_color").as("ca")),
+          "src")
+        .join(colors.select(col("vid").as("dst"), col("wl_color").as("cb")),
+          "dst")
+        .select(least(col("ca"), col("cb")).as("c1"),
+          greatest(col("ca"), col("cb")).as("c2"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(count(lit(1)).as("n_edges"))
+    }),
+
+    // per-source dataset card ("datasheets for datasets"): docs, token
+    // volume, language spread, exact-dup rate, mean length — the
+    // one-page corpus profile, every column a verified rule composed
+    "q182_dataset_card" -> ((s, d) =>
+      T(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(sha2(col("text"), 256)).as("n_unique"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"),
+          expr("(n_docs - n_unique) * 1000000L div n_docs").as("dup_ppm"),
+          expr("n_chars div n_docs").as("mean_chars"))),
+
+    // distributional OOD score: per-doc L1 ppm distance between the
+    // doc's letter histogram and the corpus's — explode-free 26-counter
+    // codegen, one corpus pass + a 1-row histogram broadcast
+    "q183_char_ood" -> ((s, d) =>
+      graft.text.QualityRules.charDistributionOod(
+        T(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -5178,6 +5219,59 @@ object SparkEntry {
         |SELECT key, n,
         |       CAST(n * 1000000 // (SELECT total FROM tot) AS BIGINT) AS share_ppm,
         |       CAST(n * (SELECT n_keys FROM tot) * 1000000 // (SELECT total FROM tot) AS BIGINT) AS vs_avg_ppm
-        |FROM cnt ORDER BY n DESC, key LIMIT 10""".stripMargin
+        |FROM cnt ORDER BY n DESC, key LIMIT 10""".stripMargin,
+    // WL-2 supergraph replay: q163's first two refinement rounds, then
+    // the canonical color-pair edge rollup
+    "q181_wl_summary" ->
+      s"""WITH $CTE,
+         |w0 AS MATERIALIZED (SELECT vid, CAST(degree AS BIGINT) AS c FROM deg),
+         |n1 AS (SELECT s.d AS vid, c.c AS nc, count(*) AS n
+         |       FROM sym s JOIN w0 c ON s.s = c.vid GROUP BY 1, 2),
+         |w1 AS MATERIALIZED (
+         |  SELECT w0.vid, CAST(('0x' || substr(sha256(CAST(w0.c AS VARCHAR) || '|' || a.enc), 1, 15)) AS BIGINT) AS c
+         |  FROM w0 JOIN (SELECT vid, string_agg(CAST(nc AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY nc) AS enc
+         |                FROM n1 GROUP BY 1) a ON w0.vid = a.vid),
+         |n2 AS (SELECT s.d AS vid, c.c AS nc, count(*) AS n
+         |       FROM sym s JOIN w1 c ON s.s = c.vid GROUP BY 1, 2),
+         |w2 AS MATERIALIZED (
+         |  SELECT w1.vid, CAST(('0x' || substr(sha256(CAST(w1.c AS VARCHAR) || '|' || a.enc), 1, 15)) AS BIGINT) AS c
+         |  FROM w1 JOIN (SELECT vid, string_agg(CAST(nc AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY nc) AS enc
+         |                FROM n2 GROUP BY 1) a ON w1.vid = a.vid)
+         |SELECT least(x.c, y.c) AS c1, greatest(x.c, y.c) AS c2,
+         |       count(*) AS n_edges
+         |FROM e JOIN w2 x ON e.s = x.vid JOIN w2 y ON e.d = y.vid
+         |GROUP BY 1, 2""".stripMargin,
+    // dataset-card replay: q18's token rule, exact-dup sha, integral ppm
+    "q182_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST((count(*) - count(DISTINCT sha256(text))) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+        |       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // OOD replay: the same 26 length-difference counters, corpus
+    // histogram over letter-bearing docs, integral ppm L1
+    "q183_char_ood" -> {
+      val ls = ('a' to 'z').toSeq
+      val cnts = ls.map(c =>
+        s"(length(lt) - length(replace(lt, '$c', ''))) AS c_$c")
+        .mkString(", ")
+      val tot = ls.map(c => s"c_$c").mkString(" + ")
+      val gs = ls.map(c => s"CAST(sum(c_$c) AS BIGINT) AS g_$c")
+        .mkString(", ")
+      val gtot = ls.map(c => s"g_$c").mkString(" + ")
+      val l1 = ls.map(c =>
+        s"abs(c_$c * 1000000 // total - g_$c * 1000000 // gtotal)")
+        .mkString(" + ")
+      s"""WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |cn AS (SELECT doc_id, $cnts FROM lt),
+         |fl AS MATERIALIZED (SELECT *, $tot AS total FROM cn
+         |                    WHERE $tot > 0),
+         |corp AS (SELECT $gs FROM fl),
+         |corpt AS (SELECT *, $gtot AS gtotal FROM corp)
+         |SELECT doc_id, CAST(total AS BIGINT) AS n_letters,
+         |       CAST($l1 AS BIGINT) AS l1_ppm
+         |FROM fl, corpt""".stripMargin
+    }
   )
 }

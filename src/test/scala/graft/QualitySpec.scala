@@ -311,6 +311,23 @@ class QualitySpec extends SparkSpec {
     assert(kappa(inverse)._8 === -1000000L)
   }
 
+  test("char-distribution OOD: L1 ppm vs corpus histogram, hand case") {
+    val docs = Seq((1L, "aaab"), (2L, "abbb"), (3L, "1234 !!")) // 3: no letters
+      .toDF("doc_id", "text")
+    val got = QualityRules.charDistributionOod(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // corpus over letter-bearing docs: a=4, b=4, total 8 -> 500000 each
+    // doc1: a=750000, b=250000 -> |250000| + |250000| = 500000
+    assert(got(1L) === ((4L, 500000L)))
+    assert(got(2L) === ((4L, 500000L)))
+    assert(!got.contains(3L)) // no letters: excluded, not divided-by-zero
+    // a doc matching the corpus distribution scores 0
+    val bal = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    QualityRules.charDistributionOod(bal, "doc_id", "text")
+      .collect().foreach(r => assert(r.getLong(2) === 0L))
+  }
+
   test("curriculum order: best bin first, sha-shuffled within, dense rank") {
     val docs = Seq((1L, 900000L), (2L, 100000L), (3L, 920000L),
       (4L, 150000L), (5L, 500000L)).toDF("doc_id", "s")
