@@ -1912,7 +1912,48 @@ object SparkEntry {
     // codegen, one corpus pass + a 1-row histogram broadcast
     "q183_char_ood" -> ((s, d) =>
       graft.text.QualityRules.charDistributionOod(
-        T(s, d, "documents"), "doc_id", "text"))
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // optimizer-statistics QA: CMS inner-product estimate of the
+    // l_partkey SELF-join size (the cooc derivation's pre-cap pair
+    // count) vs the exact sum-of-squares — the cardinality statistic a
+    // cost-based planner consults, with its measured overestimate
+    "q184_cms_join_size" -> ((s, d) => {
+      val keys = T(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true)
+      val sk = graft.text.Sketches.countMin(keys, "k", "cnt")
+      val est = graft.text.Sketches.cmJoinSize(sk, sk)
+      val exact = keys.agg(sum(col("cnt") * col("cnt")).as("exact_pairs"))
+      exact.crossJoin(est)
+        .select(col("exact_pairs"), col("join_size_est"),
+          expr("(join_size_est - exact_pairs) * 1000000L div exact_pairs")
+            .as("over_ppm"))
+    }),
+
+    // approximate-query-processing error report: per-lang mean doc
+    // length, exact vs a 20% sha-sample estimate, |error| in ppm — the
+    // calibration a dashboard needs before trusting sampled aggregates
+    "q185_aqp_error" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val exact = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact"), sum(col("n_chars")).as("sc"))
+        .select(col("lang"), col("n_exact"),
+          expr("sc div n_exact").as("mean_exact"))
+      val est = docs
+        .filter(pmod(Dedup.shaTokenHash60(col("doc_id").cast("string")),
+          lit(5L)) === 0L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sample"), sum(col("n_chars")).as("ss"))
+        .select(col("lang"), col("n_sample"),
+          expr("ss div n_sample").as("mean_est"))
+      exact.join(est, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_exact"), col("mean_exact"),
+          coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+          coalesce(col("mean_est"), lit(-1L)).as("mean_est"),
+          coalesce(expr("abs(mean_est - mean_exact) * 1000000L div mean_exact"),
+            lit(-1L)).as("err_ppm"))
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -5272,6 +5313,38 @@ object SparkEntry {
          |SELECT doc_id, CAST(total AS BIGINT) AS n_letters,
          |       CAST($l1 AS BIGINT) AS l1_ppm
          |FROM fl, corpt""".stripMargin
-    }
+    },
+    // CMS join-size replay: sha-bucketed counters, min-of-row dots
+    "q184_cms_join_size" ->
+      """WITH keys AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        |              FROM lineitem GROUP BY 1),
+        |cms AS MATERIALIZED (
+        |  SELECT r.i AS row,
+        |         CAST(('0x' || substr(sha256(CAST(k AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |         CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM keys, (SELECT unnest(range(4)) AS i) r GROUP BY 1, 2),
+        |dots AS (SELECT a.row, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |         FROM cms a JOIN cms b ON a.row = b.row AND a.bucket = b.bucket
+        |         GROUP BY 1),
+        |ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs FROM keys)
+        |SELECT ex.exact_pairs,
+        |       (SELECT min(dot) FROM dots) AS join_size_est,
+        |       CAST(((SELECT min(dot) FROM dots) - ex.exact_pairs) * 1000000 // ex.exact_pairs AS BIGINT) AS over_ppm
+        |FROM ex""".stripMargin,
+    // AQP replay: the same sha%5 sample, integral means, sentinel -1
+    "q185_aqp_error" ->
+      """WITH ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact,
+        |                   CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_exact
+        |            FROM documents GROUP BY 1),
+        |sm AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sample,
+        |              CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_est
+        |       FROM documents
+        |       WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0
+        |       GROUP BY 1)
+        |SELECT ex.lang, ex.n_exact, ex.mean_exact,
+        |       COALESCE(sm.n_sample, 0) AS n_sample,
+        |       COALESCE(sm.mean_est, -1) AS mean_est,
+        |       COALESCE(CAST(abs(sm.mean_est - ex.mean_exact) * 1000000 // ex.mean_exact AS BIGINT), -1) AS err_ppm
+        |FROM ex LEFT JOIN sm ON ex.lang = sm.lang""".stripMargin
   )
 }

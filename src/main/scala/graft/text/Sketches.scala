@@ -39,6 +39,19 @@ object Sketches {
       .agg(sum(col("cnt")).as("c"))
   }
 
+  /** Join-cardinality estimate from two count-min sketches over the
+    * join key (the AMS/CM inner-product estimator, Cormode–
+    * Muthukrishnan §4.2): |A ⋈ B| ≈ min over rows of Σ_bucket
+    * cmsA·cmsB — the statistic a cost-based optimizer consults before
+    * picking a join strategy, never an underestimate. Cost: one
+    * (row,bucket) join over two ≤ depth·width tables — metadata-scale,
+    * independent of |A|, |B|. */
+  def cmJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA
+      .join(sketchB.withColumnRenamed("c", "cb"), Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("c") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("join_size_est"))
+
   /** Point estimates from a count-min sketch for the items in `probe`
     * (an `item` column): est = min over rows of the item's counter —
     * never an underestimate, over by at most ε·N w.h.p. The sketch is

@@ -126,4 +126,19 @@ class SketchSpec extends SparkSpec {
         s"q$q est ${got(q.toLong)} vs exact $exact width $width")
     }
   }
+
+  test("cm join-size estimate: exact on collision-free keys, never under") {
+    val a = Seq(("x", 3L), ("y", 2L), ("z", 5L)).toDF("k", "cnt")
+    val b = Seq(("x", 4L), ("z", 1L), ("w", 7L)).toDF("k", "cnt")
+    // wide sketch -> no collisions -> est == exact inner product
+    val skA = Sketches.countMin(a, "k", "cnt", depth = 4, width = 4096)
+    val skB = Sketches.countMin(b, "k", "cnt", depth = 4, width = 4096)
+    val est = Sketches.cmJoinSize(skA, skB).collect().head.getLong(0)
+    assert(est === 3L * 4L + 5L * 1L) // x:12 + z:5 = 17
+    // narrow sketch: collisions only ever ADD mass
+    val nA = Sketches.countMin(a, "k", "cnt", depth = 2, width = 2)
+    val nB = Sketches.countMin(b, "k", "cnt", depth = 2, width = 2)
+    val estN = Sketches.cmJoinSize(nA, nB).collect().head.getLong(0)
+    assert(estN >= 17L)
+  }
 }
