@@ -7,6 +7,7 @@ import graft.sim.Ann
 import graft.sources.GraphIO
 import graft.text.{Dedup, TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2),
@@ -1953,6 +1954,27 @@ object SparkEntry {
           coalesce(col("mean_est"), lit(-1L)).as("mean_est"),
           coalesce(expr("abs(mean_est - mean_exact) * 1000000L div mean_exact"),
             lit(-1L)).as("err_ppm"))
+    }),
+
+    // user-journey sequence mining: within-session event-type bigram
+    // census (q53's 30-min session rule) — the transition table a
+    // behavioral model trains on; per-user windows, bounded per key
+    "q186_journey_bigrams" -> ((s, d) => {
+      val gapUs = 30 * 60L * 1000000L
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      T(s, d, "events")
+        .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("pus", lag(col("tus"), 1).over(ord))
+        .withColumn("ns", when(col("pus").isNull ||
+          col("tus") - col("pus") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("ns")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nt", lead(col("event_type"), 1).over(ord))
+        .withColumn("nsess", lead(col("sess_no"), 1).over(ord))
+        .filter(col("nsess") === col("sess_no"))
+        .groupBy(col("event_type").as("from_type"), col("nt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -5345,6 +5367,24 @@ object SparkEntry {
         |       COALESCE(sm.n_sample, 0) AS n_sample,
         |       COALESCE(sm.mean_est, -1) AS mean_est,
         |       COALESCE(CAST(abs(sm.mean_est - ex.mean_exact) * 1000000 // ex.mean_exact AS BIGINT), -1) AS err_ppm
-        |FROM ex LEFT JOIN sm ON ex.lang = sm.lang""".stripMargin
+        |FROM ex LEFT JOIN sm ON ex.lang = sm.lang""".stripMargin,
+    // journey-bigram replay: identical session numbering (lag + gap +
+    // running sum) and lead pairing over (epoch micros, event_id) order
+    "q186_journey_bigrams" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |            FROM events),
+        |w AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pus
+        |      FROM ev),
+        |n AS (SELECT *, CASE WHEN pus IS NULL OR tus - pus > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM w),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |      FROM n),
+        |x AS (SELECT *,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS nt,
+        |             lead(sess_no) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS nsess
+        |      FROM s)
+        |SELECT event_type AS from_type, nt AS to_type, count(*) AS n
+        |FROM x WHERE nsess = sess_no GROUP BY 1, 2""".stripMargin
   )
 }
