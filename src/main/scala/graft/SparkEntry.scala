@@ -70,6 +70,45 @@ object SparkEntry {
       |fdeg AS (SELECT s AS vid, count(*) AS odeg FROM fsym GROUP BY 1),
       |nv AS (SELECT count(*) AS n FROM fdeg)""".stripMargin
 
+  /** Two synchronous Louvain local-move rounds as a SQL chain ending in
+    * the final assignment `a2(vid, comm)` — shared by q187 (the
+    * assignment itself) and q196 (the coarsened super-graph over it). */
+  private val LOUV =
+    """mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      |a0 AS MATERIALIZED (SELECT vid, vid AS comm FROM deg),
+      |ds0 AS (SELECT comm AS cand, CAST(sum(degree) AS BIGINT) AS dsum
+      |        FROM a0 JOIN deg USING (vid) GROUP BY 1),
+      |c0 AS (SELECT s.s AS vid, a.comm AS cand, CAST(count(*) AS BIGINT) AS evc
+      |       FROM sym s JOIN a0 a ON a.vid = s.d GROUP BY 1, 2
+      |       UNION ALL SELECT vid, comm, 0 FROM a0),
+      |g0 AS (SELECT vid, cand, CAST(sum(evc) AS BIGINT) AS evc FROM c0 GROUP BY 1, 2),
+      |sc0 AS (SELECT g.vid, g.cand,
+      |          2 * m.m * g.evc - dg.degree *
+      |            (d.dsum - CASE WHEN g.cand = a.comm THEN dg.degree ELSE 0 END) AS gain
+      |        FROM g0 g JOIN deg dg ON dg.vid = g.vid
+      |                  JOIN ds0 d ON d.cand = g.cand
+      |                  JOIN a0 a ON a.vid = g.vid
+      |                  CROSS JOIN mm m),
+      |a1 AS MATERIALIZED (SELECT vid, cand AS comm FROM (
+      |        SELECT vid, cand, row_number() OVER (PARTITION BY vid ORDER BY gain DESC, cand) AS rn
+      |        FROM sc0) WHERE rn = 1),
+      |ds1 AS (SELECT comm AS cand, CAST(sum(degree) AS BIGINT) AS dsum
+      |        FROM a1 JOIN deg USING (vid) GROUP BY 1),
+      |c1 AS (SELECT s.s AS vid, a.comm AS cand, CAST(count(*) AS BIGINT) AS evc
+      |       FROM sym s JOIN a1 a ON a.vid = s.d GROUP BY 1, 2
+      |       UNION ALL SELECT vid, comm, 0 FROM a1),
+      |g1 AS (SELECT vid, cand, CAST(sum(evc) AS BIGINT) AS evc FROM c1 GROUP BY 1, 2),
+      |sc1 AS (SELECT g.vid, g.cand,
+      |          2 * m.m * g.evc - dg.degree *
+      |            (d.dsum - CASE WHEN g.cand = a.comm THEN dg.degree ELSE 0 END) AS gain
+      |        FROM g1 g JOIN deg dg ON dg.vid = g.vid
+      |                  JOIN ds1 d ON d.cand = g.cand
+      |                  JOIN a1 a ON a.vid = g.vid
+      |                  CROSS JOIN mm m),
+      |a2 AS MATERIALIZED (SELECT vid, cand AS comm FROM (
+      |  SELECT vid, cand, row_number() OVER (PARTITION BY vid ORDER BY gain DESC, cand) AS rn
+      |  FROM sc1) WHERE rn = 1)""".stripMargin
+
   /** Flagship: connected components of the sf0.001 co-occurrence graph. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -1975,7 +2014,110 @@ object SparkEntry {
         .filter(col("nsess") === col("sess_no"))
         .groupBy(col("event_type").as("from_type"), col("nt").as("to_type"))
         .agg(count(lit(1)).as("n"))
-    })
+    }),
+
+    // synchronous Louvain phase-1 local move (2 rounds), integer-exact
+    // modularity gain, singleton init — the unsupervised counterpart of
+    // q36's attribute-seeded community detection
+    "q187_louvain_move" -> ((s, d) =>
+      graft.kernels.Louvain.localMove(s, e2(s, d), rounds = 2)),
+
+    // asymmetric containment near-dup (Broder): minhash-LSH candidates,
+    // EXACT shingle containment |A∩B| div |A| in ppm, both orientations
+    // >= 0.8 — the quote/subsumption pairs q26's resemblance misses
+    "q188_containment" -> ((s, d) =>
+      Dedup.containmentLsh(T(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, thresholdPpm = 800000L,
+        maxBucket = Int.MaxValue, hashFn = Dedup.shaSeededHash60)),
+
+    // BM25 retrieval scoring (odds idf, integer micro-units) for a fixed
+    // query-term set — the ranked scorer fed by q178's inverted index
+    "q189_bm25" -> ((s, d) =>
+      graft.text.TfIdf.bm25OddsMicro(T(s, d, "documents"), "doc_id",
+        "text", Seq("spark", "join", "stream", "filter"))),
+
+    // differential-privacy-style histogram release: per-(lang, source)
+    // counts + bounded two-sided noise, clamp at 0, k=5 suppression. The
+    // noise is a DETERMINISTIC sha-derived stand-in (no calibrated RNG in
+    // this sandbox); the release shape — sensitivity-1 count, bounded
+    // additive noise, small-count suppression — is the real pipeline
+    "q190_dp_release" -> ((s, d) => {
+      val noise = pmod(Dedup.shaTokenHash60(
+        concat(lit("dp:"), col("lang"), lit(":"), col("source"))),
+        lit(7L)) - lit(3L)
+      T(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("source"),
+          greatest(lit(0L), col("n") + noise).as("released"))
+        .filter(col("released") >= 5L)
+    }),
+
+    // weighted sampling without replacement (integer A-ES variant): key =
+    // sha60("ws:"+id) div weight, monotone in weight (heavier docs draw
+    // smaller keys), 20 smallest kept — distributed TakeOrdered, no
+    // global sort; the deterministic weighted twin of q79/q130
+    "q191_weighted_sample" -> ((s, d) =>
+      T(s, d, "documents")
+        .withColumn("sha_key", Dedup.shaTokenHash60(
+          concat(lit("ws:"), col("doc_id").cast("string"))))
+        .withColumn("k", expr("sha_key div greatest(n_chars, 1L)"))
+        .orderBy(col("k"), col("doc_id")).limit(20)
+        .select(col("doc_id"), col("n_chars"), col("k").as("sample_key"))),
+
+    // robust per-language outliers: low-median + MAD, all integer — docs
+    // with |n_chars − med| > 2·MAD. Low-median = element at position
+    // (cnt+1) div 2 in value order (exact, no interpolation); the per-
+    // lang window is fine because lang cardinality is tiny — at corpus
+    // scale swap in percentile_approx
+    "q192_mad_outliers" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      def lowMedian(in: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col(v), col("doc_id"))
+        in.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .filter(col("rn") === expr("(cnt + 1L) div 2L"))
+          .groupBy(col("lang")).agg(min(col(v)).as(out))
+      }
+      val med = lowMedian(docs, "n_chars", "med")
+      val dev = docs.join(med, "lang")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      dev.join(lowMedian(dev, "dev", "mad"), "lang")
+        .filter(col("dev") > lit(2L) * col("mad"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("med"), col("mad"))
+    }),
+
+    // onion decomposition: the peel SCHEDULE of 3-core peeling, 4
+    // synchronized rounds — layer i = peeled in round i, survivors get
+    // layer 0 (the deep core); the periphery-to-center signal q110's
+    // core number alone does not give
+    "q193_onion" -> ((s, d) =>
+      graft.kernels.KCore.onionLayers(s,
+        Edges.symmetrize(e2(s, d)), k = 3, rounds = 4)),
+
+    // exact bridge (cut-edge) probe over the 12 sha-smallest candidate
+    // edges: one multi-source reachability keyed by candidate, removed
+    // edge enforced via a broadcast — is this co-occurrence link the
+    // ONLY path between its endpoints?
+    "q194_bridges" -> ((s, d) => {
+      val cand = e2(s, d)
+        .withColumn("h", Dedup.shaTokenHash60(
+          concat(lit("br:"), col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))))
+        .orderBy(col("h"), col("src"), col("dst")).limit(12)
+        .select(concat(col("src").cast("string"), lit(":"),
+          col("dst").cast("string")).as("cid"), col("src"), col("dst"))
+      graft.kernels.Bridges.probe(s, e2(s, d), cand)
+    }),
+
+    // SimRank (2 iterations, C = 0.8, integer ppm, in-loop threshold
+    // 10000 ppm): second-order structural similarity — two vertices
+    // score high when their NEIGHBORS are similar, shared edge or not
+    "q195_simrank" -> ((s, d) =>
+      graft.kernels.SimRank.run(s, e2(s, d), cPpm = 800000L,
+        iters = 2, minPpm = 10000L))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -5385,6 +5527,171 @@ object SparkEntry {
         |             lead(sess_no) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS nsess
         |      FROM s)
         |SELECT event_type AS from_type, nt AS to_type, count(*) AS n
-        |FROM x WHERE nsess = sess_no GROUP BY 1, 2""".stripMargin
+        |FROM x WHERE nsess = sess_no GROUP BY 1, 2""".stripMargin,
+
+    // two chained Louvain local-move rounds: candidate communities =
+    // neighbor communities + own, integer gain 2m·e_vC − deg·degsum',
+    // argmax by (gain desc, community asc)
+    "q187_louvain_move" ->
+      s"""WITH $CTE,
+         |$LOUV
+         |SELECT vid, comm AS community FROM a2""".stripMargin,
+
+    // q26's sha-parity banding prefix, then exact shingle containment of
+    // each candidate orientation in ppm
+    "q188_containment" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |             FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
+        |hx AS (SELECT doc_id, j,
+        |              min(CAST(('0x' || substr(sha256(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS m
+        |       FROM sh, (SELECT unnest(range(16)) AS j) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, list(m ORDER BY j) AS key
+        |        FROM hx GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bnd a JOIN bnd b
+        |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |ix AS MATERIALIZED (SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
+        |      FROM cand c JOIN sh a ON a.doc_id = c.d1
+        |                  JOIN sh b ON b.doc_id = c.d2 AND a.g = b.g
+        |      GROUP BY 1, 2),
+        |bo AS (SELECT i.d1 AS contained, i.d2 AS container, (1000000 * i.i) // x.n AS containment_ppm
+        |       FROM ix i JOIN sz x ON x.doc_id = i.d1
+        |       UNION ALL
+        |       SELECT i.d2, i.d1, (1000000 * i.i) // y.n
+        |       FROM ix i JOIN sz y ON y.doc_id = i.d2)
+        |SELECT contained, container, containment_ppm FROM bo
+        |WHERE containment_ppm >= 800000""".stripMargin,
+
+    // BM25 odds-idf in integer micro-units, k1 = 1.2, b = 0.75 (ppm),
+    // same staged associativity as the Spark expressions
+    "q189_bm25" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('spark', 'join', 'stream', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |pt AS (SELECT tf.doc_id, tf.tf,
+        |              (2 * (nn.n - df.df) + 1) * 1000000 // (2 * df.df + 1) AS idf_ppm,
+        |              (1000000 - 750000) + (750000 * dl.dl * nn.n) // nn.tot AS norm_ppm
+        |       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nn),
+        |sc AS (SELECT doc_id,
+        |              CAST(sum(idf_ppm * (tf * (1000000 + 1200000) * 1000000 //
+        |                (tf * 1000000 + (1200000 * norm_ppm) // 1000000)) // 1000000) AS BIGINT) AS s,
+        |              CAST(count(*) AS BIGINT) AS nm
+        |       FROM pt GROUP BY 1)
+        |SELECT dl.doc_id, dl.dl, coalesce(sc.nm, 0) AS n_terms_matched,
+        |       coalesce(sc.s, 0) AS score_micro
+        |FROM dl LEFT JOIN sc ON sc.doc_id = dl.doc_id""".stripMargin,
+
+    // sha-derived bounded noise, clamp at 0, k = 5 suppression
+    "q190_dp_release" ->
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source,
+        |             greatest(CAST(0 AS BIGINT), n +
+        |               (CAST(('0x' || substr(sha256('dp:' || lang || ':' || source), 1, 15)) AS BIGINT) % 7) - 3) AS released
+        |      FROM g)
+        |SELECT lang, source, released FROM r WHERE released >= 5""".stripMargin,
+
+    // integer A-ES: 20 smallest sha60 div weight keys
+    "q191_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |             CAST(('0x' || substr(sha256('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |               // greatest(n_chars, 1) AS sample_key
+        |           FROM documents)
+        |SELECT doc_id, n_chars, sample_key FROM k
+        |ORDER BY sample_key, doc_id LIMIT 20""".stripMargin,
+
+    // low-median + MAD per lang, outliers at dev > 2·MAD
+    "q192_mad_outliers" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents),
+        |med AS (SELECT lang, min(n_chars) AS med FROM r WHERE rn = (cnt + 1) // 2 GROUP BY 1),
+        |dv AS MATERIALIZED (SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |             abs(d.n_chars - m.med) AS dev
+        |      FROM documents d JOIN med m ON m.lang = d.lang),
+        |r2 AS (SELECT lang, dev, doc_id,
+        |             row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS cnt
+        |       FROM dv),
+        |mad AS (SELECT lang, min(dev) AS mad FROM r2 WHERE rn = (cnt + 1) // 2 GROUP BY 1)
+        |SELECT dv.doc_id, dv.lang, dv.n_chars, dv.med, mad.mad
+        |FROM dv JOIN mad USING (lang) WHERE dv.dev > 2 * mad.mad""".stripMargin,
+
+    // four peel rounds of the 3-core, vertex set carried explicitly so
+    // isolated survivors keep peeling; survivors after round 4 = layer 0
+    "q193_onion" ->
+      s"""WITH $CTE,
+         |v0 AS (SELECT vid FROM deg),
+         |e0 AS (SELECT s, d FROM sym),
+         |d1 AS (SELECT v.vid, coalesce(x.dg, 0) AS degree FROM v0 v
+         |       LEFT JOIN (SELECT s AS vid, CAST(count(*) AS BIGINT) AS dg FROM e0 GROUP BY 1) x ON x.vid = v.vid),
+         |p1 AS (SELECT vid, CAST(1 AS BIGINT) AS layer FROM d1 WHERE degree < 3),
+         |v1 AS MATERIALIZED (SELECT vid FROM d1 WHERE degree >= 3),
+         |e1 AS MATERIALIZED (SELECT e.s, e.d FROM e0 e JOIN v1 a ON a.vid = e.s JOIN v1 b ON b.vid = e.d),
+         |d2 AS (SELECT v.vid, coalesce(x.dg, 0) AS degree FROM v1 v
+         |       LEFT JOIN (SELECT s AS vid, CAST(count(*) AS BIGINT) AS dg FROM e1 GROUP BY 1) x ON x.vid = v.vid),
+         |p2 AS (SELECT vid, CAST(2 AS BIGINT) AS layer FROM d2 WHERE degree < 3),
+         |v2 AS MATERIALIZED (SELECT vid FROM d2 WHERE degree >= 3),
+         |e2x AS MATERIALIZED (SELECT e.s, e.d FROM e1 e JOIN v2 a ON a.vid = e.s JOIN v2 b ON b.vid = e.d),
+         |d3 AS (SELECT v.vid, coalesce(x.dg, 0) AS degree FROM v2 v
+         |       LEFT JOIN (SELECT s AS vid, CAST(count(*) AS BIGINT) AS dg FROM e2x GROUP BY 1) x ON x.vid = v.vid),
+         |p3 AS (SELECT vid, CAST(3 AS BIGINT) AS layer FROM d3 WHERE degree < 3),
+         |v3 AS MATERIALIZED (SELECT vid FROM d3 WHERE degree >= 3),
+         |e3 AS MATERIALIZED (SELECT e.s, e.d FROM e2x e JOIN v3 a ON a.vid = e.s JOIN v3 b ON b.vid = e.d),
+         |d4 AS (SELECT v.vid, coalesce(x.dg, 0) AS degree FROM v3 v
+         |       LEFT JOIN (SELECT s AS vid, CAST(count(*) AS BIGINT) AS dg FROM e3 GROUP BY 1) x ON x.vid = v.vid),
+         |p4 AS (SELECT vid, CAST(4 AS BIGINT) AS layer FROM d4 WHERE degree < 3),
+         |v4 AS (SELECT vid FROM d4 WHERE degree >= 3)
+         |SELECT vid, layer FROM p1 UNION ALL SELECT vid, layer FROM p2
+         |UNION ALL SELECT vid, layer FROM p3 UNION ALL SELECT vid, layer FROM p4
+         |UNION ALL SELECT vid, CAST(0 AS BIGINT) FROM v4""".stripMargin,
+
+    // per-candidate transitive closure with the candidate edge excluded
+    // (recursive UNION = global dedup, terminates at the component)
+    "q194_bridges" ->
+      s"""WITH RECURSIVE $CTE,
+         |cand AS MATERIALIZED (SELECT s, d FROM (
+         |  SELECT s, d, CAST(('0x' || substr(sha256('br:' || CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM e) ORDER BY h, s, d LIMIT 12),
+         |reach(cs, cd, vid) AS (
+         |  SELECT s, d, s FROM cand
+         |  UNION
+         |  SELECT r.cs, r.cd, y.d FROM reach r JOIN sym y ON y.s = r.vid
+         |  WHERE NOT ((y.s = r.cs AND y.d = r.cd) OR (y.s = r.cd AND y.d = r.cs))
+         |)
+         |SELECT c.s AS src, c.d AS dst,
+         |       CASE WHEN r.vid IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_bridge
+         |FROM cand c LEFT JOIN (SELECT DISTINCT cs, cd, vid FROM reach) r
+         |  ON r.cs = c.s AND r.cd = c.d AND r.vid = c.d""".stripMargin,
+
+    // two SimRank rounds: round 1 folds s0 = diag into 10^6·common, both
+    // rounds share the (800000·tot) // (10^6·deg·deg) update and the
+    // 10000 ppm in-loop threshold
+    "q195_simrank" ->
+      s"""WITH $CTE,
+         |cn AS (SELECT x.s AS a, y.s AS b, CAST(count(*) AS BIGINT) AS c
+         |       FROM sym x JOIN sym y ON x.d = y.d AND x.s < y.s GROUP BY 1, 2),
+         |s1 AS MATERIALIZED (SELECT * FROM (
+         |  SELECT a, b, (800000 * (1000000 * c)) // (1000000 * da.degree * db.degree) AS sp
+         |  FROM cn JOIN deg da ON da.vid = cn.a JOIN deg db ON db.vid = cn.b)
+         |  WHERE sp >= 10000),
+         |f1 AS (SELECT vid AS u, vid AS w, CAST(1000000 AS BIGINT) AS sp FROM deg
+         |       UNION ALL SELECT a, b, sp FROM s1
+         |       UNION ALL SELECT b, a, sp FROM s1),
+         |t2 AS (SELECT x.s AS a, y.s AS b, CAST(sum(f.sp) AS BIGINT) AS tot
+         |       FROM sym x JOIN f1 f ON f.u = x.d JOIN sym y ON y.d = f.w AND x.s < y.s
+         |       GROUP BY 1, 2),
+         |s2 AS (SELECT * FROM (
+         |  SELECT a, b, (800000 * tot) // (1000000 * da.degree * db.degree) AS sp
+         |  FROM t2 JOIN deg da ON da.vid = t2.a JOIN deg db ON db.vid = t2.b)
+         |  WHERE sp >= 10000)
+         |SELECT a, b, sp AS sim_ppm FROM s2""".stripMargin
   )
 }

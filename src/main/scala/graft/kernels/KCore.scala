@@ -113,6 +113,50 @@ object KCore {
     strengths(e)
   }
 
+  /** Onion decomposition (Hébert-Dufresne, Grochow & Allard, Scientific
+    * Reports 2016): the peel SCHEDULE of k-core peeling. Layer i holds
+    * the vertices removed in round i when all vertices of induced degree
+    * < k are deleted simultaneously; vertices still standing after
+    * `rounds` get layer 0 (the deep not-yet-peeled set under a capped
+    * replay — the fixpoint path is spec-covered). Richer than the core
+    * number alone: within one core, low layers are the periphery and
+    * high layers the center, which is exactly the curriculum/centrality
+    * signal a link-graph pipeline wants per repo node.
+    *
+    * A vertex whose induced degree drops to 0 must still be peeled, so
+    * the surviving VERTEX set is carried explicitly (an isolated
+    * survivor vanishes from the induced edge table). Per round: one
+    * degree agg + one left join + two semi-joins, all keyed by vid;
+    * state localCheckpoint-truncated like every peel kernel.
+    * @param sym symmetric edge table
+    * @return (vid, layer) for every vertex of the input graph */
+  def onionLayers(spark: SparkSession, sym: DataFrame, k: Int,
+                  rounds: Int): DataFrame = {
+    var e = sym.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    var verts = Edges.degrees(e).select(col("vid"))
+      .localCheckpoint(eager = true)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      val deg = verts
+        .join(Edges.degrees(e), Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("degree"), lit(0L)).as("degree"))
+      pieces += deg.filter(col("degree") < k)
+        .select(col("vid"), lit(i.toLong).as("layer"))
+        .localCheckpoint(eager = true)
+      verts = deg.filter(col("degree") >= k).select(col("vid"))
+        .localCheckpoint(eager = true)
+      e = e
+        .join(verts.withColumnRenamed("vid", "src").hint("SHUFFLE_HASH"),
+          Seq("src"), "left_semi")
+        .join(verts.withColumnRenamed("vid", "dst").hint("SHUFFLE_HASH"),
+          Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+    }
+    pieces += verts.select(col("vid"), lit(0L).as("layer"))
+    pieces.reduce(_ union _)
+  }
+
   final case class Result(core: DataFrame,
                           metrics: Seq[IterationMetric],
                           iterations: Int,

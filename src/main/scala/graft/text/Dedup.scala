@@ -141,6 +141,83 @@ object Dedup {
     out
   }
 
+  /** Asymmetric near-duplicate detection: LSH candidate pairs scored by
+    * EXACT shingle CONTAINMENT `|A∩B| div |A|` (Broder's containment,
+    * the companion measure to resemblance in his 1997 sequences paper).
+    * Containment catches subsumption that symmetric Jaccard misses — a
+    * short document quoted whole inside a long one has low resemblance
+    * but containment 1 — which is exactly the quote/boilerplate-inclusion
+    * case a training-corpus dedup wants flagged. Integer ppm with
+    * truncating div, so a SQL oracle replays the scores bit-for-bit.
+    * Emits BOTH orientations that clear `thresholdPpm` as
+    * (contained, container, containment_ppm).
+    *
+    * Scale shape: candidates come from the same banded minhash bucket
+    * join as [[minHashLsh]] (maxBucket-guarded); the exact intersection
+    * is two keyed joins of the (id, shingle) relation against the
+    * candidate pair table — never an all-pairs scan. One caveat is
+    * honest: LSH buckets are tuned for RESEMBLANCE, so high-containment
+    * pairs with low resemblance (tiny A inside huge B) can be missed;
+    * production asymmetric dedup re-buckets on the smaller side's
+    * signature alone, which is a parameter choice (bands over a prefix
+    * of A's signature), not a different plan. */
+  def containmentLsh(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                     thresholdPpm: Long = 800000L,
+                     maxBucket: Int = 1000,
+                     hashFn: (Column, Int) => Column =
+                       (g, i) => xxhash64(g, lit(i))): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, k).persist()
+    val sigs = minHashSignatures(sh, numHashes, hashFn)
+    val cands = bandedCandidates(sigs, bands, r, maxBucket)
+      .select(col("d1"), col("d2"))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("id").as("d1"), col("g")), "d1")
+      .join(sh.select(col("id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      .join(sz.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("id").as("d2"), col("n").as("n2")), "d2")
+    val both = inter.select(col("d1").as("contained"),
+        col("d2").as("container"),
+        expr("1000000L * i div n1").as("containment_ppm"))
+      .union(inter.select(col("d2"), col("d1"),
+        expr("1000000L * i div n2")))
+    // eager narrow result + drop the shingle cache (see ngramJaccard)
+    val out = both.filter(col("containment_ppm") >= thresholdPpm)
+      .localCheckpoint(eager = true)
+    sh.unpersist()
+    out
+  }
+
+  /** Per-document n-gram NOVELTY: the ppm share of a doc's distinct
+    * k-shingles whose globally first occurrence (minimum doc id) is this
+    * doc. A data-valuation signal — a doc contributing mostly
+    * already-seen n-grams adds little to a training corpus even when it
+    * is not a near-duplicate of any single other doc (the diffuse-overlap
+    * case q26-style pairwise dedup cannot see). Integer `div` ppm, exact.
+    *
+    * Scale shape: one (shingle → min id) aggregation over the corpus
+    * shingle stream — map-side combined, vocabulary-bounded output — and
+    * one join back onto it; no pairwise anything. The min-id convention
+    * makes the score deterministic under any arrival order.
+    * @return (id, n_shingles, novel_ppm) for docs with >= 1 shingle */
+  def noveltyPpm(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k).persist()
+    val first = sh.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    val out = sh.join(first, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        expr("1000000L * sum(CASE WHEN id = first_id THEN 1L ELSE 0L END)" +
+          " div count(1)").as("novel_ppm"))
+      .localCheckpoint(eager = true)
+    sh.unpersist()
+    out
+  }
+
   /** Near-duplicate canonicalization — the survivor-selection step a
     * dedup pipeline runs after candidate generation: clusters are the
     * connected components of the near-dup pair graph (hash-min CC, whose

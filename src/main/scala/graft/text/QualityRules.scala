@@ -89,6 +89,37 @@ object QualityRules {
         expr("sum(ppm) div count(1)").as("lm_ppm"))
   }
 
+  /** Bigram cross-entropy in whole BITS — the log-scale companion of
+    * [[bigramLmScore]], libm-free: the surprisal of one bigram occurrence
+    * is floor(log2(count(w1,·) / count(w1,w2))), computed as
+    * `length(bin(pc div bc)) − 1` — the bit length of the truncated
+    * integer ratio — which both Spark and DuckDB evaluate identically
+    * (`bin` renders a positive long in binary in both). Summing bits is
+    * the integer skeleton of perplexity: avg_mbits = total·10³ div n is
+    * a monotone stand-in for log-perplexity that a quality gate can
+    * threshold without any float. Count tables and joins are exactly
+    * [[bigramLmScore]]'s two vocabulary-bounded shuffles.
+    * @return (id, n_bigrams, total_bits, avg_mbits) for docs with >= 1
+    *         bigram */
+  def bigramSurprisalBits(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+    val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val w1 = substring_index(col("bg"), " ", 1)
+    val pc = bg.select(w1.as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("pc"))
+    bg.join(bc, "bg")
+      .withColumn("w1", w1)
+      .join(pc, "w1")
+      .select(col(idCol),
+        (length(bin(expr("pc div bc"))) - lit(1)).cast("long").as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("total_bits"),
+        expr("sum(bits) * 1000L div count(1)").as("avg_mbits"))
+  }
+
   /** Email-address pattern — deliberately RE2-compatible (no lookaround,
     * no backrefs) so the Java-regex Spark plan and an RE2-based oracle
     * (DuckDB) or scrubber agree match-for-match. */

@@ -107,4 +107,66 @@ object TfIdf {
       .select(col("x"), col("y"), col("n_xy"), col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("x"), col("y")).limit(k)
   }
+
+  /** BM25 retrieval scoring (Robertson-Spärck Jones / Okapi) for a fixed
+    * query term set, in exact integer micro-units with the ODDS idf —
+    * `(N−df+0.5)/(df+0.5)` kept as a ratio instead of its logarithm, so
+    * the whole score is libm-free and a SQL oracle replays it
+    * bit-for-bit (the floor-ppm discipline of [[topTermsIdfPpm]]; the
+    * log is monotone, so per-term score ORDER is preserved — consumers
+    * wanting the classic scale take ln at read time). Saturation and
+    * length normalization are the standard BM25 shape:
+    *
+    *   idf_ppm(t)  = (2·(N−df)+1)·10⁶ div (2·df+1)
+    *   norm_ppm(d) = (10⁶ − b_ppm) + (b_ppm·dl(d)·N_dl) div Σdl
+    *   wtf_ppm     = tf·(10⁶+k1_ppm)·10⁶
+    *                   div (tf·10⁶ + (k1_ppm·norm_ppm) div 10⁶)
+    *   score_micro = Σ_t (idf_ppm·wtf_ppm) div 10⁶
+    *
+    * Scale shape: the corpus tokenizes once; tf rows are immediately
+    * filtered to the query terms (a broadcast-sized isin list), so the
+    * per-term join and the per-doc sum run over |terms|·|matching docs|
+    * rows, not the corpus vocabulary. Doc length and its global sum are
+    * one narrow aggregate; N and Σdl are two scalar collects. Every doc
+    * gets a row (score 0 when no term matches) — the ranking join a
+    * retrieval pipeline feeds from. Magnitude bound: idf_ppm·wtf_ppm ≲
+    * 2N·10⁶ · 2.2·10⁶, in long range while N < ~10⁶ docs per scoring
+    * shard — beyond that, drop idf to plain ppm (div 10⁶ before the
+    * product) or score per corpus shard. */
+  def bm25OddsMicro(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k1Ppm: Long = 1200000L,
+                    bPpm: Long = 750000L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val dl = toks.select(col(idCol), size(col("t")).cast("long").as("dl"))
+      .persist()
+    val n = dl.count()
+    val totalDl = dl.agg(sum(col("dl"))).first() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => math.max(1L, r.getLong(0))
+    }
+    val tf = toks.select(col(idCol), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(df, "term").join(dl, idCol)
+      .withColumn("idf_ppm",
+        expr(s"(2L * (${n}L - df) + 1L) * 1000000L div (2L * df + 1L)"))
+      .withColumn("norm_ppm",
+        expr(s"(1000000L - ${bPpm}L) + " +
+          s"(${bPpm}L * dl * ${n}L) div ${totalDl}L"))
+      .withColumn("wtf_ppm",
+        expr(s"tf * (1000000L + ${k1Ppm}L) * 1000000L div " +
+          s"(tf * 1000000L + (${k1Ppm}L * norm_ppm) div 1000000L)"))
+      .groupBy(col(idCol))
+      .agg(expr("CAST(sum(idf_ppm * wtf_ppm div 1000000L) AS BIGINT)")
+        .as("s"), count(lit(1)).as("nm"))
+    val out = dl.join(perTerm, Seq(idCol), "left_outer")
+      .select(col(idCol), col("dl"),
+        coalesce(col("nm"), lit(0L)).as("n_terms_matched"),
+        coalesce(col("s"), lit(0L)).as("score_micro"))
+      .localCheckpoint(eager = true)
+    dl.unpersist()
+    out
+  }
 }

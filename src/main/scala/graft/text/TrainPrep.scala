@@ -309,6 +309,45 @@ object TrainPrep {
         expr("min_docs * 1000000L div n_docs").as("keep_ppm"))
   }
 
+  /** Token-budget allocation across strata — integer water-filling with
+    * one redistribution round: give every stratum an equal share of the
+    * budget, let strata with less material than their share keep only
+    * what they have, and split the freed remainder equally among the
+    * still-unsatisfied ones. The "how many tokens do I take from each
+    * source under a total budget" planning step that sits between
+    * [[mixtureStats]] and [[stratifiedSample]] in a corpus build. All
+    * arithmetic is `div`-exact, so the plan is hash-oracle replayable;
+    * two fixed rounds keep it closed-form (the fixpoint version just
+    * iterates the same two aggregates).
+    *
+    * Scale shape: one groupBy over the corpus for per-stratum totals,
+    * then every remaining step runs on the strata table (tiny by
+    * definition) via a single-row cross join — the corpus is scanned
+    * once and never shuffled again.
+    * @return (stratum, avail, alloc, fill_ppm) */
+  def tokenBudget(df: DataFrame, stratumCol: String, nTokensCol: Column,
+                  budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    val avail = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(nTokensCol).as("avail"))
+    val tot = avail.agg(sum(col("avail")).as("t"), count(lit(1)).as("k"))
+      .select(expr(s"t * ${budgetNum}L div ${budgetDen}L").as("budget"),
+        col("k"))
+    val r1 = avail.join(broadcast(tot))
+      .withColumn("fair", expr("budget div k"))
+      .withColumn("a1", least(col("avail"), col("fair")))
+    val stats = r1.agg(sum(col("a1")).as("used"),
+      sum(when(col("avail") > col("fair"), 1L).otherwise(0L)).as("unsat"))
+    r1.join(broadcast(stats))
+      .withColumn("extra",
+        when(col("unsat") > 0L,
+          expr("(budget - used) div unsat")).otherwise(lit(0L)))
+      .select(col("stratum"), col("avail"),
+        when(col("avail") <= col("fair"), col("a1"))
+          .otherwise(least(col("avail"), col("fair") + col("extra")))
+          .as("alloc"))
+      .withColumn("fill_ppm", expr("alloc * 1000000L div avail"))
+  }
+
   /** Hashed n-gram domain-affinity scoring (the DSIR idea — Xie et al.
     * NeurIPS'23 "Data Selection for Language Models via Importance
     * Resampling" — in integer fixed point): featurize every document by

@@ -1292,4 +1292,75 @@ class KernelSpec extends SparkSpec {
     val k4 = densities(golden("k4"))
     (1L to 4L).foreach(v => assert(k4(v) == ((3L, 6L, 1000000L))))
   }
+
+  test("louvain local move: components collapse to min-id communities") {
+    def run(es: Seq[(Long, Long)]) =
+      Louvain.localMove(spark, edgeDF(es), rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two triangles (twoComp's path closed with (10,12)): round 1
+    // shuffles singletons, round 2 settles each triangle on its min-id
+    // member (hand-traced integer gains)
+    assert(run(golden("twoComp") :+ ((10L, 12L))) === Map(1L -> 1L,
+      2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // triangle + PATH 10-11-12 (twoComp as-is): the synchronous update
+    // ping-pongs the path — after round 2 the endpoints pair up in 10
+    // while the middle vertex sits alone (hand-traced: v11's both
+    // neighbors landed in comm 11 after round 1, so gain(11)=16 beats
+    // staying in 10)
+    assert(run(golden("twoComp")) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 11L, 12L -> 10L))
+    // K4: everyone joins community 1 by round 2
+    assert(run(golden("k4")) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("onion layers: peel schedule, isolated survivors keep peeling") {
+    def run(es: Seq[(Long, Long)], k: Int, rounds: Int) =
+      KCore.onionLayers(spark, Edges.symmetrize(edgeDF(es)), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star5, k=2: leaves peel in round 1; the hub — ISOLATED once they
+    // go (degree 0, absent from the induced edge table) — in round 2
+    assert(run(golden("star5"), 2, 4) ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // K4 + pendant, k=3: pendant peels round 1, the K4 is the 0-layer core
+    assert(run(golden("k4") :+ ((4L, 5L)), 3, 2) ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("bridge probe: cut edge flagged, cycle edges not") {
+    import spark.implicits._
+    // two triangles (twoComp + (10,12) closing the path) joined by (3,10)
+    val cyc = golden("twoComp") :+ ((10L, 12L))
+    val es = cyc :+ ((3L, 10L))
+    val cand = es.map { case (a, b) =>
+      (s"$a:$b", math.min(a, b), math.max(a, b)) }.toDF("cid", "src", "dst")
+    val got = Bridges.probe(spark, edgeDF(es), cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((3L, 10L)) === 1L) // the only inter-triangle link
+    cyc.foreach { case (a, b) =>
+      assert(got((math.min(a, b), math.max(a, b))) === 0L, s"edge ($a,$b)")
+    }
+    // twoComp as-is is a triangle + PATH: both path edges ARE bridges
+    val got2 = Bridges.probe(spark, edgeDF(golden("twoComp")),
+      golden("twoComp").map { case (a, b) => (s"$a:$b", a, b) }
+        .toDF("cid", "src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2((10L, 11L)) === 1L)
+    assert(got2((11L, 12L)) === 1L)
+    assert(got2((1L, 2L)) === 0L)
+  }
+
+  test("simrank: hand-traced two ppm iterations on path4 and triangle") {
+    def run(es: Seq[(Long, Long)]) =
+      SimRank.run(spark, edgeDF(es), cPpm = 800000L, iters = 2, minPpm = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // path4: s1(1,3) = s1(2,4) = 400000; round 2 folds the diagonal +
+    // mirrored state: tot = 1e6 + 400000 -> 800000*1400000 div 2e6 = 560000
+    assert(run(golden("path4")) ===
+      Map((1L, 3L) -> 560000L, (2L, 4L) -> 560000L))
+    // triangle: s1 = 200000 everywhere; tot2 = 200000*3 + 1e6 = 1.6e6
+    // -> 800000*1600000 div 4e6 = 320000 for all three pairs
+    assert(run(golden("triangle")) ===
+      Map((1L, 2L) -> 320000L, (1L, 3L) -> 320000L, (2L, 3L) -> 320000L))
+  }
 }

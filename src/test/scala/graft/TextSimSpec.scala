@@ -699,4 +699,32 @@ class TextSimSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty) // near-dup trio must collide in some band
   }
+
+  test("containment: substring doc fully contained, ppm matches brute force") {
+    val a = "the quick brown fox jumps"
+    val b = a + " zz" // tiny suffix: high resemblance, so bands collide
+    val d = docs(1L -> a, 2L -> b, 3L -> "qqqqqqqqqqqq")
+    val got = Dedup.containmentLsh(d, "doc_id", "text", k = 3,
+        numHashes = 16, bands = 4, thresholdPpm = 500000L,
+        maxBucket = Int.MaxValue, hashFn = Dedup.shaSeededHash60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def sh(s: String) = s.sliding(3).toSet
+    val inter = (sh(a) intersect sh(b)).size.toLong
+    assert(got((1L, 2L)) === 1000000L) // A substring of B => containment 1
+    assert(got((2L, 1L)) === 1000000L * inter / sh(b).size)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bm25 odds-idf matches the hand-computed integer formula") {
+    val d = docs(1L -> "x x y", 2L -> "y z")
+    val got = graft.text.TfIdf.bm25OddsMicro(d, "doc_id", "text", Seq("x"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // N=2, Σdl=5, df(x)=1: idf = 3e6 div 3 = 1e6. d1: tf=2, dl=3:
+    // norm = 250000 + (750000·3·2) div 5 = 1150000
+    // wtf  = (2·2200000·1e6) div (2e6 + (1200000·1150000) div 1e6) = 1301775
+    assert(got(1L) === ((3L, 1L, 1301775L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+  }
 }
