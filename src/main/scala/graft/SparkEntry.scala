@@ -2117,7 +2117,67 @@ object SparkEntry {
     // score high when their NEIGHBORS are similar, shared edge or not
     "q195_simrank" -> ((s, d) =>
       graft.kernels.SimRank.run(s, e2(s, d), cPpm = 800000L,
-        iters = 2, minPpm = 10000L))
+        iters = 2, minPpm = 10000L)),
+
+    // Louvain phase 2: contract the 2-round q187 assignment into a
+    // weighted super-graph (ca <= cb; ca = cb rows carry the
+    // intra-community edge count) — the coarsened input the next
+    // Louvain level runs on
+    "q196_louvain_coarsen" -> ((s, d) => {
+      val e = e2(s, d).localCheckpoint(eager = true)
+      graft.kernels.Louvain.coarsen(e,
+        graft.kernels.Louvain.localMove(s, e, rounds = 2))
+    }),
+
+    // articulation-point (cut-vertex) probe over the 8 sha-smallest
+    // degree>=2 vertices: one candidate-keyed reachability seeded at
+    // each candidate's min neighbor with the candidate itself excluded
+    "q197_articulation" -> ((s, d) => {
+      val e = e2(s, d).localCheckpoint(eager = true)
+      val cand = Edges.degrees(Edges.symmetrize(e))
+        .filter(col("degree") >= 2L)
+        .withColumn("hh", Dedup.shaTokenHash60(
+          concat(lit("ap:"), col("vid").cast("string"))))
+        .orderBy(col("hh"), col("vid")).limit(8).select(col("vid"))
+      graft.kernels.Bridges.articulationProbe(s, e, cand)
+    }),
+
+    // token-budget allocation across sources (integer water-filling,
+    // budget = half the corpus chars): equal shares, short sources keep
+    // what they have, the freed remainder splits among the unsatisfied
+    "q198_token_budget" -> ((s, d) =>
+      graft.text.TrainPrep.tokenBudget(T(s, d, "documents"), "source",
+        col("n_chars"))),
+
+    // per-doc n-gram novelty: ppm share of distinct 3-shingles whose
+    // global first occurrence (min doc_id) is this doc — the
+    // diffuse-overlap data-valuation signal pairwise dedup cannot see
+    "q199_novelty" -> ((s, d) =>
+      Dedup.noveltyPpm(T(s, d, "documents"), "doc_id", "text")),
+
+    // bigram cross-entropy in whole bits: floor-log2 surprisal via
+    // binary-string length (libm-free) — the log-scale companion of
+    // q102's linear ppm fluency score
+    "q200_surprisal_bits" -> ((s, d) =>
+      graft.text.QualityRules.bigramSurprisalBits(
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // event burst detection: hourly (event_type, hour) counts vs the
+    // trailing 3-hour sum; burst when the hour doubles its trailing
+    // average (3·n > 2·sum3h) — per-type RANGE windows over a tiny
+    // (type, hour) key space
+    "q201_burst" -> ((s, d) => {
+      val c = T(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rangeBetween(-3, -1)
+      c.withColumn("trail_n", sum(col("n")).over(w))
+        .filter(col("trail_n").isNotNull &&
+          col("n") * lit(3L) > col("trail_n") * lit(2L))
+        .select(col("event_type"), col("h"), col("n"), col("trail_n"))
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -5692,6 +5752,97 @@ object SparkEntry {
          |  SELECT a, b, (800000 * tot) // (1000000 * da.degree * db.degree) AS sp
          |  FROM t2 JOIN deg da ON da.vid = t2.a JOIN deg db ON db.vid = t2.b)
          |  WHERE sp >= 10000)
-         |SELECT a, b, sp AS sim_ppm FROM s2""".stripMargin
+         |SELECT a, b, sp AS sim_ppm FROM s2""".stripMargin,
+
+    // the shared two-round chain, then contract edges onto communities
+    "q196_louvain_coarsen" ->
+      s"""WITH $CTE,
+         |$LOUV
+         |SELECT least(x.comm, y.comm) AS ca, greatest(x.comm, y.comm) AS cb,
+         |       CAST(count(*) AS BIGINT) AS weight
+         |FROM e JOIN a2 x ON x.vid = e.s JOIN a2 y ON y.vid = e.d
+         |GROUP BY 1, 2""".stripMargin,
+
+    // candidate-keyed reachability from each candidate's min neighbor,
+    // candidate vertex excluded; articulation iff a neighbor is unreached
+    "q197_articulation" ->
+      s"""WITH RECURSIVE $CTE,
+         |cand AS MATERIALIZED (SELECT vid FROM (
+         |  SELECT vid, CAST(('0x' || substr(sha256('ap:' || CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+         |  FROM deg WHERE degree >= 2) ORDER BY hh, vid LIMIT 8),
+         |nb AS MATERIALIZED (SELECT c.vid AS cv, s.d AS nbr FROM cand c JOIN sym s ON s.s = c.vid),
+         |reach(cv, vid) AS (
+         |  SELECT cv, min(nbr) FROM nb GROUP BY 1
+         |  UNION
+         |  SELECT r.cv, y.d FROM reach r JOIN sym y ON y.s = r.vid WHERE y.d <> r.cv
+         |)
+         |SELECT n.cv AS vid,
+         |       CAST(max(CASE WHEN r.vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_articulation
+         |FROM nb n LEFT JOIN (SELECT DISTINCT cv, vid FROM reach) r
+         |  ON r.cv = n.cv AND r.vid = n.nbr
+         |GROUP BY 1""".stripMargin,
+
+    // integer water-filling, one redistribution round, all positive so
+    // DuckDB // replays Spark div exactly
+    "q198_token_budget" ->
+      """WITH a AS (SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS avail
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(avail) AS BIGINT) * 1 // 2 AS budget,
+        |             CAST(count(*) AS BIGINT) AS k FROM a),
+        |r1 AS (SELECT a.stratum, a.avail, t.budget, t.k, t.budget // t.k AS fair,
+        |              least(a.avail, t.budget // t.k) AS a1
+        |       FROM a CROSS JOIN t),
+        |s AS (SELECT CAST(sum(a1) AS BIGINT) AS used,
+        |             CAST(sum(CASE WHEN avail > fair THEN 1 ELSE 0 END) AS BIGINT) AS unsat
+        |      FROM r1),
+        |f AS (SELECT r1.stratum, r1.avail,
+        |             CASE WHEN r1.avail <= r1.fair THEN r1.a1
+        |                  ELSE least(r1.avail, r1.fair +
+        |                    CASE WHEN s.unsat > 0 THEN (r1.budget - s.used) // s.unsat ELSE 0 END)
+        |             END AS alloc
+        |      FROM r1 CROSS JOIN s)
+        |SELECT stratum, avail, alloc, alloc * 1000000 // avail AS fill_ppm FROM f""".stripMargin,
+
+    // global first-occurrence (min doc id) per shingle, then per-doc ppm
+    "q199_novelty" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |             FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
+        |f AS (SELECT g, min(id) AS first_id FROM sh GROUP BY 1)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       (1000000 * CAST(sum(CASE WHEN id = first_id THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS novel_ppm
+        |FROM sh JOIN f USING (g) GROUP BY 1""".stripMargin,
+
+    // q102's bigram counts; per-occurrence bits = length(bin(pc // bc)) - 1
+    // (bin renders a positive bigint identically in Spark and DuckDB)
+    "q200_surprisal_bits" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tk WHERE len(t) >= 2),
+        |bgs AS (SELECT doc_id,
+        |               t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg,
+        |               t[CAST(i AS INT)] AS w1
+        |        FROM pos),
+        |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS bc FROM bgs GROUP BY 1),
+        |pc AS (SELECT w1, CAST(count(*) AS BIGINT) AS pc FROM bgs GROUP BY 1),
+        |sc AS (SELECT g.doc_id, CAST(length(bin(p.pc // b.bc)) - 1 AS BIGINT) AS bits
+        |       FROM bgs g JOIN bc b USING (bg) JOIN pc p USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bits) AS BIGINT) AS total_bits,
+        |       CAST(sum(bits) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS avg_mbits
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // hourly counts per type, trailing 3-hour RANGE sum, integer ratio
+    "q201_burst" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, n,
+        |             sum(n) OVER (PARTITION BY event_type ORDER BY h
+        |                          RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tn
+        |      FROM c)
+        |SELECT event_type, h, n, CAST(tn AS BIGINT) AS trail_n FROM w
+        |WHERE tn IS NOT NULL AND n * 3 > tn * 2""".stripMargin
   )
 }

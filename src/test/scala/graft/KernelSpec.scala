@@ -1350,6 +1350,29 @@ class KernelSpec extends SparkSpec {
     assert(got2((1L, 2L)) === 0L)
   }
 
+  test("louvain coarsen: communities contract, intra edges become self-loops") {
+    import spark.implicits._
+    // two triangles joined by (3,10), assignment given directly
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (12L, 10L)).toDF("vid", "community")
+    val got = Louvain.coarsen(edgeDF(es), asg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 1L) -> 3L, (10L, 10L) -> 3L, (1L, 10L) -> 1L))
+  }
+
+  test("articulation probe: cut vertices flagged, cycle/leaf vertices not") {
+    import spark.implicits._
+    // path 1-2-3 into triangle {3,4,5}: 2 and 3 are cut vertices;
+    // 4 and 5 sit on the cycle; 1 is a leaf (nothing to disconnect)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val got = Bridges.articulationProbe(spark, edgeDF(es),
+        Seq(1L, 2L, 3L, 4L, 5L).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
   test("simrank: hand-traced two ppm iterations on path4 and triangle") {
     def run(es: Seq[(Long, Long)]) =
       SimRank.run(spark, edgeDF(es), cPpm = 800000L, iters = 2, minPpm = 1L)

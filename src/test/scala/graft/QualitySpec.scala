@@ -79,6 +79,24 @@ class QualitySpec extends SparkSpec {
       s"fluent ${s2(10L)} should beat rare ${s2(13L)}")
   }
 
+  test("bigramSurprisalBits: floor-log2 bits match a hand trace") {
+    // bigrams: "the quick"x3, "quick fox"x3, "the slow"x1, "slow fox"x1
+    // prefixes: pc(the)=4, pc(quick)=3, pc(slow)=1
+    val corpus = Seq((10L, "the quick fox"), (11L, "the quick fox"),
+      (12L, "the quick fox"), (13L, "the slow fox"))
+      .toDF("doc_id", "text")
+    val got = QualityRules.bigramSurprisalBits(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc10: bits(the quick) = len(bin(4 div 3 = 1)) - 1 = 0,
+    //        bits(quick fox) = len(bin(3 div 3 = 1)) - 1 = 0
+    assert(got(10L) === ((2L, 0L, 0L)))
+    // doc13: bits(the slow) = len(bin(4 div 1 = 4 = 100b)) - 1 = 2,
+    //        bits(slow fox) = len(bin(1)) - 1 = 0 -> avg 2*1000 div 2
+    assert(got(13L) === ((2L, 2L, 1000L)))
+  }
+
   test("tokenDiversity: hand-computed TTR and Gini-Simpson ppm") {
     val docs = Seq(
       // "a a b": n=3, distinct=2, ttr=666666; sumsq=2^2+1=5,

@@ -479,6 +479,36 @@ class TextSimSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < rows.size)
   }
 
+  test("token budget: water-filling with one redistribution round") {
+    import graft.text.TrainPrep
+    // avail: A=100, B=10, C=40; total 150 -> budget 75, fair 25
+    // round 1: A 25, B 10 (short), C 25 -> used 60, unsat {A, C}
+    // round 2: extra = 15 div 2 = 7 -> A min(100,32)=32, C min(40,32)=32
+    val df = Seq(("A", 60L), ("A", 40L), ("B", 10L), ("C", 40L))
+      .toDF("source", "n_chars")
+    val got = TrainPrep.tokenBudget(df, "source", col("n_chars"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") === ((100L, 32L, 320000L)))
+    assert(got("B") === ((10L, 10L, 1000000L)))
+    assert(got("C") === ((40L, 32L, 800000L)))
+  }
+
+  test("novelty: first-occurrence shingle share in ppm") {
+    import graft.text.Dedup
+    // shingles (k=3): doc1 {abc, bcd}, doc2 {abc}, doc3 {xyz}
+    // first ids: abc->1, bcd->1, xyz->3
+    val docs = Seq((1L, "abcd"), (2L, "abc"), (3L, "xyz"), (4L, "ab"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyPpm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 1000000L)))
+    assert(got(2L) === ((1L, 0L)))
+    assert(got(3L) === ((1L, 1000000L)))
+    assert(!got.contains(4L)) // under shingle length -> no row
+  }
+
   test("span dedup removes corpus-frequent spans and reassembles in order") {
     val docs = Seq(
       (1L, "a b c d e f"),   // spans: "a b c", "d e f"
