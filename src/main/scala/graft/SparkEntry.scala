@@ -2177,7 +2177,93 @@ object SparkEntry {
         .filter(col("trail_n").isNotNull &&
           col("n") * lit(3L) > col("trail_n") * lit(2L))
         .select(col("event_type"), col("h"), col("n"), col("trail_n"))
-    })
+    }),
+
+    // SCAN structural clustering (KDD'07): density-connected clusters
+    // plus the hub/outlier roles plain community detection cannot
+    // express — ε = 0.4 (cross-multiplied as ε²·10⁶ = 160000), μ = 4;
+    // the heavy step reuses the degree-oriented triangle plan
+    "q202_scan" -> ((s, d) =>
+      graft.kernels.Scan.run(s, e2(s, d), epsSqPpm = 160000L, mu = 4)),
+
+    // per-component bipartite (odd-cycle) verdict: one parity-BFS
+    // frontier for ALL components at once, rooted at each hash-min
+    // component id
+    "q203_bipartite" -> ((s, d) =>
+      graft.kernels.Bipartite.run(s, e2(s, d))),
+
+    // DegreeDiscountIC influence maximization (KDD'09): 8 cascade seeds
+    // at p = 0.1, each round one broadcast-filtered aggregation + one
+    // distributed argmax — the no-simulation spread heuristic
+    "q204_influence" -> ((s, d) =>
+      graft.kernels.Influence.degreeDiscount(s, e2(s, d),
+        k = 8, pPpm = 100000L)),
+
+    // decision-stump training (depth-1 CART, exact integer Gini):
+    // distill the stopword-density rule the_cnt/n_tokens >= 5% into the
+    // best single-feature gate — the quality-classifier root trained
+    // closed-form inside the engine (a batch perceptron at these
+    // magnitudes provably oscillates; see DecisionStump)
+    "q205_stump" -> ((s, d) => {
+      val t = TF.tokens(col("text"))
+      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      val ft = T(s, d, "documents").select(
+        (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long").as("y"),
+        TF.tokenCount(col("text")).as("f_ntok"),
+        expr("n_chars").as("f_nchars"),
+        theCnt.as("f_the"))
+        .withColumn("f_meanlen", expr("f_nchars div f_ntok"))
+      graft.text.DecisionStump.train(ft,
+        Seq("f_ntok", "f_meanlen", "f_the", "f_nchars"))
+    }),
+
+    // source-pair phrasing overlap: word-bigram vocabulary Jaccard in
+    // ppm — which sources duplicate each other's phrasing (the corpus-
+    // design dual of q179's doc-level split leakage)
+    "q206_source_overlap" -> ((s, d) => {
+      val bg = T(s, d, "documents").select(col("source"),
+        explode(TF.wordNgrams(col("text"), 2)).as("b")).distinct()
+      val n = bg.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      bg.as("a").join(bg.as("b"),
+          col("a.b") === col("b.b") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+        .join(n.select(col("source").as("sa"), col("nv").as("na")), "sa")
+        .join(n.select(col("source").as("sb"), col("nv").as("nb")), "sb")
+        .select(col("sa"), col("sb"), col("inter"),
+          expr("inter * 1000000L div (na + nb - inter)").as("jaccard_ppm"))
+    }),
+
+    // hashing-trick features (Weinberger ICML'09): tokens sha-hashed
+    // into 64 buckets, per-doc top-4 by count — the fixed-width sparse
+    // representation in-engine classifiers (q205) consume at any
+    // vocabulary size
+    "q207_feature_hash" -> ((s, d) => {
+      val hb = T(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .withColumn("bucket", Dedup.shaTokenHash60(col("tok")) % 64L)
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("bucket"))
+      hb.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 4L)
+    }),
+
+    // Gopher structural gates (Rae et al. 2021 §A1.1): word count,
+    // cross-multiplied mean word length, stop-word presence, max-token
+    // share — four integer predicates + the composite pass
+    "q208_gopher" -> ((s, d) =>
+      graft.text.QualityRules.gopherGates(
+        T(s, d, "documents"), "doc_id", "text")),
+
+    // hard-negative mining over the q57 parity-LSH candidates: per
+    // labeled vector the best other-label candidate (the triplet-loss
+    // negative) vs the best same-label one, with the margin that flags
+    // boundary examples worth oversampling
+    "q209_hard_negatives" -> ((s, d) =>
+      Ann.hardNegatives(T(s, d, "embeddings"), "vec_id", "embedding",
+        "label", dim = 64, bands = 8, bitsPerBand = 8))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -5843,6 +5929,235 @@ object SparkEntry {
         |                          RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tn
         |      FROM c)
         |SELECT event_type, h, n, CAST(tn AS BIGINT) AS trail_n FROM w
-        |WHERE tn IS NOT NULL AND n * 3 > tn * 2""".stripMargin
+        |WHERE tn IS NOT NULL AND n * 3 > tn * 2""".stripMargin,
+
+    // σ ≥ ε via com²·10⁶ ≥ ε²ppm·|N[u]|·|N[v]| (closed neighborhoods);
+    // clusters = hash-min CC over core–core ε-edges; roles per the paper
+    "q202_scan" ->
+      s"""WITH RECURSIVE $CTE,
+         |cm AS (SELECT e.s AS u, e.d AS v, count(*) AS com0
+         |       FROM e JOIN sym x ON x.s = e.s
+         |              JOIN sym y ON y.s = e.d AND y.d = x.d
+         |       GROUP BY 1, 2),
+         |sim AS MATERIALIZED (
+         |  SELECT e.s AS u, e.d AS v
+         |  FROM e JOIN deg x ON x.vid = e.s JOIN deg y ON y.vid = e.d
+         |         LEFT JOIN cm ON cm.u = e.s AND cm.v = e.d
+         |  WHERE (coalesce(cm.com0, 0) + 2) * (coalesce(cm.com0, 0) + 2) * 1000000
+         |        >= 160000 * (x.degree + 1) * (y.degree + 1)),
+         |ssym AS (SELECT u AS a, v AS b FROM sim UNION ALL SELECT v, u FROM sim),
+         |en AS (SELECT a AS vid, count(*) + 1 AS en FROM ssym GROUP BY 1),
+         |core AS MATERIALIZED (SELECT vid FROM en WHERE en >= 4),
+         |ce AS (SELECT s.a, s.b FROM ssym s JOIN core x ON x.vid = s.a
+         |                                    JOIN core y ON y.vid = s.b),
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM core
+         |  UNION
+         |  SELECT c.b, r.lbl FROM reach r JOIN ce c ON r.vid = c.a
+         |),
+         |cl AS MATERIALIZED (SELECT vid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |att AS (SELECT s.a AS vid, min(cl.cluster) AS cluster,
+         |               count(DISTINCT cl.cluster) AS natt
+         |        FROM ssym s JOIN cl ON cl.vid = s.b
+         |        WHERE s.a NOT IN (SELECT vid FROM core)
+         |        GROUP BY 1)
+         |SELECT d.vid,
+         |       CASE WHEN cl.vid IS NOT NULL THEN 'core'
+         |            WHEN a.natt >= 2 THEN 'hub'
+         |            WHEN a.natt = 1 THEN 'member'
+         |            ELSE 'outlier' END AS role,
+         |       coalesce(cl.cluster, a.cluster, -1) AS cluster
+         |FROM deg d LEFT JOIN cl ON cl.vid = d.vid
+         |           LEFT JOIN att a ON a.vid = d.vid""".stripMargin,
+
+    // parity BFS from each hash-min component root; a vertex reached at
+    // both parities witnesses the odd cycle
+    "q203_bipartite" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |),
+         |comp AS MATERIALIZED (SELECT vid, min(lbl) AS component FROM reach GROUP BY 1),
+         |pr(component, vid, par) AS (
+         |  SELECT component, component, 0 FROM comp WHERE vid = component
+         |  UNION
+         |  SELECT r.component, s.d, 1 - r.par FROM pr r JOIN sym s ON r.vid = s.s
+         |),
+         |oddc AS (SELECT component, count(*) AS n_odd FROM (
+         |           SELECT component, vid FROM pr GROUP BY 1, 2 HAVING count(*) = 2)
+         |         GROUP BY 1),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS n_vertices
+         |       FROM comp GROUP BY 1)
+         |SELECT cs.component, cs.n_vertices,
+         |       CAST(CASE WHEN o.component IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_bipartite
+         |FROM cs LEFT JOIN oddc o USING (component)""".stripMargin,
+
+    // 8 greedy rounds replayed with the pick list carried in the
+    // recursion; per-candidate discount from list_intersect with the
+    // sorted adjacency; argmax = struct list_max (dd, then min vid)
+    "q204_influence" ->
+      s"""WITH RECURSIVE $CTE,
+         |adj AS MATERIALIZED (
+         |  SELECT d.vid, d.degree, a.nbrs
+         |  FROM deg d JOIN (SELECT s AS vid, list(d ORDER BY d) AS nbrs
+         |                   FROM sym GROUP BY 1) a USING (vid)),
+         |cl AS MATERIALIZED (
+         |  SELECT list({'v': vid, 'g': degree, 'nb': nbrs} ORDER BY vid) AS cs
+         |  FROM adj),
+         |st(i, picks, dds) AS (
+         |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+         |  UNION ALL
+         |  SELECT t.i + 1, list_append(t.picks, -t.p.v), list_append(t.dds, t.p.k)
+         |  FROM (
+         |    SELECT s.i, s.picks, s.dds,
+         |      list_max(flatten([
+         |        [{'k': (c.g - 2*tt)*1000000 - (c.g - tt)*tt*100000, 'v': -c.v}
+         |         FOR tt IN [len(list_intersect(c.nb, s.picks))]]
+         |        FOR c IN cl.cs IF NOT list_contains(s.picks, c.v)])) AS p
+         |    FROM st s CROSS JOIN cl WHERE s.i < 8) t
+         |)
+         |SELECT CAST(gs AS BIGINT) AS rank, picks[gs] AS vid, dds[gs] AS dd_ppm
+         |FROM st, generate_series(1, 8) g(gs) WHERE i = 8""".stripMargin,
+
+    // exact CART split search: per-(feature, value) label counts,
+    // cumulative left/right tallies, floor-ppb weighted Gini
+    "q205_stump" ->
+      """WITH ft AS (
+        |  SELECT CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                    t -> t = 'the')) AS BIGINT) * 20
+        |              >= CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS y,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS f_ntok,
+        |         n_chars // CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS f_meanlen,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                  t -> t = 'the')) AS BIGINT) AS f_the,
+        |         n_chars AS f_nchars
+        |  FROM documents),
+        |lg AS (SELECT y, feature, value FROM ft
+        |       UNPIVOT (value FOR feature IN (f_ntok, f_meanlen, f_the, f_nchars))),
+        |vc AS (SELECT feature, value, CAST(sum(y) AS BIGINT) AS p,
+        |              CAST(count(*) - sum(y) AS BIGINT) AS q
+        |       FROM lg GROUP BY 1, 2),
+        |cum AS (SELECT feature, value,
+        |               sum(p) OVER (PARTITION BY feature ORDER BY value) AS pl,
+        |               sum(q) OVER (PARTITION BY feature ORDER BY value) AS ql,
+        |               sum(p) OVER (PARTITION BY feature) AS pt,
+        |               sum(q) OVER (PARTITION BY feature) AS qt
+        |        FROM vc),
+        |sc AS (SELECT feature, value AS threshold, pl, ql, pt - pl AS pr,
+        |              qt - ql AS qr, pl + ql AS nl, pt + qt - pl - ql AS nr
+        |       FROM cum WHERE pt + qt - pl - ql > 0),
+        |gi AS (SELECT feature, threshold,
+        |              CAST(((nl*nl - pl*pl - ql*ql) * 1000000000) // nl +
+        |                   ((nr*nr - pr*pr - qr*qr) * 1000000000) // nr AS BIGINT) AS score_ppb,
+        |              CAST((greatest(pl, ql) + greatest(pr, qr)) * 1000000 // (nl + nr) AS BIGINT) AS acc_ppm
+        |       FROM sc)
+        |SELECT feature, threshold, score_ppb, acc_ppm,
+        |       CAST(row_number() OVER (ORDER BY score_ppb, feature, threshold) AS BIGINT) AS rank
+        |FROM gi
+        |QUALIFY row_number() OVER (PARTITION BY feature ORDER BY score_ppb, threshold) = 1""".stripMargin,
+
+    // distinct word bigrams per source, pairwise intersection, floor-ppm
+    // Jaccard
+    "q206_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT DISTINCT source, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS b
+        |       FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM bg GROUP BY 1),
+        |ov AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+        |       FROM bg a JOIN bg b ON a.b = b.b AND a.source < b.source GROUP BY 1, 2)
+        |SELECT ov.sa, ov.sb, ov.inter,
+        |       ov.inter * 1000000 // (x.nv + y.nv - ov.inter) AS jaccard_ppm
+        |FROM ov JOIN n x ON x.source = ov.sa JOIN n y ON y.source = ov.sb""".stripMargin,
+
+    // sha60(token) % 64 buckets, per-doc top-4 by (count desc, bucket)
+    "q207_feature_hash" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |            FROM documents),
+        |hb AS (SELECT doc_id,
+        |              CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, bucket, cnt,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bucket)
+        |            AS BIGINT) AS rank
+        |FROM hb QUALIFY rank <= 4""".stripMargin,
+
+    // the four Gopher gates as integer predicates; mean word length by
+    // cross-multiplication (40 ≤ 10·mean ≤ 48)
+    "q208_gopher" ->
+      """WITH ft AS (SELECT doc_id, n_chars,
+        |                   regexp_split_to_array(trim(text), '\s+') AS t,
+        |                   CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS nc_ns
+        |            FROM documents),
+        |mx AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxtok FROM (
+        |         SELECT doc_id, count(*) AS c FROM ft, unnest(t) AS u(x)
+        |         GROUP BY doc_id, x) GROUP BY 1),
+        |m AS (SELECT f.doc_id, CAST(len(f.t) AS BIGINT) AS nw, f.nc_ns,
+        |             CAST(len(list_filter(f.t,
+        |                x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS nstop,
+        |             mx.maxtok
+        |      FROM ft f JOIN mx ON mx.doc_id = f.doc_id)
+        |SELECT doc_id, nw,
+        |       CAST(CASE WHEN nw BETWEEN 25 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+        |       CAST(CASE WHEN 40*nw <= 10*nc_ns AND 10*nc_ns <= 48*nw THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+        |       CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |       CAST(CASE WHEN maxtok * 5 <= nw THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+        |       CAST(CASE WHEN nw BETWEEN 25 AND 80 AND 40*nw <= 10*nc_ns
+        |                  AND 10*nc_ns <= 48*nw AND nstop >= 2
+        |                  AND maxtok * 5 <= nw THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m""".stripMargin,
+
+    // the q57/q133 candidate pipeline, split by label agreement into
+    // top-1 hard negative (inner) and top-1 hard positive (left,
+    // missing encoded -1/0)
+    "q209_hard_negatives" ->
+      """WITH planes AS (
+        |  SELECT bb.b, jj.j, dd.d,
+        |         CASE WHEN CAST(('0x' || substr(sha256(
+        |             CAST(bb.b AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)
+        |             || ':' || CAST(dd.d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(8)) AS b) bb,
+        |       (SELECT unnest(range(8)) AS j) jj,
+        |       (SELECT unnest(range(64)) AS d) dd),
+        |qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |comp AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d,
+        |                unnest(q) AS x
+        |         FROM qv),
+        |dots AS (SELECT c.vec_id, p.b, p.j, sum(c.x * p.s) AS dot
+        |         FROM comp c JOIN planes p ON p.d = c.d GROUP BY 1, 2, 3),
+        |sig AS (SELECT vec_id, b,
+        |               sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS nn_id
+        |         FROM sig a JOIN sig c
+        |           ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |pd AS (SELECT cand.vec_id, cand.nn_id,
+        |              CAST(la.label AS BIGINT) AS label,
+        |              CAST(lb.label AS BIGINT) AS nn_label,
+        |              CAST(list_dot_product(CAST(x.q AS DOUBLE[]),
+        |                                    CAST(y.q AS DOUBLE[])) AS BIGINT) AS dot
+        |       FROM cand JOIN qv x ON x.vec_id = cand.vec_id
+        |                 JOIN qv y ON y.vec_id = cand.nn_id
+        |                 JOIN embeddings la ON la.vec_id = cand.vec_id
+        |                 JOIN embeddings lb ON lb.vec_id = cand.nn_id),
+        |neg AS (SELECT vec_id, label, nn_id AS hard_neg_id, dot AS neg_dot
+        |        FROM pd WHERE label <> nn_label
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id) = 1),
+        |pos AS (SELECT vec_id, nn_id AS hard_pos_id, dot AS pos_dot
+        |        FROM pd WHERE label = nn_label
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id) = 1)
+        |SELECT n.vec_id, n.label, n.hard_neg_id, n.neg_dot,
+        |       coalesce(p.hard_pos_id, -1) AS hard_pos_id,
+        |       coalesce(p.pos_dot, 0) AS pos_dot,
+        |       coalesce(p.pos_dot, 0) - n.neg_dot AS margin
+        |FROM neg n LEFT JOIN pos p USING (vec_id)""".stripMargin
   )
 }

@@ -248,6 +248,21 @@ object Ann {
   def lshTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
                     scale: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("nn_id"))
+    parityCandidateDots(vecs, idCol, vecCol, dim, bands, bitsPerBand, scale)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
+  }
+
+  /** The parity-LSH candidate pipeline shared by [[lshTopKParity]] and
+    * [[hardNegatives]]: band-bucket collision pairs with their exact
+    * integer dot, (vec_id, nn_id, dot), no ranking applied yet. */
+  private def parityCandidateDots(vecs: DataFrame, idCol: String,
+                                  vecCol: String, dim: Int, bands: Int,
+                                  bitsPerBand: Int,
+                                  scale: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val planes = (for {
@@ -269,15 +284,51 @@ object Ann {
           && col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("vec_id"), col("b.vid").as("nn_id"))
       .dropDuplicates("vec_id", "nn_id")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dot").desc, col("nn_id"))
     cands
       .join(qv.select(col("vid").as("vec_id"), col("q").as("qa")), "vec_id")
       .join(qv.select(col("vid").as("nn_id"), col("q").as("qb")), "nn_id")
       .withColumn("dot", idot(col("qa"), col("qb")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nn_id"), col("rnk"), col("dot"))
+      .select(col("vec_id"), col("nn_id"), col("dot"))
+  }
+
+  /** Hard-negative mining for contrastive/metric training: for every
+    * labeled vector, the most-similar candidate with a DIFFERENT label
+    * (the hard negative a triplet/InfoNCE batch wants) and, for contrast,
+    * the most-similar same-label candidate (the hard positive), plus
+    * their margin. A negative that outscores the best positive
+    * (margin < 0) marks the boundary examples worth oversampling.
+    * Candidates come from the [[lshTopKParity]] band-bucket pipeline —
+    * never all pairs — re-ranked by exact integer dot, ties to the lower
+    * id; vectors whose buckets contain no other-label candidate produce
+    * no row (the LSH recall story is q57's, measured in RecallProbe).
+    * Missing hard positives are encoded (-1, 0) so the schema stays
+    * integral end to end. */
+  def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, dim: Int, bands: Int = 8,
+                    bitsPerBand: Int = 8, scale: Int = 1000): DataFrame = {
+    val lab = vecs.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    val pd = parityCandidateDots(vecs, idCol, vecCol, dim, bands,
+        bitsPerBand, scale)
+      .join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("nn_id"),
+        col("label").as("nn_label")), "nn_id")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("nn_id"))
+    val neg = pd.filter(col("label") =!= col("nn_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        col("nn_id").as("hard_neg_id"), col("dot").as("neg_dot"))
+    val pos = pd.filter(col("label") === col("nn_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id").as("hard_pos_id"),
+        col("dot").as("pos_dot"))
+    neg.join(pos, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("hard_neg_id"),
+        col("neg_dot"),
+        coalesce(col("hard_pos_id"), lit(-1L)).as("hard_pos_id"),
+        coalesce(col("pos_dot"), lit(0L)).as("pos_dot"),
+        (coalesce(col("pos_dot"), lit(0L)) - col("neg_dot")).as("margin"))
   }
 
   /** sha-sampled coarse centroids over quantized vectors — the

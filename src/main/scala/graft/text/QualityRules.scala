@@ -283,4 +283,49 @@ object QualityRules {
       .withColumn("kappa_ppm", expr(
         "CASE WHEN pe_ppm = 1000000L THEN 1000000L " +
           "ELSE (po_ppm - pe_ppm) * 1000000L div (1000000L - pe_ppm) END"))
+
+  /** Gopher-style document gates (Rae et al. 2021 §A1.1) as one pass —
+    * the four structural rules, each an INTEGER predicate (mean word
+    * length bounds by cross-multiplication, never a float division):
+    *
+    *  - r_words:   word count within [minWords, maxWords];
+    *  - r_meanlen: mean word length within [·, ·] tenths —
+    *               meanLo·nw ≤ 10·(chars−spaces) ≤ meanHi·nw;
+    *  - r_stop:    at least minStop stop-word occurrences ("the a of to
+    *               and" — the Gopher stop-word-presence rule);
+    *  - r_rep:     no token takes more than 1/repDiv of the document
+    *               (maxtok·repDiv ≤ nw) — the cheap companion of
+    *               [[repetitionStats]]'s ppm shares.
+    *
+    * `pass` = all four. Scale shape: one explode → (id, token) count →
+    * per-id max for the repetition rule (map-side combined, doc-bounded
+    * keys); everything else per-row codegen; one join on the doc id. */
+  def gopherGates(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 25L, maxWords: Long = 80L,
+                  meanLoTenths: Long = 40L, meanHiTenths: Long = 48L,
+                  minStop: Long = 2L, repDiv: Long = 5L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val mx = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("maxtok"))
+    val stops = Seq("the", "a", "of", "to", "and")
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("nw"),
+        TextFunctions.nonWsChars(col(textCol)).as("nc_ns"),
+        size(filter(TextFunctions.tokens(col(textCol)),
+          t => t.isin(stops: _*))).cast("long").as("nstop"))
+      .join(mx, idCol)
+      .select(col(idCol), col("nw"),
+        (col("nw") >= minWords && col("nw") <= maxWords).cast("long")
+          .as("r_words"),
+        (lit(meanLoTenths) * col("nw") <= lit(10L) * col("nc_ns") &&
+          lit(10L) * col("nc_ns") <= lit(meanHiTenths) * col("nw"))
+          .cast("long").as("r_meanlen"),
+        (col("nstop") >= minStop).cast("long").as("r_stop"),
+        (col("maxtok") * repDiv <= col("nw")).cast("long").as("r_rep"))
+      .withColumn("pass",
+        (col("r_words") * col("r_meanlen") * col("r_stop") * col("r_rep"))
+          .cast("long"))
+  }
 }

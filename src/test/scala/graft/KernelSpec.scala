@@ -1386,4 +1386,43 @@ class KernelSpec extends SparkSpec {
     assert(run(golden("triangle")) ===
       Map((1L, 2L) -> 320000L, (1L, 3L) -> 320000L, (2L, 3L) -> 320000L))
   }
+
+  test("scan: core/member/hub/outlier roles on two bridged cliques") {
+    // two K4s {1..4}, {11..14}; vertex 20 bridges them (hub), 21 hangs
+    // off clique 1 twice (member), 30-31 an isolated ε-similar pair
+    // whose neighborhoods are too small to seed a core (outliers)
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L), (1L, 20L), (11L, 20L), (1L, 21L),
+      (2L, 21L), (30L, 31L))
+    val got = Scan.run(spark, edgeDF(es), epsSqPpm = 160000L, mu = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val expect =
+      (1L to 4L).map(_ -> (("core", 1L))).toMap ++
+        (11L to 14L).map(_ -> (("core", 11L))).toMap +
+        (20L -> (("hub", 1L))) + (21L -> (("member", 1L))) +
+        (30L -> (("outlier", -1L))) + (31L -> (("outlier", -1L)))
+    assert(got === expect)
+  }
+
+  test("bipartite: odd cycle flagged per component, even structures pass") {
+    def run(es: Seq[(Long, Long)]) =
+      Bipartite.run(spark, edgeDF(es)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // twoComp = triangle {1,2,3} + path {10,11,12}
+    assert(run(golden("twoComp")) ===
+      Map(1L -> ((3L, 0L)), 10L -> ((3L, 1L))))
+    assert(run(golden("path4")) === Map(1L -> ((4L, 1L))))
+    assert(run(golden("star5")) === Map(1L -> ((5L, 1L))))
+  }
+
+  test("influence: degree-discount picks the hub, then a discounted leaf") {
+    // star5: round 1 picks the center (dd = 4e6); every leaf then has
+    // d=1, t=1 -> dd = (1-2)*1e6 - 0 = -1e6, tie to the smallest vid
+    val got = Influence.degreeDiscount(spark, edgeDF(golden("star5")),
+        k = 2, pPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 4000000L), (2L, 2L, -1000000L)))
+  }
 }

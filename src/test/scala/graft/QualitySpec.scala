@@ -367,4 +367,39 @@ class QualitySpec extends SparkSpec {
       assert(got(id)._2 === idx.toLong, s"doc $id")
     }
   }
+
+  test("gopherGates: each rule fails on its own counterexample") {
+    // docA passes everything: 30 words (2 stopwords + 28 distinct
+    // 5-char fillers), mean len 144/30 = 4.8 (boundary, inclusive),
+    // maxtok 1*5 <= 30
+    val fillers = (1 to 28).map(i => f"wrd$i%02d").mkString(" ")
+    val docA = s"the a $fillers"
+    val docB = "the a x" // 3 words: fails words, meanlen, rep
+    // 32 words, 153 chars, mean 4.78 <= 4.8; no stopwords: fails stop
+    val docC = s"zz yy $fillers xtra1 xtra"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC))
+      .toDF("doc_id", "text")
+    val got = QualityRules.gopherGates(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 1L, 1L)))
+    assert(got(2L) === ((0L, 0L, 1L, 0L, 0L)))
+    assert(got(3L) === ((1L, 1L, 0L, 1L, 0L)))
+  }
+
+  test("decision stump: exact Gini argmin, per-feature winners, ranks") {
+    import graft.text.DecisionStump
+    // f1 separates perfectly at <= 2; f2 is uninformative (50/50 split)
+    val ft = Seq((0L, 1L, 5L), (0L, 2L, 6L), (1L, 3L, 5L), (1L, 4L, 6L))
+      .toDF("y", "f1", "f2")
+    val got = DecisionStump.train(ft, Seq("f1", "f2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // f1 <= 2: both sides pure, score 0, acc 1.0, best split overall
+    assert(got("f1") === ((2L, 0L, 1000000L, 1L)))
+    // f2 <= 5: (4-1-1)*1e9/2 per side = 2e9; acc 0.5; ranked after the
+    // three f1 splits (0, 1333333333, 1333333333)
+    assert(got("f2") === ((5L, 2000000000L, 500000L, 4L)))
+  }
 }

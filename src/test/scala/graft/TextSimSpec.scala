@@ -757,4 +757,21 @@ class TextSimSpec extends SparkSpec {
     assert(got(1L) === ((3L, 1L, 1301775L)))
     assert(got(2L) === ((2L, 0L, 0L)))
   }
+
+  test("hard negatives: labels split, ties to min id, missing pos -1/0") {
+    // three identical vectors (every band collides, all dots equal):
+    // quantized dot = 1e6 + 4e6 + 9e6 + 16e6 = 30e6, ranks tie to min id
+    val v = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val vecs = Seq((1L, v, 0), (2L, v, 0), (3L, v, 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.hardNegatives(vecs, "vec_id", "embedding", "label",
+        dim = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val d = 30000000L
+    assert(got(1L) === ((0L, 3L, d, 2L, d, 0L)))
+    assert(got(2L) === ((0L, 3L, d, 1L, d, 0L)))
+    // vec 3 is the only label-1: no same-label candidate anywhere
+    assert(got(3L) === ((1L, 1L, d, -1L, 0L, -d)))
+  }
 }
