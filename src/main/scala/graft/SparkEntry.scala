@@ -2263,7 +2263,57 @@ object SparkEntry {
     // boundary examples worth oversampling
     "q209_hard_negatives" -> ((s, d) =>
       Ann.hardNegatives(T(s, d, "embeddings"), "vec_id", "embedding",
-        "label", dim = 64, bands = 8, bitsPerBand = 8))
+        "label", dim = 64, bands = 8, bitsPerBand = 8)),
+
+    // directed dyad/triad census over the sha-directed derivation:
+    // reciprocity (mutual vs asymmetric dyads) and feed-forward vs
+    // feedback closed triads — the hierarchy-vs-circularity profile of
+    // the linking structure
+    "q210_triads" -> ((s, d) =>
+      graft.kernels.Triads.census(graft.kernels.Scc.shaDirect(e2(s, d)))),
+
+    // multinomial Naive Bayes distilled from the stopword-density rule
+    // (the q205 label), trained and self-evaluated in two shuffles:
+    // integer floor-log2 count-ratio weights, confusion matrix out
+    "q211_nb" -> ((s, d) => {
+      val t = TF.tokens(col("text"))
+      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      graft.text.NaiveBayes.confusion(T(s, d, "documents"), "doc_id",
+        "text", (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
+    }),
+
+    // Johnson-Lindenstrauss sign-projection calibration: 64 -> 16 dims
+    // with sha-derived +-1 planes, per-pair squared-distance distortion
+    // in ppm over the 40 sha-smallest vectors
+    "q212_jl_parity" -> ((s, d) =>
+      Ann.jlDistortion(T(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, outDim = 16, sampleN = 40)),
+
+    // configuration-model degree-class mixing: observed edges between
+    // log2-degree classes vs the S_a*S_b/2m null — q73's assortativity
+    // scalar resolved per class pair
+    "q213_degree_mixing" -> ((s, d) =>
+      graft.kernels.GraphStats.degreeMixing(e2(s, d))),
+
+    // synchronous integer forward-push PPR from the sha-min seed: 3
+    // rounds, mass in 1e-12 units — the local-cluster primitive whose
+    // cost tracks the seed's neighborhood, not the graph
+    "q214_ppr_push" -> ((s, d) => {
+      val e = e2(s, d).localCheckpoint(eager = true)
+      val seed = Edges.degrees(Edges.symmetrize(e))
+        .withColumn("hh", Dedup.shaTokenHash60(
+          concat(lit("fp:"), col("vid").cast("string"))))
+        .orderBy(col("hh"), col("vid")).limit(1)
+        .head().getLong(0)
+      graft.kernels.ForwardPush.run(s, e, seed)
+    }),
+
+    // per-label centroid separability: signed squared cosine (ppm)
+    // between milli-unit integer class centroids — the corpus-level
+    // roll-up of the q133/q209 label-geometry signals
+    "q215_label_centroids" -> ((s, d) =>
+      Ann.labelCentroidSep(T(s, d, "embeddings"), "vec_id", "embedding",
+        "label"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -6158,6 +6208,167 @@ object SparkEntry {
         |       coalesce(p.hard_pos_id, -1) AS hard_pos_id,
         |       coalesce(p.pos_dot, 0) AS pos_dot,
         |       coalesce(p.pos_dot, 0) - n.neg_dot AS margin
-        |FROM neg n LEFT JOIN pos p USING (vec_id)""".stripMargin
+        |FROM neg n LEFT JOIN pos p USING (vec_id)""".stripMargin,
+
+    // dyads from the canonical pair's directed-edge count; closed triads
+    // from the wedge join; a < b && a < c keeps one cycle rotation
+    "q210_triads" ->
+      s"""WITH $CTE,
+         |eh AS (SELECT s, d,
+         |         CAST(('0x' || substr(sha256('dir:' || CAST(s AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS h
+         |       FROM e),
+         |dedges AS (SELECT s, d FROM eh WHERE h <> 1
+         |           UNION ALL SELECT d, s FROM eh WHERE h <> 0),
+         |pairs AS (SELECT least(s, d) AS a, greatest(s, d) AS b,
+         |                 count(*) AS ne
+         |          FROM dedges GROUP BY 1, 2),
+         |wedge AS (SELECT x.s AS a, x.d AS b, y.d AS c
+         |          FROM dedges x JOIN dedges y ON x.d = y.s AND x.s <> y.d)
+         |SELECT 'mutual_dyads' AS motif,
+         |       CAST(coalesce(sum(CASE WHEN ne = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt FROM pairs
+         |UNION ALL
+         |SELECT 'asym_dyads',
+         |       CAST(coalesce(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pairs
+         |UNION ALL
+         |SELECT 'trans_triads', CAST(count(*) AS BIGINT)
+         |FROM wedge w JOIN dedges z ON z.s = w.a AND z.d = w.c
+         |UNION ALL
+         |SELECT 'cyclic_triads', CAST(count(*) AS BIGINT)
+         |FROM wedge w JOIN dedges z ON z.s = w.c AND z.d = w.a
+         |WHERE w.a < w.b AND w.a < w.c""".stripMargin,
+
+    // NB replay: per-token class counts, floor-log2 weights via bin(),
+    // token-instance score sum + prior bits, confusion matrix
+    "q211_nb" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |            FROM documents),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+        |                CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS thec
+        |         FROM tk GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN thec * 20 >= ntok THEN 1 ELSE 0 END AS y FROM base),
+        |ti AS (SELECT t.doc_id, l.y, t.tok FROM tk t JOIN lab l USING (doc_id)),
+        |tot AS (SELECT y, CAST(count(*) AS BIGINT) AS t,
+        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |        FROM ti GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ti),
+        |w AS (SELECT tok,
+        |        CAST(length(bin((CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |                        * ((SELECT t FROM tot WHERE y = 0) + (SELECT v FROM vv)))) AS BIGINT)
+        |      - CAST(length(bin((CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |                        * ((SELECT t FROM tot WHERE y = 1) + (SELECT v FROM vv)))) AS BIGINT) AS w
+        |      FROM ti GROUP BY 1),
+        |sc AS (SELECT ti.doc_id, ti.y,
+        |              CAST(sum(w.w) AS BIGINT)
+        |              + CAST(length(bin((SELECT n FROM tot WHERE y = 1))) AS BIGINT)
+        |              - CAST(length(bin((SELECT n FROM tot WHERE y = 0))) AS BIGINT) AS score
+        |       FROM ti JOIN w USING (tok) GROUP BY 1, 2)
+        |SELECT CAST(y AS BIGINT) AS y,
+        |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    // JL replay: sha +-1 signs, integer projection, pairwise squared
+    // distances via component self-joins over the 40 sha-smallest vectors
+    "q212_jl_parity" ->
+      """WITH signs AS (
+        |  SELECT jj.j, dd.d,
+        |         CASE WHEN CAST(('0x' || substr(sha256(
+        |             'jl:' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(16)) AS j) jj,
+        |       (SELECT unnest(range(64)) AS d) dd),
+        |qv AS (SELECT vec_id,
+        |              list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |sam AS (SELECT vec_id, q FROM qv
+        |        ORDER BY CAST(('0x' || substr(sha256('jlp:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+        |        LIMIT 40),
+        |comp AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x
+        |         FROM sam),
+        |pr AS (SELECT c.vec_id, s.j, CAST(sum(c.x * s.s) AS BIGINT) AS yj
+        |       FROM comp c JOIN signs s USING (d) GROUP BY 1, 2),
+        |d2o AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |               CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |        FROM comp a JOIN comp b ON a.d = b.d AND a.vec_id < b.vec_id
+        |        GROUP BY 1, 2),
+        |d2p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |               CAST(sum((a.yj - b.yj) * (a.yj - b.yj)) AS BIGINT) AS d2
+        |        FROM pr a JOIN pr b ON a.j = b.j AND a.vec_id < b.vec_id
+        |        GROUP BY 1, 2)
+        |SELECT o.id_a, o.id_b, o.d2 AS d2_orig, p.d2 AS d2_proj,
+        |       CASE WHEN o.d2 = 0 THEN 1000000
+        |            ELSE (p.d2 * 1000000) // (16 * o.d2) END AS distortion_ppm
+        |FROM d2o o JOIN d2p p USING (id_a, id_b)""".stripMargin,
+
+    // degree-class mixing vs the configuration-model null
+    "q213_degree_mixing" ->
+      s"""WITH $CTE,
+         |cls AS (SELECT vid, degree,
+         |               CAST(length(bin(degree)) - 1 AS BIGINT) AS cls
+         |        FROM deg),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |mass AS (SELECT cls, CAST(sum(degree) AS BIGINT) AS s FROM cls GROUP BY 1),
+         |obs AS (SELECT least(x.cls, y.cls) AS cls_a, greatest(x.cls, y.cls) AS cls_b,
+         |               CAST(count(*) AS BIGINT) AS actual
+         |        FROM e JOIN cls x ON x.vid = e.s JOIN cls y ON y.vid = e.d
+         |        GROUP BY 1, 2)
+         |SELECT a.cls AS cls_a, b.cls AS cls_b,
+         |       CAST(coalesce(o.actual, 0) AS BIGINT) AS actual,
+         |       CASE WHEN a.cls = b.cls
+         |            THEN (a.s * b.s * 1000) // (4 * (SELECT m FROM mm))
+         |            ELSE (a.s * b.s * 1000) // (2 * (SELECT m FROM mm)) END AS expected_milli
+         |FROM mass a JOIN mass b ON a.cls <= b.cls
+         |LEFT JOIN obs o ON o.cls_a = a.cls AND o.cls_b = b.cls""".stripMargin,
+
+    // forward-push replay: 3 synchronous rounds as a recursive CTE —
+    // each round every vertex settles alpha, splits the rest by integer
+    // div over its neighbors; state = self row + incoming, summed
+    "q214_ppr_push" ->
+      s"""WITH RECURSIVE $CTE,
+         |seed AS (SELECT vid FROM deg
+         |         ORDER BY CAST(('0x' || substr(sha256('fp:' || CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT), vid
+         |         LIMIT 1),
+         |push(rnd, vid, p, r) AS (
+         |  SELECT 0, vid, CAST(0 AS BIGINT), CAST(1000000000000 AS BIGINT) FROM seed
+         |  UNION ALL
+         |  SELECT rnd + 1, vid, CAST(sum(pp) AS BIGINT), CAST(sum(rr) AS BIGINT)
+         |  FROM (
+         |    WITH st AS (SELECT t.rnd, t.vid,
+         |                       t.p + (150000 * t.r) // 1000000 AS p2,
+         |                       ((850000 * t.r) // 1000000) // dg.degree AS share
+         |                FROM push t JOIN deg dg USING (vid)
+         |                WHERE t.rnd < 3)
+         |    SELECT rnd, vid, p2 AS pp, CAST(0 AS BIGINT) AS rr FROM st
+         |    UNION ALL
+         |    SELECT st.rnd, sy.d AS vid, CAST(0 AS BIGINT), st.share
+         |    FROM st JOIN sym sy ON sy.s = st.vid)
+         |  GROUP BY 1, 2)
+         |SELECT vid, p, r FROM push
+         |WHERE rnd = 3 AND (p <> 0 OR r <> 0)""".stripMargin,
+
+    // label-centroid separability replay: milli-unit integer centroids,
+    // signed squared cosine in ppm
+    "q215_label_centroids" ->
+      """WITH qc AS (
+        |  SELECT CAST(label AS BIGINT) AS lbl,
+        |         generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |  FROM (SELECT label,
+        |               list_transform(embedding,
+        |                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |        FROM embeddings)),
+        |cent AS (SELECT lbl, pos,
+        |                CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        |         FROM qc GROUP BY 1, 2),
+        |pair AS (SELECT a.lbl AS la, b.lbl AS lb,
+        |                CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |         FROM cent a JOIN cent b ON a.pos = b.pos AND a.lbl <= b.lbl
+        |         GROUP BY 1, 2),
+        |n2 AS (SELECT la AS lbl, dot AS n2 FROM pair WHERE la = lb)
+        |SELECT p.la AS label_a, p.lb AS label_b,
+        |       CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0
+        |            ELSE (CASE WHEN p.dot >= 0 THEN 1 ELSE -1 END)
+        |                 * (((p.dot * p.dot) // x.n2) * 1000000 // y.n2) END AS cos2_ppm
+        |FROM pair p JOIN n2 x ON x.lbl = p.la JOIN n2 y ON y.lbl = p.lb""".stripMargin
   )
 }

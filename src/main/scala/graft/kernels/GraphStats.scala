@@ -682,4 +682,41 @@ object GraphStats {
       .select(col("vid"), col("deg_labeled"), col("n_labels"),
         expr("1000000L - sumsq * 1000000L div (deg_labeled * deg_labeled)")
           .as("div_ppm"))
+
+  /** Configuration-model degree-mixing matrix: edges observed between
+    * log₂-degree classes vs the null-model expectation E[e_ab] =
+    * S_a·S_b/(2m) (a≠b; S_a²/(4m) on the diagonal), where S_b is the
+    * degree mass of class b — the Newman mixing test behind q73's single
+    * assortativity scalar, resolved per class pair. A hub-hub excess over
+    * the null is the web-graph signature; a deficit means degree
+    * anti-correlation the sampler (q82/q159) must preserve. Integer-exact:
+    * class = floor(log₂ degree) via binary-string length, expectation in
+    * milli-edges by integer div.
+    *
+    * Scale shape: two broadcast-joinable degree lookups on the edge
+    * table, then class-pair-sized aggregates — one shuffle, no windows. */
+  def degreeMixing(edges: DataFrame): DataFrame = {
+    val sym = Edges.symmetrize(edges)
+    val deg = Edges.degrees(sym)
+      .select(col("vid"), col("degree"),
+        (length(bin(col("degree"))) - lit(1)).cast("long").as("cls"))
+    val m = edges.count()
+    val mass = deg.groupBy(col("cls")).agg(sum(col("degree")).as("s"))
+    val obs = edges
+      .join(deg.select(col("vid").as("src"), col("cls").as("ca")), "src")
+      .join(deg.select(col("vid").as("dst"), col("cls").as("cb")), "dst")
+      .groupBy(least(col("ca"), col("cb")).as("cls_a"),
+        greatest(col("ca"), col("cb")).as("cls_b"))
+      .agg(count(lit(1)).as("actual"))
+    mass.as("a").join(mass.as("b"), col("a.cls") <= col("b.cls"))
+      .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"),
+        when(col("a.cls") === col("b.cls"),
+          expr(s"(a.s * b.s * 1000) div ${4 * m}"))
+          .otherwise(expr(s"(a.s * b.s * 1000) div ${2 * m}"))
+          .as("expected_milli"))
+      .join(obs, Seq("cls_a", "cls_b"), "left")
+      .select(col("cls_a"), col("cls_b"),
+        coalesce(col("actual"), lit(0L)).as("actual"),
+        col("expected_milli"))
+  }
 }

@@ -655,4 +655,92 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("nn_id"), col("rnk"), col("cosine"))
   }
+
+  private[graft] def shaJlSign(j: Int, d: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"jl:$j:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 1) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas '01
+    * database-friendly variant, entries ±1), integer-exact: vectors
+    * quantized via [[quantize]], projected dim·outDim sha-derived signs,
+    * y_j = Σ_d s_jd·q_d. For E[‖y_a−y_b‖²] = outDim·‖q_a−q_b‖², so the
+    * per-pair distortion in ppm is d2proj·10⁶ div (outDim·d2orig). The
+    * report evaluates the `sampleN` sha-smallest vectors pairwise — the
+    * dimensionality-reduction calibration a 100 TB vector store runs
+    * before swapping 64 floats for `outDim` ints in its coarse index.
+    *
+    * Scale shape: the sign table (outDim·dim rows, data-independent) is
+    * broadcast; projection is one explode + two map-side-combined
+    * aggregations per vector, exactly [[parityCandidateDots]]'s plan;
+    * only the sha-sampled pair set (bounded by sampleN²) is quadratic. */
+  def jlDistortion(vecs: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, outDim: Int = 16, sampleN: Int = 40,
+                   scale: Int = 1000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val signs = (for { j <- 0 until outDim; d <- 0 until dim }
+      yield (j, d, shaJlSign(j, d))).toDF("j", "d", "s")
+    val sample = vecs.select(col(idCol).as("vid"),
+        quantize(col(vecCol), scale).as("q"))
+      .withColumn("hh", graft.text.Dedup.shaTokenHash60(
+        concat(lit("jlp:"), col("vid").cast("string"))))
+      .orderBy(col("hh"), col("vid")).limit(sampleN)
+      .select(col("vid"), col("q"))
+    val proj = sample.select(col("vid"), posexplode(col("q")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+      .join(broadcast(signs), "d")
+      .groupBy(col("vid"), col("j"))
+      .agg(sum(col("x") * col("s")).as("yj"))
+      .groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("j"), col("yj")))).as("ys"))
+      .select(col("vid"), transform(col("ys"), e => e("yj")).as("y"))
+    val both = sample.join(proj, "vid")
+    both.as("a").join(both.as("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        aggregate(zip_with(col("a.q"), col("b.q"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2_orig"),
+        aggregate(zip_with(col("a.y"), col("b.y"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2_proj"))
+      .withColumn("distortion_ppm",
+        expr(s"CASE WHEN d2_orig = 0 THEN 1000000 " +
+          s"ELSE (d2_proj * 1000000) div ($outDim * d2_orig) END"))
+  }
+
+  /** Per-label centroid separability matrix — are the classes separable
+    * in embedding space? Centroids as integer means of the quantized
+    * components (Σq div n — quantize-scale units, so every squared term
+    * stays in int64), pairwise signed squared cosine in ppm:
+    * cos²·sign(dot), computed as ((dot·dot) div ‖a‖²)·10⁶ div ‖b‖² — no
+    * sqrt, bit-replayable; 0 when either centroid is all-zero. The
+    * label-noise (q133) and hard-negative (q209) signals aggregate to
+    * exactly this matrix at corpus level.
+    *
+    * Scale shape: one map-side-combined per-(label, dim) sum over the
+    * exploded components; everything after is label-count-sized. */
+  def labelCentroidSep(vecs: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, scale: Int = 1000): DataFrame = {
+    val cents = vecs.select(col(labelCol).cast("long").as("lbl"),
+        posexplode(quantize(col(vecCol), scale)))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+      .select(col("lbl"), col("pos"), expr("sx div n").as("c"))
+    val pair = cents.as("a").join(cents.as("b"),
+        col("a.pos") === col("b.pos") && col("a.lbl") <= col("b.lbl"))
+      .groupBy(col("a.lbl").as("label_a"), col("b.lbl").as("label_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val norms = pair.filter(col("label_a") === col("label_b"))
+      .select(col("label_a").as("lbl"), col("dot").as("n2"))
+    pair.join(norms.select(col("lbl").as("label_a"), col("n2").as("na2")),
+        "label_a")
+      .join(norms.select(col("lbl").as("label_b"), col("n2").as("nb2")),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        expr("CASE WHEN na2 = 0 OR nb2 = 0 THEN 0 " +
+          "ELSE CASE WHEN dot >= 0 THEN 1 ELSE -1 END * " +
+          "(((dot * dot) div na2) * 1000000 div nb2) END").as("cos2_ppm"))
+  }
 }

@@ -1425,4 +1425,45 @@ class KernelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 1L, 4000000L), (2L, 2L, -1000000L)))
   }
+
+  test("triad census: mutual/asym dyads, transitive vs cyclic triads") {
+    // 1<->2 mutual; 1->3 asym; 3->4->5 closed by 3->5 (transitive);
+    // 6->7->8->6 (cyclic, one rotation counted). Directions matter, so
+    // no edgeDF (it canonicalizes src < dst)
+    import spark.implicits._
+    val d = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (6L, 7L), (7L, 8L), (8L, 6L)).toDF("src", "dst")
+    val got = Triads.census(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("mutual_dyads" -> 1L, "asym_dyads" -> 7L,
+      "trans_triads" -> 1L, "cyclic_triads" -> 1L))
+  }
+
+  test("forward push: two hand-traced rounds on star5 conserve mass") {
+    // seed center: r1 settles 0.15, pushes 0.2125 to each leaf; r2 each
+    // leaf settles 0.15 of its share, returns the rest to the center
+    val got = ForwardPush.run(spark, edgeDF(golden("star5")), seed = 1L,
+        alphaPpm = 150000L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expect = Map(
+      1L -> ((150000000000L, 722500000000L))) ++
+      (2L to 5L).map(_ -> ((31875000000L, 0L))).toMap
+    assert(got === expect)
+    assert(got.values.map(v => v._1 + v._2).sum === 1000000000000L)
+  }
+
+  test("degree mixing: star5 classes vs configuration-model null") {
+    // degrees: center 4 (class 2), leaves 1 (class 0); S_0 = S_2 = 4,
+    // m = 4: E[0-0] = 16000/16 = 1000, E[0-2] = 16000/8 = 2000,
+    // E[2-2] = 16000/16 = 1000; all 4 edges are leaf-center
+    val got = GraphStats.degreeMixing(edgeDF(golden("star5")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((0L, 1000L)),
+      (0L, 2L) -> ((4L, 2000L)),
+      (2L, 2L) -> ((0L, 1000L))))
+  }
 }

@@ -388,6 +388,20 @@ class QualitySpec extends SparkSpec {
     assert(got(3L) === ((1L, 1L, 0L, 1L, 0L)))
   }
 
+  test("naive bayes: hand-traced integer log-count-ratio weights") {
+    import graft.text.NaiveBayes
+    // class 1: spam x3, buy x3 (T1 = 6, N1 = 2); class 0: ham x3,
+    // nice x3 (T0 = 6, N0 = 2); V = 4. w(spam) = bits(4*10) - bits(1*10)
+    // = 5 - 3 = 2 (w(buy) same); w(ham) = w(nice) = -2; prior 0. Every
+    // doc scores +-6 -> perfect diagonal confusion
+    val d = Seq((1L, "spam spam buy", 1L), (2L, "spam buy buy", 1L),
+      (3L, "ham ham nice", 0L), (4L, "ham nice nice", 0L))
+      .toDF("doc_id", "text", "y")
+    val got = NaiveBayes.confusion(d, "doc_id", "text", col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 2L), (0L, 0L, 2L)))
+  }
+
   test("decision stump: exact Gini argmin, per-feature winners, ranks") {
     import graft.text.DecisionStump
     // f1 separates perfectly at <= 2; f2 is uninformative (50/50 split)

@@ -774,4 +774,35 @@ class TextSimSpec extends SparkSpec {
     // vec 3 is the only label-1: no same-label candidate anywhere
     assert(got(3L) === ((1L, 1L, d, -1L, 0L, -d)))
   }
+
+  test("jl distortion: collinear pairs exact, cross-axis from sha signs") {
+    // 1-sparse collinear vectors project to distortion exactly 1e6 (every
+    // row sees the same +-1 factor); the cross-axis pair's d2_proj is
+    // 4e6 per sign-disagreeing row, computable from the sha signs
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Ann.jlDistortion(vecs, "vec_id", "embedding",
+        dim = 2, outDim = 16, sampleN = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, 2L)) === ((1000000L, 16000000L, 1000000L)))
+    val k = (0 until 16).count(j => Ann.shaJlSign(j, 0) != Ann.shaJlSign(j, 1))
+    val d2p = 4000000L * k
+    assert(got((1L, 3L)) === ((2000000L, d2p, d2p * 1000000L / (16L * 2000000L))))
+    assert(got((2L, 3L))._1 === 5000000L)
+  }
+
+  test("label centroids: signed squared cosine between class means") {
+    // label 0 mean e0, label 1 mean e1 (orthogonal), label 2 mean -e0
+    // (anti-parallel): diagonal 1e6, 0-1 and 1-2 zero, 0-2 exactly -1e6
+    val vecs = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.labelCentroidSep(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      (0L, 0L) -> 1000000L, (1L, 1L) -> 1000000L, (2L, 2L) -> 1000000L,
+      (0L, 1L) -> 0L, (1L, 2L) -> 0L, (0L, 2L) -> -1000000L))
+  }
 }
