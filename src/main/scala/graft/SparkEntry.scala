@@ -2313,7 +2313,27 @@ object SparkEntry {
     // roll-up of the q133/q209 label-geometry signals
     "q215_label_centroids" -> ((s, d) =>
       Ann.labelCentroidSep(T(s, d, "embeddings"), "vec_id", "embedding",
-        "label"))
+        "label")),
+
+    // corpus-level TextRank keywords: adjacent-token graph (count-pruned),
+    // 3 integer weighted-PageRank rounds in ppm, top 20
+    "q216_textrank" -> ((s, d) =>
+      graft.text.TextRank.keywords(T(s, d, "documents"), "doc_id", "text")),
+
+    // T5-style span corruption: sha-selected 3-token spans masked to "_",
+    // (corrupted, target) seq2seq pairs as a pure function of the corpus
+    "q217_span_corrupt" -> ((s, d) =>
+      graft.text.SpanCorrupt.pairs(T(s, d, "documents"), "doc_id", "text")),
+
+    // maximal-marginal-relevance re-rank: sha-min query vector, top-32
+    // integer-dot pool, greedy diversified top-8 at lambda 0.7
+    "q218_mmr" -> ((s, d) =>
+      Ann.mmrSelect(T(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // blocked edit-distance near-dup join: shared 8-char prefix block +
+    // length +-3, levenshtein over 48-char prefixes <= 3
+    "q219_typo_pairs" -> ((s, d) =>
+      Dedup.typoPairs(T(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -6369,6 +6389,99 @@ object SparkEntry {
         |       CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0
         |            ELSE (CASE WHEN p.dot >= 0 THEN 1 ELSE -1 END)
         |                 * (((p.dot * p.dot) // x.n2) * 1000000 // y.n2) END AS cos2_ppm
-        |FROM pair p JOIN n2 x ON x.lbl = p.la JOIN n2 y ON y.lbl = p.lb""".stripMargin
+        |FROM pair p JOIN n2 x ON x.lbl = p.la JOIN n2 y ON y.lbl = p.lb""".stripMargin,
+
+    // TextRank replay: pruned adjacent-token graph, 3 recursive ppm
+    // power rounds (every vertex of the symmetric graph has in-edges,
+    // so the contrib aggregation covers all of them), top 20
+    "q216_textrank" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tk),
+        |keep AS (SELECT tok FROM tok GROUP BY 1 HAVING count(*) >= 5),
+        |kept AS (SELECT doc_id, pos, tok FROM tok JOIN keep USING (tok)),
+        |pe AS (SELECT least(a.tok, b.tok) AS u, greatest(a.tok, b.tok) AS v,
+        |              CAST(count(*) AS BIGINT) AS w
+        |       FROM kept a JOIN kept b
+        |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.tok <> b.tok
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |se AS (SELECT u AS src, v AS dst, w FROM pe UNION ALL SELECT v, u, w FROM pe),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM se GROUP BY 1),
+        |pr(it, tok, r) AS (
+        |  SELECT 0, src, CAST(1000000 AS BIGINT) FROM ow
+        |  UNION ALL
+        |  SELECT c.it + 1, se.dst,
+        |         CAST(150000 + (850000 * sum((c.r * se.w) // ow.wout)) // 1000000 AS BIGINT)
+        |  FROM pr c JOIN se ON se.src = c.tok JOIN ow ON ow.src = c.tok
+        |  WHERE c.it < 3
+        |  GROUP BY 1, 2)
+        |SELECT tok, r AS rank_ppm,
+        |       CAST(row_number() OVER (ORDER BY r DESC, tok) AS BIGINT) AS rk
+        |FROM pr WHERE it = 3 ORDER BY r DESC, tok LIMIT 20""".stripMargin,
+
+    // span-corruption replay: sha start predicate, range-masked tokens,
+    // ordered string_agg reassembly
+    "q217_span_corrupt" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+        |               CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+        |               unnest(t) AS tok
+        |        FROM tk),
+        |st AS (SELECT doc_id, pos AS sp FROM tok
+        |       WHERE pos + 3 <= n
+        |         AND CAST(('0x' || substr(sha256('sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 8),
+        |mk AS (SELECT DISTINCT t2.doc_id, t2.pos FROM tok t2
+        |       JOIN st ON st.doc_id = t2.doc_id
+        |              AND t2.pos >= st.sp AND t2.pos < st.sp + 3),
+        |tg AS (SELECT t.doc_id, t.pos, t.tok,
+        |              CASE WHEN mk.pos IS NOT NULL THEN 1 ELSE 0 END AS m
+        |       FROM tok t LEFT JOIN mk ON mk.doc_id = t.doc_id AND mk.pos = t.pos)
+        |SELECT doc_id, CAST(max(pos) + 1 AS BIGINT) AS n_tokens,
+        |       CAST(sum(m) AS BIGINT) AS n_masked,
+        |       string_agg(CASE WHEN m = 1 THEN '_' ELSE tok END, ' ' ORDER BY pos) AS corrupted,
+        |       coalesce(string_agg(CASE WHEN m = 1 THEN tok END, ' ' ORDER BY pos), '') AS target
+        |FROM tg GROUP BY 1""".stripMargin,
+
+    // MMR replay: top-32 pool by integer dot, recursive greedy with the
+    // selected vectors carried as a list (list_max over per-selected
+    // dots = the running max-sim term)
+    "q218_mmr" ->
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qq AS (SELECT vec_id AS qid, q AS qvec FROM qv
+        |       ORDER BY CAST(('0x' || substr(sha256('q:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+        |       LIMIT 1),
+        |pool AS (SELECT v.vec_id, v.q,
+        |                CAST(list_dot_product(CAST(v.q AS DOUBLE[]),
+        |                                      CAST(qq.qvec AS DOUBLE[])) AS BIGINT) AS rel
+        |         FROM qv v, qq WHERE v.vec_id <> qq.qid
+        |         ORDER BY rel DESC, v.vec_id LIMIT 32),
+        |sel(rk, vid, mmr, ids, sq) AS (
+        |  SELECT * FROM (
+        |    SELECT 1 AS rk, vec_id AS vid, CAST(700000 * rel AS BIGINT) AS mmr,
+        |           [vec_id] AS ids, [q] AS sq
+        |    FROM pool ORDER BY CAST(700000 * rel AS BIGINT) DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT s.rk + 1, p.vec_id,
+        |           CAST(700000 * p.rel - 300000 * list_max(list_transform(s.sq,
+        |             x -> CAST(list_dot_product(CAST(p.q AS DOUBLE[]), CAST(x AS DOUBLE[])) AS BIGINT))) AS BIGINT) AS mmr,
+        |           list_append(s.ids, p.vec_id), list_append(s.sq, p.q)
+        |    FROM sel s JOIN pool p ON NOT list_contains(s.ids, p.vec_id)
+        |    WHERE s.rk < 8
+        |    ORDER BY mmr DESC, p.vec_id LIMIT 1))
+        |SELECT rk, vid AS vec_id, mmr AS mmr_score FROM sel""".stripMargin,
+
+    // blocked levenshtein near-dup replay
+    "q219_typo_pairs" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |                  substr(lower(trim(text)), 1, 48) AS pfx
+        |           FROM documents),
+        |tb AS (SELECT id, pfx, substr(pfx, 1, 8) AS blk FROM t)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        |FROM tb a JOIN tb b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 3""".stripMargin
   )
 }

@@ -743,4 +743,68 @@ object Ann {
           "ELSE CASE WHEN dot >= 0 THEN 1 ELSE -1 END * " +
           "(((dot * dot) div na2) * 1000000 div nb2) END").as("cos2_ppm"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98) — the diversified top-k a retrieval-augmented pipeline
+    * runs AFTER ANN recall so the context window isn't k copies of the
+    * same passage: greedily pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), rel and sim both integer dots
+    * of [[quantize]]d vectors, λ in ppm, ties to the smaller id. The
+    * query is the sha-min vector ("q:" salt); candidates are its
+    * `poolK` highest-dot vectors (ties to id) — the exact re-rank pool
+    * an LSH/IVF stage would hand over.
+    *
+    * Scale shape: rel is one broadcast-query dot pass; the greedy loop
+    * runs k rounds over a POOL-sized table (poolK rows — metadata
+    * scale), each round one join against the ≤k selected rows and one
+    * distributed argmax. The corpus is touched once.
+    *
+    * @return (rk, vec_id, mmr_score) — selection order 1..k */
+  def mmrSelect(vecs: DataFrame, idCol: String, vecCol: String,
+                k: Int = 8, poolK: Int = 32, lambdaPpm: Long = 700000L,
+                scale: Int = 1000): DataFrame = {
+    val spark = vecs.sparkSession
+    val qv = vecs.select(col(idCol).as("vid"),
+        quantize(col(vecCol), scale).as("q"))
+      .localCheckpoint(eager = true)
+    val query = qv.withColumn("hh", graft.text.Dedup.shaTokenHash60(
+        concat(lit("q:"), col("vid").cast("string"))))
+      .orderBy(col("hh"), col("vid")).limit(1)
+      .select(col("vid").as("qid"), col("q").as("qq"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+    val pool = qv.crossJoin(broadcast(query))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("vid"), col("q"), dot(col("q"), col("qq")).as("rel"))
+      .orderBy(col("rel").desc, col("vid")).limit(poolK)
+      .localCheckpoint(eager = true)
+
+    var selected = spark.emptyDataFrame
+    var out: DataFrame = null
+    for (rk <- 1 to k) {
+      val scored =
+        if (rk == 1)
+          pool.select(col("vid"), col("q"),
+            expr(s"$lambdaPpm * rel").as("mmr"))
+        else pool.join(selected.select(col("vid").as("svid"),
+              col("q").as("sq")), col("vid") =!= col("svid"))
+          .select(col("vid"), col("q"), col("rel"),
+            dot(col("q"), col("sq")).as("sim"))
+          .groupBy(col("vid"), col("q"), col("rel"))
+          .agg(max(col("sim")).as("maxsim"))
+          .select(col("vid"), col("q"),
+            expr(s"$lambdaPpm * rel - ${1000000L - lambdaPpm} * maxsim")
+              .as("mmr"))
+      val picked = (if (rk == 1) scored
+        else scored.join(selected.select(col("vid")), Seq("vid"),
+          "left_anti"))
+        .orderBy(col("mmr").desc, col("vid")).limit(1)
+        .select(lit(rk.toLong).as("rk"), col("vid"), col("q"),
+          col("mmr").as("mmr_score"))
+        .localCheckpoint(eager = true)
+      selected = if (rk == 1) picked else selected.unionAll(picked)
+      out = selected
+    }
+    out.select(col("rk"), col("vid").as("vec_id"), col("mmr_score"))
+  }
 }

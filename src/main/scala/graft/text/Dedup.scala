@@ -421,4 +421,31 @@ object Dedup {
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Blocked edit-distance near-dup join — the typo/OCR-noise dedup
+    * MinHash misses (a 1-char edit barely moves a char-shingle set, but
+    * a Jaccard threshold tuned for paraphrase dedup won't fire on short
+    * docs): candidate pairs share a `blockLen`-char lowercased prefix;
+    * survivors have levenshtein(prefix `cmpLen`) <= maxDist. The prefix
+    * block is the standard lossy-but-documented blocking key (an edit
+    * inside the first `blockLen` chars escapes the block — by design: at
+    * corpus scale the unblocked join is quadratic).
+    *
+    * Scale shape: one hash shuffle on the block key; the DP runs only
+    * inside blocks, on `cmpLen`-bounded prefixes (O(cmpLen²) per pair,
+    * constant). Pure builtins — levenshtein codegens.
+    *
+    * @return (doc_a, doc_b, dist) with doc_a < doc_b */
+  def typoPairs(docs: DataFrame, idCol: String, textCol: String,
+                blockLen: Int = 8, cmpLen: Int = 48,
+                maxDist: Int = 3): DataFrame = {
+    val t = docs.select(col(idCol).as("id"),
+        substring(lower(trim(col(textCol))), 1, cmpLen).as("pfx"))
+      .withColumn("blk", substring(col("pfx"), 1, blockLen))
+    t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

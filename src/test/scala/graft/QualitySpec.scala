@@ -388,6 +388,36 @@ class QualitySpec extends SparkSpec {
     assert(got(3L) === ((1L, 1L, 0L, 1L, 0L)))
   }
 
+  test("textrank: hand-traced 3 ppm rounds on a two-edge token graph") {
+    import graft.text.TextRank
+    // graph a-b (w 9) and a-c (w 9): wout a 18, b 9, c 9. Round 1:
+    // r_a = 0.15 + 0.85*2.0 = 1.85, r_b = r_c = 0.15 + 0.85*0.5 = 0.575
+    // (all in ppm with integer div); rounds 2-3 traced the same way
+    val d = Seq((1L, "a b a b a b a b a b"), (2L, "a c a c a c a c a c"))
+      .toDF("doc_id", "text")
+    val got = TextRank.keywords(d, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((1741625L, 1L)), "b" -> ((629187L, 2L)),
+      "c" -> ((629187L, 3L))))
+  }
+
+  test("span corruption: sha-replayed spans, union of overlaps, target") {
+    import graft.text.SpanCorrupt
+    val text = (0 until 12).map(i => s"t$i").mkString(" ")
+    val starts = (0L to 9L)
+      .filter(p => Math.floorMod(Oracles.sha60(s"sc:1:$p"), 100L) < 8L)
+    val masked = starts.flatMap(p => p until p + 3).toSet
+    val got = SpanCorrupt.pairs(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .head()
+    assert(got.getLong(1) === 12L)
+    assert(got.getLong(2) === masked.size.toLong)
+    assert(got.getString(3) === (0 until 12)
+      .map(i => if (masked(i.toLong)) "_" else s"t$i").mkString(" "))
+    assert(got.getString(4) === (0 until 12)
+      .filter(i => masked(i.toLong)).map(i => s"t$i").mkString(" "))
+  }
+
   test("naive bayes: hand-traced integer log-count-ratio weights") {
     import graft.text.NaiveBayes
     // class 1: spam x3, buy x3 (T1 = 6, N1 = 2); class 0: ham x3,

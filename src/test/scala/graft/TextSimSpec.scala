@@ -792,6 +792,54 @@ class TextSimSpec extends SparkSpec {
     assert(got((2L, 3L))._1 === 5000000L)
   }
 
+  test("mmr: replayed greedy matches, low lambda skips the duplicate") {
+    // vectors: two near-duplicates of the top hit plus an orthogonal-ish
+    // one; the sha-chosen query and the greedy picks are replayed
+    // single-threaded below
+    val vs = Map(1L -> Seq(10.0f, 0.0f), 2L -> Seq(10.0f, 1.0f),
+      3L -> Seq(10.0f, 1.0f), 4L -> Seq(3.0f, 8.0f))
+    val vecs = vs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val lam = 300000L
+    val got = Ann.mmrSelect(vecs, "vec_id", "embedding", k = 3,
+        poolK = 3, lambdaPpm = lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // single-threaded replay
+    def q(v: Seq[Float]) = v.map(x => math.floor(x * 1000).toLong)
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map(t => t._1 * t._2).sum
+    val qid = vs.keys.minBy(id => (Oracles.sha60(s"q:$id"), id))
+    val rel = (vs - qid).map { case (id, v) => id -> dot(q(v), q(vs(qid))) }
+    val pool = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(3)
+    var sel = Seq.empty[(Long, Long, Long)]
+    for (rk <- 1 to 3) {
+      val cand = pool.filterNot(p => sel.exists(_._2 == p._1)).map {
+        case (id, r) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(s => dot(q(vs(id)), q(vs(s._2)))).max
+          val mmr = if (sel.isEmpty) lam * r
+            else lam * r - (1000000L - lam) * ms
+          (id, mmr)
+      }
+      val best = cand.minBy { case (id, m) => (-m, id) }
+      sel = sel :+ ((rk.toLong, best._1, best._2))
+    }
+    assert(got.toSeq === sel)
+    // diversity: the two clones never both appear in the top 2
+    val top2 = got.take(2).map(_._2).toSet
+    assert(!(top2.contains(2L) && top2.contains(3L)))
+  }
+
+  test("typo pairs: same block within edit distance, outsiders excluded") {
+    val d = docs(
+      1L -> "hello world this is a doc",
+      2L -> "hello world this is a dox",   // dist 1 to doc 1
+      3L -> "hello there entirely different content here now",
+      4L -> "zzz unrelated")
+    val got = Dedup.typoPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+  }
+
   test("label centroids: signed squared cosine between class means") {
     // label 0 mean e0, label 1 mean e1 (orthogonal), label 2 mean -e0
     // (anti-parallel): diagonal 1e6, 0-1 and 1-2 zero, 0-2 exactly -1e6
