@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * Artifact robustness (round-3 VERDICT item 1 — BENCH_r03 was rc=124
   * with nothing recorded because all output was one end-of-run println):
   *
-  *  - a GLOBAL WALL-CLOCK BUDGET (`SPARK_GRAFT_BUDGET_SEC`, default 2100)
+  *  - a GLOBAL WALL-CLOCK BUDGET (`SPARK_GRAFT_BUDGET_SEC`, default 2700)
   *    degrades the protocol gracefully instead of overrunning the driver's
   *    timeout: extra scaling-leg rounds go first, then extra TC rounds,
   *    then the saturated 32-core leg and the in-session CC/LP/convergence
