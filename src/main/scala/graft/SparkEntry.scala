@@ -2333,7 +2333,37 @@ object SparkEntry {
     // blocked edit-distance near-dup join: shared 8-char prefix block +
     // length +-3, levenshtein over 48-char prefixes <= 3
     "q219_typo_pairs" -> ((s, d) =>
-      Dedup.typoPairs(T(s, d, "documents"), "doc_id", "text"))
+      Dedup.typoPairs(T(s, d, "documents"), "doc_id", "text")),
+
+    // reciprocal-rank fusion of the q189 BM25 ranking with the raw
+    // term-frequency ranking for the same query, rrf k = 60, top 20
+    "q220_rrf" -> ((s, d) =>
+      graft.text.TfIdf.rrfFusion(T(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "stream", "filter"))),
+
+    // interpolated Kneser-Ney bigram probabilities in integer milli:
+    // top-20 left contexts, top-3 continuations each — the
+    // continuation-count smoothing q102/q200 lack
+    "q221_kn_bigram" -> ((s, d) =>
+      graft.text.QualityRules.knBigram(T(s, d, "documents"), "doc_id",
+        "text")),
+
+    // association-strength normalization of the co-occurrence graph
+    // (van Eck & Waltman JASIST'09): as_ppm = w*T*1e6 div (f_u*f_v) —
+    // the probabilistic normalization that deflates hub-hub edges raw
+    // weight ranking inflates; top 50
+    "q222_assoc_strength" -> ((s, d) => {
+      val c = cooc(s, d).localCheckpoint(eager = true)
+      val tot = c.agg(sum(col("weight"))).head().getLong(0)
+      val f = c.select(col("src").as("vid"), col("weight"))
+        .unionAll(c.select(col("dst"), col("weight")))
+        .groupBy(col("vid")).agg(sum(col("weight")).as("f"))
+      c.join(f.select(col("vid").as("src"), col("f").as("fu")), "src")
+        .join(f.select(col("vid").as("dst"), col("f").as("fv")), "dst")
+        .select(col("src"), col("dst"), col("weight"),
+          expr(s"(weight * $tot * 1000000) div (fu * fv)").as("as_ppm"))
+        .orderBy(col("as_ppm").desc, col("src"), col("dst")).limit(50)
+    })
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -6482,6 +6512,76 @@ object SparkEntry {
         |SELECT a.id AS doc_a, b.id AS doc_b,
         |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
         |FROM tb a JOIN tb b ON a.blk = b.blk AND a.id < b.id
-        |WHERE levenshtein(a.pfx, b.pfx) <= 3""".stripMargin
+        |WHERE levenshtein(a.pfx, b.pfx) <= 3""".stripMargin,
+
+    // RRF replay: the q189 BM25 ranking fused with the raw tf ranking
+    "q220_rrf" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('spark', 'join', 'stream', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |pt AS (SELECT tf.doc_id, tf.tf,
+        |              (2 * (nn.n - df.df) + 1) * 1000000 // (2 * df.df + 1) AS idf_ppm,
+        |              (1000000 - 750000) + (750000 * dl.dl * nn.n) // nn.tot AS norm_ppm
+        |       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nn),
+        |sc AS (SELECT doc_id,
+        |              CAST(sum(idf_ppm * (tf * (1000000 + 1200000) * 1000000 //
+        |                (tf * 1000000 + (1200000 * norm_ppm) // 1000000)) // 1000000) AS BIGINT) AS s
+        |       FROM pt GROUP BY 1),
+        |ra AS (SELECT dl.doc_id,
+        |              CAST(row_number() OVER (ORDER BY coalesce(sc.s, 0) DESC, dl.doc_id) AS BIGINT) AS rank_bm25
+        |       FROM dl LEFT JOIN sc ON sc.doc_id = dl.doc_id),
+        |tfs AS (SELECT dl.doc_id, coalesce(sum(tf.tf), 0) AS tfs
+        |        FROM dl LEFT JOIN tf ON tf.doc_id = dl.doc_id GROUP BY 1),
+        |rb AS (SELECT doc_id,
+        |              CAST(row_number() OVER (ORDER BY tfs DESC, doc_id) AS BIGINT) AS rank_tf
+        |       FROM tfs)
+        |SELECT ra.doc_id, ra.rank_bm25, rb.rank_tf,
+        |       1000000 // (60 + ra.rank_bm25) + 1000000 // (60 + rb.rank_tf) AS rrf_ppm
+        |FROM ra JOIN rb USING (doc_id)
+        |ORDER BY rrf_ppm DESC, ra.doc_id LIMIT 20""".stripMargin,
+
+    // Kneser-Ney replay: bigram type/occurrence counts, continuation
+    // counts, the milli formula, per-head rank
+    "q221_kn_bigram" ->
+      """WITH tk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bgs AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |        FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |              CAST(count(*) AS BIGINT) AS n1plus
+        |       FROM bg GROUP BY 1),
+        |pre AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pre FROM bg GROUP BY 1),
+        |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+        |top AS (SELECT w1, c1, n1plus FROM c1 ORDER BY c1 DESC, w1 LIMIT 20),
+        |sc AS (SELECT bg.w1, bg.w2, bg.c12,
+        |              (CASE WHEN bg.c12 * 1000 - 750 > 0
+        |                    THEN (bg.c12 * 1000 - 750) // top.c1 ELSE 0 END)
+        |              + ((750 * top.n1plus) // top.c1)
+        |                * ((1000 * pre.n1pre) // bb.b) // 1000 AS pkn_milli
+        |       FROM bg JOIN top USING (w1) JOIN pre USING (w2) CROSS JOIN bb)
+        |SELECT w1, w2, c12, pkn_milli, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY w1
+        |            ORDER BY pkn_milli DESC, w2) AS BIGINT) AS rk
+        |  FROM sc)
+        |WHERE rk <= 3""".stripMargin,
+
+    // association-strength replay over the full co-occurrence graph
+    "q222_assoc_strength" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |cooc AS (SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS weight
+        |         FROM li a JOIN li b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM cooc),
+        |f AS (SELECT vid, CAST(sum(weight) AS BIGINT) AS f FROM (
+        |        SELECT src AS vid, weight FROM cooc
+        |        UNION ALL SELECT dst, weight FROM cooc) GROUP BY 1)
+        |SELECT c.src, c.dst, c.weight,
+        |       (c.weight * tot.t * 1000000) // (x.f * y.f) AS as_ppm
+        |FROM cooc c JOIN f x ON x.vid = c.src JOIN f y ON y.vid = c.dst
+        |CROSS JOIN tot
+        |ORDER BY as_ppm DESC, c.src, c.dst LIMIT 50""".stripMargin
   )
 }

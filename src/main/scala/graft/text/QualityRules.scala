@@ -328,4 +328,54 @@ object QualityRules {
         (col("r_words") * col("r_meanlen") * col("r_stop") * col("r_rep"))
           .cast("long"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney '95;
+    * Chen & Goodman '98 eq. 4.25), the LM smoothing that scores "San
+    * Francisco" high but "Francisco" low as a continuation — the
+    * upgrade over [[bigramLmScore]]'s raw conditional ppm. Integer
+    * milli-units with absolute discount D = 0.75 (dMilli = 750):
+    *
+    *   pkn_milli(w2|w1) = max(c12·1000 − D, 0) div c1
+    *                    + ((D · n1plus(w1)) div c1)
+    *                      · ((1000 · n1pre(w2)) div B) div 1000
+    *
+    * where c1 counts w1 as left context, n1plus(w1) = distinct
+    * continuations of w1, n1pre(w2) = distinct left contexts of w2
+    * (the continuation count — KN's signature), B = distinct bigram
+    * types. Every term is an integer div, bit-replayable in SQL.
+    *
+    * Output: the top `heads` left-contexts by (c1 desc, w1), each with
+    * its top `perHead` continuations by (pkn desc, w2) — the model
+    * card a tokenizer/LM-filter pipeline inspects.
+    *
+    * Scale shape: one corpus-scale bigram count, then everything is
+    * vocabulary-bounded; the two rank windows partition by w1. */
+  def knBigram(df: DataFrame, idCol: String, textCol: String,
+               dMilli: Long = 750L, heads: Int = 20,
+               perHead: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = df.select(
+        explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = true)
+    val c1 = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1plus"))
+    val pre = bg.groupBy(col("w2")).agg(count(lit(1)).as("n1pre"))
+    val b = bg.count()
+    val top = c1.orderBy(col("c1").desc, col("w1")).limit(heads)
+    val scored = bg.join(top, "w1").join(pre, "w2")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (expr(s"CASE WHEN c12 * 1000 - $dMilli > 0 " +
+          s"THEN (c12 * 1000 - $dMilli) div c1 ELSE 0 END") +
+          expr(s"(($dMilli * n1plus) div c1) * ((1000 * n1pre) div $b) " +
+            "div 1000")).as("pkn_milli"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("w1"))
+          .orderBy(col("pkn_milli").desc, col("w2"))).cast("long"))
+      .filter(col("rk") <= perHead)
+      .select(col("w1"), col("w2"), col("c12"), col("pkn_milli"),
+        col("rk"))
+  }
 }

@@ -169,4 +169,46 @@ object TfIdf {
     dl.unpersist()
     out
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) of two
+    * retrievers over the same query — the standard hybrid-retrieval
+    * combiner (it needs only RANKS, so a BM25 ranking and a raw
+    * term-frequency ranking fuse without score calibration):
+    *
+    *   rrf_ppm(d) = Σ_r 10⁶ div (rrfK + rank_r(d))
+    *
+    * Retriever A is [[bm25OddsMicro]]; retriever B is the unweighted
+    * term-frequency sum (the boolean-AND-ish lexical baseline BM25 is
+    * usually fused against). Both rankings break ties by doc id; docs
+    * matching no term rank after all matching docs in both.
+    *
+    * Scale shape: two corpus-scale scoring passes (each one shuffle),
+    * two vocabulary-independent rank windows over the SCORED docs, one
+    * join on doc id; topK is a TakeOrdered, not a global sort. The rank
+    * windows are single-partition by construction (a global ranking is
+    * inherently one ordered pass) — at 100 TB, rank within query shards.
+    *
+    * @return top `topK`: (id, rank_bm25, rank_tf, rrf_ppm) */
+  def rrfFusion(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], rrfK: Long = 60L,
+                topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = bm25OddsMicro(docs, idCol, textCol, terms)
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("score_micro").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rank_bm25"))
+    val b = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("tfs"))
+    val bAll = docs.select(col(idCol)).join(b, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("tfs"), lit(0L)).as("tfs"))
+      .withColumn("rank_tf", row_number().over(
+        Window.orderBy(col("tfs").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rank_tf"))
+    a.join(bAll, idCol)
+      .withColumn("rrf_ppm",
+        expr(s"1000000 div ($rrfK + rank_bm25) + 1000000 div ($rrfK + rank_tf)"))
+      .orderBy(col("rrf_ppm").desc, col(idCol)).limit(topK)
+  }
 }

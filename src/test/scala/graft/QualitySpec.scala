@@ -418,6 +418,22 @@ class QualitySpec extends SparkSpec {
       .filter(i => masked(i.toLong)).map(i => s"t$i").mkString(" "))
   }
 
+  test("kneser-ney: hand-traced milli probabilities and continuation counts") {
+    // "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1; c1(a)=3 n1plus(a)=2,
+    // c1(b)=2 n1plus(b)=1; n1pre = 1 for a,b,c; B = 3 types.
+    // pkn(a,b) = (2000-750) div 3 + (1500 div 3)*(333) div 1000 = 416+166
+    // pkn(a,c) = (1000-750) div 3 + 166 = 83+166
+    // pkn(b,a) = (2000-750) div 2 + (750 div 2)*333 div 1000 = 625+124
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = QualityRules.knBigram(d, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 582L, 1L)),
+      ("a", "c") -> ((1L, 249L, 2L)),
+      ("b", "a") -> ((2L, 749L, 1L))))
+  }
+
   test("naive bayes: hand-traced integer log-count-ratio weights") {
     import graft.text.NaiveBayes
     // class 1: spam x3, buy x3 (T1 = 6, N1 = 2); class 0: ham x3,

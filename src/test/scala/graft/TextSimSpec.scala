@@ -840,6 +840,29 @@ class TextSimSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1L)))
   }
 
+  test("rrf fusion: ranks replayed from both retrievers, formula exact") {
+    import graft.text.TfIdf
+    val d = docs(1L -> "spark spark spark", 2L -> "spark join",
+      3L -> "nothing here at all", 4L -> "join filter stream spark")
+    val terms = Seq("spark", "join", "stream", "filter")
+    // replay retriever A (BM25 — itself spec-tested) and retriever B
+    // (raw tf), then the rrf formula, single-threaded
+    val bm = TfIdf.bm25OddsMicro(d, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val tf = Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
+    def ranks(s: Map[Long, Long]) = s.toSeq
+      .sortBy { case (id, v) => (-v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val (ra, rb) = (ranks(bm), ranks(tf))
+    val expect = (1L to 4L).map(id => (id, ra(id), rb(id),
+      1000000L / (60L + ra(id)) + 1000000L / (60L + rb(id))))
+      .sortBy { case (id, _, _, rrf) => (-rrf, id) }
+    val got = TfIdf.rrfFusion(d, "doc_id", "text", terms)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("label centroids: signed squared cosine between class means") {
     // label 0 mean e0, label 1 mean e1 (orthogonal), label 2 mean -e0
     // (anti-parallel): diagonal 1e6, 0-1 and 1-2 zero, 0-2 exactly -1e6
