@@ -2363,7 +2363,110 @@ object SparkEntry {
         .select(col("src"), col("dst"), col("weight"),
           expr(s"(weight * $tot * 1000000) div (fu * fv)").as("as_ppm"))
         .orderBy(col("as_ppm").desc, col("src"), col("dst")).limit(50)
-    })
+    }),
+
+    // expected hitting time to the top-5-degree hub set: 4 integer-milli
+    // Jacobi sweeps of h = 1 + mean(nbr h), the absorbing-walk proximity
+    // feature (PPR's dual — steps TO the trusted set, not mass FROM it)
+    "q223_hitting_time" -> ((s, d) =>
+      graft.kernels.HittingTime.run(e2(s, d))),
+
+    // degree-distribution power-law fit: integer least-squares slope of
+    // the floor-log2 log-log histogram (the salting-threshold profiler)
+    "q224_powerlaw_fit" -> ((s, d) =>
+      graft.kernels.GraphStats.powerLawFit(e2(s, d))),
+
+    // tokenizer fertility per predicted language: BPE-ish sub-tokens per
+    // whitespace word, floor ppm, one 4-group aggregation
+    "q225_fertility" -> ((s, d) =>
+      graft.text.QualityRules.tokenizerFertility(T(s, d, "documents"),
+        "text")),
+
+    // train/val unigram drift after the sha split: top-12 tokens by ppm
+    // gap + the global total-variation distance on every row
+    "q226_split_drift" -> ((s, d) =>
+      graft.text.TrainPrep.splitDrift(T(s, d, "documents"), "doc_id",
+        "text")),
+
+    // degenerate-generation detector: longest consecutive repeated-token
+    // run per document (runs >= 3), islands trick on the doc key
+    "q227_token_runs" -> ((s, d) =>
+      graft.text.QualityRules.maxTokenRun(T(s, d, "documents"), "doc_id",
+        "text")),
+
+    // weighted (Ruzicka) Jaccard between weighted neighborhoods on the
+    // thresholded co-occurrence graph — top-30 merge-candidate pairs
+    "q228_wjaccard" -> ((s, d) =>
+      graft.kernels.LinkPredict.weightedJaccard(
+        cooc(s, d).filter(col("weight") >= 2))),
+
+    // gains/lift ledger of the q211 NB classifier: per-score-band counts,
+    // precision and cumulative positive capture — the threshold-picking
+    // view (window runs over the tiny score histogram, never over docs)
+    "q229_nb_gains" -> ((s, d) => {
+      val t = TF.tokens(col("text"))
+      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      graft.text.NaiveBayes.gains(T(s, d, "documents"), "doc_id",
+        "text", (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
+    }),
+
+    // TextTiling-style block cohesion: Jaccard ppm between adjacent
+    // 20-token blocks, boundary flag under 10% — the long-doc chunker
+    "q230_block_cohesion" -> ((s, d) =>
+      graft.text.QualityRules.blockCohesion(T(s, d, "documents"),
+        "doc_id", "text")),
+
+    // semi-structured extraction: JSON field pulled out of the event
+    // props payload, aggregated per event type (platform JSON path op)
+    "q231_props_extract" -> ((s, d) =>
+      T(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(col("event_type"), col("n"), col("sum_k"),
+          expr("sum_k * 1000L div n").as("avg_k_milli"))),
+
+    // top-50 rank agreement between plain-degree and weighted-degree
+    // (strength) hub rankings: overlap + truncated Spearman footrule
+    "q232_rank_stability" -> ((s, d) => {
+      val c = cooc(s, d).localCheckpoint(eager = true)
+      val dg = Edges.degrees(Edges.symmetrize(c.select(col("src"),
+          col("dst"))))
+        .select(col("vid"), col("degree").as("score"))
+      val st = c.select(col("src").as("vid"), col("weight"))
+        .unionAll(c.select(col("dst"), col("weight")))
+        .groupBy(col("vid")).agg(sum(col("weight")).as("score"))
+      graft.kernels.GraphStats.rankAgreement(dg, st)
+    }),
+
+    // exact-dedup savings ledger: duplicate-cluster size histogram with
+    // copies and characters removed by keeping one doc per content hash
+    "q233_dedup_stats" -> ((s, d) =>
+      Dedup.dedupSavings(T(s, d, "documents"), "text")),
+
+    // Iceberg-style branch (WAP): stage the odd-length docs on branch
+    // "exp"; default read stays pinned to main, the branch sees the union
+    "q234_catalog_branch" -> ((s, d) => {
+      val root = scratchDir("graft-branch")
+      val cat = new graft.catalog.LocalCatalog(root)
+      val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      cat.createOrReplace("corpus", docs.filter(col("n_chars") % 2 === 0))
+      cat.branch("corpus", "exp")
+      cat.appendTo("corpus", "exp", docs.filter(col("n_chars") % 2 =!= 0))
+      def ledger(df: DataFrame, ref: String) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(ref).as("ref"), col("n_rows"), col("sum_chars"))
+      ledger(cat.read(s, "corpus"), "main")
+        .unionAll(ledger(cat.readRef(s, "corpus", "exp"), "exp"))
+    }),
+
+    // packing-efficiency audit over the q47 layout: spanners, spilled
+    // tokens, fill ppm — one scalar row
+    "q235_pack_audit" -> ((s, d) =>
+      graft.text.TrainPrep.packAudit(
+        graft.text.TrainPrep.sequentialPack(s, T(s, d, "documents"),
+          "doc_id", TF.tokenCount(col("text")), capacity = 512), 512))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -6582,6 +6685,252 @@ object SparkEntry {
         |       (c.weight * tot.t * 1000000) // (x.f * y.f) AS as_ppm
         |FROM cooc c JOIN f x ON x.vid = c.src JOIN f y ON y.vid = c.dst
         |CROSS JOIN tot
-        |ORDER BY as_ppm DESC, c.src, c.dst LIMIT 50""".stripMargin
+        |ORDER BY as_ppm DESC, c.src, c.dst LIMIT 50""".stripMargin,
+
+    // unrolled 4-sweep integer-milli Jacobi replay of the hitting time
+    "q223_hitting_time" ->
+      s"""WITH $CTE,
+        |top5 AS (SELECT vid FROM deg ORDER BY degree DESC, vid LIMIT 5),
+        |v AS MATERIALIZED (SELECT d.vid, d.degree, (t.vid IS NOT NULL) AS ab
+        |     FROM deg d LEFT JOIN top5 t ON t.vid = d.vid),
+        |h0 AS (SELECT vid, CAST(0 AS BIGINT) AS h FROM v),
+        |h1 AS (SELECT v.vid, CASE WHEN v.ab THEN CAST(0 AS BIGINT)
+        |         ELSE 1000 + CAST(coalesce(g.s, 0) AS BIGINT) // v.degree END AS h
+        |       FROM v LEFT JOIN (SELECT sym.s AS vid, CAST(sum(h0.h) AS BIGINT) AS s
+        |         FROM sym JOIN h0 ON h0.vid = sym.d GROUP BY 1) g ON g.vid = v.vid),
+        |h2 AS (SELECT v.vid, CASE WHEN v.ab THEN CAST(0 AS BIGINT)
+        |         ELSE 1000 + CAST(coalesce(g.s, 0) AS BIGINT) // v.degree END AS h
+        |       FROM v LEFT JOIN (SELECT sym.s AS vid, CAST(sum(h1.h) AS BIGINT) AS s
+        |         FROM sym JOIN h1 ON h1.vid = sym.d GROUP BY 1) g ON g.vid = v.vid),
+        |h3 AS (SELECT v.vid, CASE WHEN v.ab THEN CAST(0 AS BIGINT)
+        |         ELSE 1000 + CAST(coalesce(g.s, 0) AS BIGINT) // v.degree END AS h
+        |       FROM v LEFT JOIN (SELECT sym.s AS vid, CAST(sum(h2.h) AS BIGINT) AS s
+        |         FROM sym JOIN h2 ON h2.vid = sym.d GROUP BY 1) g ON g.vid = v.vid),
+        |h4 AS (SELECT v.vid, CASE WHEN v.ab THEN CAST(0 AS BIGINT)
+        |         ELSE 1000 + CAST(coalesce(g.s, 0) AS BIGINT) // v.degree END AS h
+        |       FROM v LEFT JOIN (SELECT sym.s AS vid, CAST(sum(h3.h) AS BIGINT) AS s
+        |         FROM sym JOIN h3 ON h3.vid = sym.d GROUP BY 1) g ON g.vid = v.vid)
+        |SELECT v.vid, v.degree, h4.h AS h_milli
+        |FROM v JOIN h4 ON h4.vid = v.vid""".stripMargin,
+
+    // integer least squares over the floor-log2 log-log histogram
+    "q224_powerlaw_fit" ->
+      s"""WITH $CTE,
+        |b AS (SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS x,
+        |             CAST(count(*) AS BIGINT) AS nb FROM deg GROUP BY 1),
+        |yb AS (SELECT x, CAST(length(bin(nb)) - 1 AS BIGINT) AS y FROM b),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |             CAST(sum(x*x) AS BIGINT) AS sxx FROM yb),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg),
+        |sl AS (SELECT k AS n_buckets,
+        |              (1000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx) AS slope_milli,
+        |              sx, sy, k
+        |       FROM s WHERE k * sxx - sx * sx <> 0)
+        |SELECT n_buckets, slope_milli,
+        |       (1000 * sy - slope_milli * sx) // k AS intercept_milli,
+        |       nv.n_vertices
+        |FROM sl CROSS JOIN nv""".stripMargin,
+
+    // langid vote x token counts, one group-by, floor-ppm fertility
+    "q225_fertility" ->
+      """WITH sc AS (SELECT
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS e,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht'))) AS d,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','est','que'))) AS f,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS t
+        |FROM documents),
+        |lg AS (SELECT CASE WHEN e >= d AND e >= f AND e > 0 THEN 'en'
+        |                   WHEN d >= f AND d > 0 THEN 'de'
+        |                   WHEN f > 0 THEN 'fr' ELSE 'und' END AS lang_pred,
+        |              w, t FROM sc)
+        |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w) AS BIGINT) AS n_words,
+        |       CAST(sum(t) AS BIGINT) AS n_subtokens,
+        |       CAST(sum(t) AS BIGINT) * 1000000 // CAST(sum(w) AS BIGINT) AS fertility_ppm
+        |FROM lg GROUP BY 1""".stripMargin,
+
+    // sha-split replay, per-split unigram ppm, full-outer gap + TV
+    "q226_split_drift" ->
+      """WITH sp AS (SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |                   ELSE 'test' END AS split, text
+        |       FROM (SELECT CAST(('0x' || substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |                    AS BIGINT) % 100 AS h, text FROM documents)),
+        |tok AS (SELECT split, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM sp WHERE split <> 'test'),
+        |cnt AS (SELECT split, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT split, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        |ppm AS (SELECT cnt.split, cnt.token, cnt.c * 1000000 // tot.t AS ppm
+        |        FROM cnt JOIN tot USING (split)),
+        |tr AS (SELECT token, ppm AS train_ppm FROM ppm WHERE split = 'train'),
+        |va AS (SELECT token, ppm AS valid_ppm FROM ppm WHERE split = 'val'),
+        |j AS MATERIALIZED (SELECT coalesce(tr.token, va.token) AS token,
+        |            CAST(coalesce(train_ppm, 0) AS BIGINT) AS train_ppm,
+        |            CAST(coalesce(valid_ppm, 0) AS BIGINT) AS valid_ppm,
+        |            CAST(abs(coalesce(train_ppm, 0) - coalesce(valid_ppm, 0)) AS BIGINT) AS delta_ppm
+        |     FROM tr FULL OUTER JOIN va ON tr.token = va.token),
+        |tv AS (SELECT CAST(sum(delta_ppm) AS BIGINT) // 2 AS tv_ppm FROM j)
+        |SELECT token, train_ppm, valid_ppm, delta_ppm, tv.tv_ppm
+        |FROM j CROSS JOIN tv
+        |ORDER BY delta_ppm DESC, token LIMIT 12""".stripMargin,
+
+    // islands trick replay: run key = position - per-(doc,token) rank
+    "q227_token_runs" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |            FROM documents),
+        |pos AS (SELECT doc_id, a[CAST(i AS INT)] AS token, CAST(i AS BIGINT) AS p
+        |        FROM tk, unnest(generate_series(1, len(a))) AS u(i)),
+        |grp AS (SELECT doc_id, token,
+        |               p - row_number() OVER (PARTITION BY doc_id, token ORDER BY p) AS g
+        |        FROM pos),
+        |runs AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS run_len
+        |         FROM grp GROUP BY doc_id, token, g
+        |         HAVING count(*) >= 3)
+        |SELECT doc_id, token, run_len FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY run_len DESC, token) AS rk FROM runs)
+        |WHERE rk = 1""".stripMargin,
+
+    // weighted-Jaccard replay on the thresholded weighted graph
+    "q228_wjaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |cooc AS (SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS weight
+        |         FROM li a JOIN li b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2),
+        |w2 AS (SELECT src, dst, weight FROM cooc WHERE weight >= 2),
+        |adj AS (SELECT src AS vid, dst AS nbr, weight FROM w2
+        |        UNION ALL SELECT dst, src, weight FROM w2),
+        |mass AS (SELECT vid, CAST(sum(weight) AS BIGINT) AS wm FROM adj GROUP BY 1),
+        |sh AS (SELECT a.vid AS u, b.vid AS v,
+        |              CAST(sum(least(a.weight, b.weight)) AS BIGINT) AS smin
+        |       FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.vid < b.vid
+        |       GROUP BY 1, 2)
+        |SELECT u, v, smin * 1000000 // (x.wm + y.wm - smin) AS wj_ppm
+        |FROM sh JOIN mass x ON x.vid = sh.u JOIN mass y ON y.vid = sh.v
+        |ORDER BY wj_ppm DESC, u, v LIMIT 30""".stripMargin,
+
+    // q211's NB trunk + per-score-value gains windows
+    "q229_nb_gains" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |            FROM documents),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+        |                CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS thec
+        |         FROM tk GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN thec * 20 >= ntok THEN 1 ELSE 0 END AS y FROM base),
+        |ti AS (SELECT t.doc_id, l.y, t.tok FROM tk t JOIN lab l USING (doc_id)),
+        |tot AS (SELECT y, CAST(count(*) AS BIGINT) AS t,
+        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |        FROM ti GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ti),
+        |w AS (SELECT tok,
+        |        CAST(length(bin((CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |                        * ((SELECT t FROM tot WHERE y = 0) + (SELECT v FROM vv)))) AS BIGINT)
+        |      - CAST(length(bin((CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |                        * ((SELECT t FROM tot WHERE y = 1) + (SELECT v FROM vv)))) AS BIGINT) AS w
+        |      FROM ti GROUP BY 1),
+        |sc AS (SELECT ti.doc_id, ti.y,
+        |              CAST(sum(w.w) AS BIGINT)
+        |              + CAST(length(bin((SELECT n FROM tot WHERE y = 1))) AS BIGINT)
+        |              - CAST(length(bin((SELECT n FROM tot WHERE y = 0))) AS BIGINT) AS score
+        |       FROM ti JOIN w USING (tok) GROUP BY 1, 2),
+        |hist AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |         FROM sc GROUP BY 1),
+        |tp AS (SELECT CAST(greatest(sum(pos), 1) AS BIGINT) AS t FROM hist)
+        |SELECT score, n, pos,
+        |       CAST(sum(n) OVER win AS BIGINT) AS cum_n,
+        |       CAST(sum(pos) OVER win AS BIGINT) AS cum_pos,
+        |       pos * 1000000 // n AS rate_ppm,
+        |       CAST(sum(pos) OVER win AS BIGINT) * 1000000 // tp.t AS capture_ppm
+        |FROM hist CROSS JOIN tp
+        |WINDOW win AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // adjacent-block distinct-token Jaccard, boundary under 100000 ppm
+    "q230_block_cohesion" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |            FROM documents),
+        |pos AS (SELECT DISTINCT doc_id, CAST((i - 1) // 20 AS BIGINT) AS block,
+        |               a[CAST(i AS INT)] AS token
+        |        FROM tk, unnest(generate_series(1, len(a))) AS u(i)),
+        |sz AS (SELECT doc_id, block, CAST(count(*) AS BIGINT) AS sz
+        |       FROM pos GROUP BY 1, 2),
+        |ix AS (SELECT a.doc_id, a.block, CAST(count(*) AS BIGINT) AS ix
+        |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |         AND a.block + 1 = b.block AND a.token = b.token
+        |       GROUP BY 1, 2)
+        |SELECT l.doc_id, l.block,
+        |       coalesce(ix.ix, 0) * 1000000 // (l.sz + r.sz - coalesce(ix.ix, 0)) AS overlap_ppm,
+        |       (coalesce(ix.ix, 0) * 1000000 // (l.sz + r.sz - coalesce(ix.ix, 0))) < 100000 AS is_boundary
+        |FROM sz l JOIN sz r ON l.doc_id = r.doc_id AND l.block + 1 = r.block
+        |LEFT JOIN ix ON ix.doc_id = l.doc_id AND ix.block = l.block""".stripMargin,
+
+    // JSON path extraction parity: k summed per event type, milli mean
+    "q231_props_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) * 1000
+        |         // CAST(count(*) AS BIGINT) AS avg_k_milli
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // degree vs strength top-50: overlap + footrule (absent rank = 51)
+    "q232_rank_stability" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |cooc AS (SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS weight
+        |         FROM li a JOIN li b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2),
+        |fsym AS (SELECT src AS s, dst AS d FROM cooc UNION ALL SELECT dst, src FROM cooc),
+        |da AS (SELECT s AS vid, CAST(count(*) AS BIGINT) AS score FROM fsym GROUP BY 1),
+        |sb AS (SELECT vid, CAST(sum(weight) AS BIGINT) AS score FROM (
+        |         SELECT src AS vid, weight FROM cooc
+        |         UNION ALL SELECT dst, weight FROM cooc) GROUP BY 1),
+        |ta AS (SELECT vid, CAST(row_number() OVER (ORDER BY score DESC, vid) AS BIGINT) AS ra
+        |       FROM da ORDER BY score DESC, vid LIMIT 50),
+        |tb AS (SELECT vid, CAST(row_number() OVER (ORDER BY score DESC, vid) AS BIGINT) AS rb
+        |       FROM sb ORDER BY score DESC, vid LIMIT 50)
+        |SELECT CAST(50 AS BIGINT) AS k,
+        |       CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+        |       CAST(sum(abs(coalesce(ra, 51) - coalesce(rb, 51))) AS BIGINT) AS footrule
+        |FROM ta FULL OUTER JOIN tb USING (vid)""".stripMargin,
+
+    // content-hash cluster histogram with per-size savings
+    "q233_dedup_stats" ->
+      """WITH g AS (SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(max(length(text)) AS BIGINT) AS len
+        |           FROM documents GROUP BY 1)
+        |SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(sum((n - 1) * len) AS BIGINT) AS chars_saved
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // branch isolation replay: main = even-length docs, exp = all docs
+    "q234_catalog_branch" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |           FROM documents WHERE n_chars % 2 = 0),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |      FROM documents)
+        |SELECT 'main' AS ref, n_rows, sum_chars FROM m
+        |UNION ALL SELECT 'exp', n_rows, sum_chars FROM x""".stripMargin,
+
+    // q47's pack layout + the one-row efficiency reduction
+    "q235_pack_audit" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS strt
+        |      FROM t),
+        |p AS (SELECT n AS n_tokens, CAST(floor(strt / 512.0) AS BIGINT) AS bin,
+        |             strt % 512 AS bin_offset FROM c)
+        |SELECT CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN bin_offset + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanners,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(greatest(0, bin_offset + n_tokens - 512)) AS BIGINT) AS spilled_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) * 1000000
+        |         // (CAST(max(bin) + 1 AS BIGINT) * 512) AS fill_ppm
+        |FROM p""".stripMargin
   )
 }

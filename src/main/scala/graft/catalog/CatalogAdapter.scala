@@ -74,9 +74,11 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def log(name: String): Path = tableDir(name).resolve("_snapshots.jsonl")
+  private def refLog(name: String): Path = tableDir(name).resolve("_refs.jsonl")
 
   private def commit(name: String, df: DataFrame,
-                     parents: Seq[Long]): Long = {
+                     parents: Seq[Long],
+                     advance: Option[String] = None): Long = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
     val snap = snapshots(name).maxOption.getOrElse(0L) + 1L
@@ -89,27 +91,86 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
     Files.write(log(name), java.util.List.of(line),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    // branch bookkeeping: a main-line commit on a branched table advances
+    // "main"; a branch commit advances only its own ref. Unbranched
+    // tables never touch the ref log — legacy behavior is bit-identical.
+    advance.orElse(if (refs(name).contains("main")) Some("main") else None)
+      .foreach(r => writeRef(name, r, snap))
     snap
   }
+
+  // ---- Iceberg-style named refs (branches) ----
+  //
+  // `_refs.jsonl` is append-only, last line per ref wins (the same
+  // commit-point discipline as the snapshot log). Creating the FIRST
+  // branch pins "main" to the current head, so branch commits — which
+  // allocate globally-increasing snapshot ids in the shared log — can
+  // never change what the default read resolves. WAP (write-audit-
+  // publish) is the use case: stage an experimental append on a branch,
+  // audit it, fast-forward main only when it passes.
+
+  private def writeRef(name: String, ref: String, snap: Long): Unit =
+    Files.write(refLog(name),
+      java.util.List.of(s"""{"ref":"$ref","snapshot":$snap}"""),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  /** Current ref heads (empty for never-branched tables). */
+  def refs(name: String): Map[String, Long] =
+    if (!Files.exists(refLog(name))) Map.empty
+    else Files.readAllLines(refLog(name)).asScala.flatMap { l =>
+      """"ref":"([^"]+)","snapshot":(\d+)""".r.findFirstMatchIn(l)
+        .map(m => m.group(1) -> m.group(2).toLong)
+    }.toMap
+
+  /** Create branch `ref` at the current head (pinning "main" there too
+    * if this is the table's first branch). Returns the head snapshot. */
+  def branch(name: String, ref: String): Long = {
+    val head = snapshots(name).maxOption
+      .getOrElse(sys.error(s"no committed snapshot for table $name"))
+    if (!refs(name).contains("main")) writeRef(name, "main", head)
+    writeRef(name, ref, head)
+    head
+  }
+
+  /** Append onto a named ref: the new snapshot's lineage is the ref
+    * head's chain, and only that ref advances. */
+  def appendTo(name: String, ref: String, df: DataFrame): Long = {
+    val head = refs(name).getOrElse(ref,
+      sys.error(s"unknown ref $ref for table $name"))
+    commit(name, df, parentsOf(name, head) :+ head, advance = Some(ref))
+  }
+
+  /** Read a named ref's head (time travel by branch). */
+  def readRef(spark: SparkSession, name: String, ref: String): DataFrame =
+    readSnapshot(spark, name, refs(name).getOrElse(ref,
+      sys.error(s"unknown ref $ref for table $name")))
 
   override def createOrReplace(name: String, df: DataFrame): Long =
     commit(name, df, Seq.empty)
 
-  /** Append = new snapshot whose lineage is the LATEST snapshot's chain
-    * (its parents + itself) — not every prior snapshot, which would union
-    * replaced-away data back in after a createOrReplace. */
+  /** Append = new snapshot whose lineage is the current MAIN-LINE head's
+    * chain (its parents + itself) — not every prior snapshot, which would
+    * union replaced-away data back in after a createOrReplace. On a
+    * branched table the main line is the "main" ref (the latest snapshot
+    * may be a branch commit); otherwise it is the latest snapshot. */
   override def append(name: String, df: DataFrame): Long = {
-    val parents = snapshots(name).maxOption
-      .map(latest => parentsOf(name, latest) :+ latest)
-      .getOrElse(Seq.empty)
+    val head = refs(name).get("main").orElse(snapshots(name).maxOption)
+    val parents = head.map(h => parentsOf(name, h) :+ h).getOrElse(Seq.empty)
     commit(name, df, parents)
   }
 
-  override def read(spark: SparkSession, name: String): DataFrame = {
-    val snaps = snapshots(name)
-    require(snaps.nonEmpty, s"no committed snapshot for table $name")
-    readSnapshot(spark, name, snaps.max)
-  }
+  override def read(spark: SparkSession, name: String): DataFrame =
+    // a branched table's default read follows the "main" ref (branch
+    // commits share the snapshot log, so read-latest would leak them);
+    // never-branched tables keep the legacy read-latest
+    refs(name).get("main") match {
+      case Some(head) => readSnapshot(spark, name, head)
+      case None =>
+        val snaps = snapshots(name)
+        require(snaps.nonEmpty, s"no committed snapshot for table $name")
+        readSnapshot(spark, name, snaps.max)
+    }
 
   /** Recorded parent chain of a snapshot. */
   private def parentsOf(name: String, snapshot: Long): Seq[Long] =
@@ -152,8 +213,10 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
   def expireSnapshots(name: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val snaps = snapshots(name).sorted
-    val newest = snaps.takeRight(keep).toSet
-    val kept = newest ++ newest.flatMap(s => parentsOf(name, s))
+    // ref heads are GC roots exactly like the newest snapshots (Iceberg
+    // retains any snapshot a branch still points at)
+    val roots = snaps.takeRight(keep).toSet ++ refs(name).values
+    val kept = roots ++ roots.flatMap(s => parentsOf(name, s))
     val expired = snaps.filterNot(kept)
     if (expired.nonEmpty) {
       val lines = Files.readAllLines(log(name)).asScala.filter { l =>

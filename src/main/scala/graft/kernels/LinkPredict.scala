@@ -120,4 +120,51 @@ object LinkPredict {
     bi.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
   }
+
+  /** Weighted (Ruzicka) Jaccard similarity between vertices' weighted
+    * neighbor vectors — top `topK` pairs by
+    * wj_ppm = 1e6 * Σ_c min(w_uc, w_vc) div (W_u + W_v − Σ_c min),
+    * using the identity Σ_union max = W_u + W_v − Σ_shared min so only
+    * the SHARED-neighbor coordinates are ever joined.
+    *
+    * The weighted upgrade of the exact set-similarity join: on a
+    * co-occurrence graph the edge weights carry the evidence strength,
+    * and two vertices are interchangeable (merge candidates, alias
+    * entities) when their weighted neighborhoods overlap — the unweighted
+    * Jaccard calls a 100-shared-commit neighbor and a 1-shared-commit
+    * neighbor the same.
+    *
+    * Scale shape: one weighted-adjacency shuffle, one self-join keyed on
+    * the shared neighbor (the same wedge expansion every link predictor
+    * here bounds — `capPerCenter` truncates hub centers to their top-C
+    * strongest neighbors, a documented lower-bound approximation exactly
+    * like the derivation's `capPerGroup`), one pair aggregation, a
+    * broadcast-joined per-vertex weight-mass table, and a distributed
+    * TakeOrdered. Integer weights → floor-ppm scores, bit-exact in SQL. */
+  def weightedJaccard(weighted: DataFrame, topK: Int = 30,
+                      capPerCenter: Int = Int.MaxValue): DataFrame = {
+    val adj = weighted.select(col("src").as("vid"), col("dst").as("nbr"),
+        col("weight"))
+      .union(weighted.select(col("dst"), col("src"), col("weight")))
+    val capped =
+      if (capPerCenter == Int.MaxValue) adj
+      else {
+        val w = Window.partitionBy(col("nbr"))
+          .orderBy(col("weight").desc, col("vid"))
+        adj.withColumn("rc", row_number().over(w))
+          .filter(col("rc") <= capPerCenter).drop("rc")
+      }
+    val mass = adj.groupBy(col("vid")).agg(sum(col("weight")).as("wm"))
+    val shared = capped.as("a")
+      .join(capped.as("b"),
+        col("a.nbr") === col("b.nbr") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("u"), col("b.vid").as("v"))
+      .agg(sum(least(col("a.weight"), col("b.weight"))).as("smin"))
+    shared
+      .join(mass.select(col("vid").as("u"), col("wm").as("wu")), "u")
+      .join(mass.select(col("vid").as("v"), col("wm").as("wv")), "v")
+      .select(col("u"), col("v"),
+        expr("smin * 1000000L div (wu + wv - smin)").as("wj_ppm"))
+      .orderBy(col("wj_ppm").desc, col("u"), col("v")).limit(topK)
+  }
 }

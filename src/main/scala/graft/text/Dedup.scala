@@ -24,6 +24,23 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
 
+  /** Exact-dedup savings ledger — the "what does dedup buy us" report a
+    * curation run publishes: one row per duplicate-cluster SIZE,
+    * (cluster_size, n_clusters, n_docs, chars_saved), where chars_saved
+    * counts every non-keeper copy's characters (identical text → one
+    * length per cluster). Two cheap aggregations: the content-hash
+    * group (the same single shuffle as [[exactGroups]], map-side
+    * combinable) collapses the corpus to one row per distinct text;
+    * the histogram then runs over cluster rows only. */
+  def dedupSavings(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(count(lit(1)).as("n"),
+        max(length(col(textCol))).cast("long").as("len"))
+      .groupBy(col("n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n")).as("n_docs"),
+        sum((col("n") - 1L) * col("len")).as("chars_saved"))
+
   /** Distinct (id, shingle) relation of character k-shingles.
     * Docs shorter than k characters yield no rows. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,

@@ -31,13 +31,11 @@ object NaiveBayes {
   private def bits(c: org.apache.spark.sql.Column) =
     (length(bin(c)) - lit(1)).cast("long")
 
-  /** Train on `labelCol` (0/1) over the token instances of `textCol`,
-    * score every document with the learned weights, and return the
-    * confusion matrix (y, pred, n) — self-evaluation on the training set,
-    * the fit-sanity check a curation pipeline runs before exporting the
-    * classifier. */
-  def confusion(docs: DataFrame, idCol: String, textCol: String,
-                labelCol: org.apache.spark.sql.Column): DataFrame = {
+  /** Train on `labelCol` (0/1) over the token instances of `textCol` and
+    * return every document's integer NB score: (id, y, score). The
+    * shared trunk of [[confusion]] and the gains ledger. */
+  def scores(docs: DataFrame, idCol: String, textCol: String,
+             labelCol: org.apache.spark.sql.Column): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), labelCol.as("y"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .localCheckpoint(eager = true)
@@ -66,7 +64,50 @@ object NaiveBayes {
     toks.join(w, "tok")
       .groupBy(col("id"), col("y"))
       .agg((sum(col("w")) + lit(prior.toLong)).as("score"))
+  }
+
+  /** Train on `labelCol` (0/1) over the token instances of `textCol`,
+    * score every document with the learned weights, and return the
+    * confusion matrix (y, pred, n) — self-evaluation on the training set,
+    * the fit-sanity check a curation pipeline runs before exporting the
+    * classifier. */
+  def confusion(docs: DataFrame, idCol: String, textCol: String,
+                labelCol: org.apache.spark.sql.Column): DataFrame =
+    scores(docs, idCol, textCol, labelCol)
       .groupBy(col("y"), (col("score") > 0L).cast("long").as("pred"))
       .agg(count(lit(1)).as("n"))
+
+  /** Gains/lift ledger of the NB score against its own labels — the
+    * ranking-quality view a curation pipeline reads before picking a
+    * score threshold ("the top score band captures X ppm of the
+    * positives at Y ppm precision").
+    *
+    * One row per DISTINCT SCORE VALUE, descending:
+    * (score, n, pos, cum_n, cum_pos, rate_ppm, capture_ppm). The integer
+    * NB score is a sum of floor-log2 bit weights, so its value range is
+    * a few hundred at any corpus size — the ledger aggregates the
+    * per-document scores down to that tiny histogram FIRST (map-side
+    * combinable) and only then runs the cumulative window, over
+    * hundreds of rows, never over documents. An exact per-document
+    * decile (ntile) would need a global single-task sort of every doc;
+    * banding by score value is the scale-correct gains curve. */
+  def gains(docs: DataFrame, idCol: String, textCol: String,
+            labelCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scores(docs, idCol, textCol, labelCol)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint(eager = true)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totalPos = hist.agg(sum(col("pos"))).head().getLong(0)
+    hist.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .select(col("score"), col("n"), col("pos"), col("cum_n"),
+        col("cum_pos"),
+        expr("pos * 1000000L div n").as("rate_ppm"),
+        expr(s"cum_pos * 1000000L div ${math.max(totalPos, 1L)}L")
+          .as("capture_ppm"))
   }
 }

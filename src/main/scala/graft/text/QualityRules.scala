@@ -378,4 +378,101 @@ object QualityRules {
       .select(col("w1"), col("w2"), col("c12"), col("pkn_milli"),
         col("rk"))
   }
+
+  /** Tokenizer fertility per predicted language — (lang_pred, n_docs,
+    * n_words, n_subtokens, fertility_ppm) where fertility is sub-tokens
+    * per whitespace word in floor ppm.
+    *
+    * The standard tokenizer-evaluation ledger for a multilingual corpus
+    * (how many BPE-ish pieces each language pays per word — fertility
+    * ~1.0 means the tokenizer fits the language, >>1 means the mix is
+    * under-served). Composes the engine's per-row primitives: q18's
+    * regex sub-token count x q20's marker-vote langid, then ONE
+    * ~4-group aggregation — a single corpus scan with a 4-row shuffle,
+    * nothing else, at any scale. Integer sums + floor div keep it
+    * bit-exactly replayable in SQL. */
+  def tokenizerFertility(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFunctions.langId(col(textCol)).as("lang_pred"),
+        TextFunctions.tokenCount(col(textCol)).as("w"),
+        TextFunctions.tokenCountBpe(col(textCol)).as("t"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_subtokens"))
+      .select(col("lang_pred"), col("n_docs"), col("n_words"),
+        col("n_subtokens"),
+        expr("n_subtokens * 1000000L div n_words").as("fertility_ppm"))
+
+  /** Longest consecutive repeated-token run per document — the
+    * degenerate-generation detector ("the the the ...") that n-gram
+    * duplicate fractions miss when the loop is short. Returns one row
+    * per document whose longest run reaches `minRun`:
+    * (id, token, run_len), ties broken to the lexically-lowest token.
+    *
+    * Islands trick: within a doc, a run of equal tokens is a group of
+    * positions where pos - rank-within-(doc,token) is constant — two
+    * doc-partitioned windows and a group-by, all shuffled on the doc
+    * key (bounded partitions, no global window), then one per-doc
+    * argmax. Exact integers end-to-end. */
+  def maxTokenRun(df: DataFrame, idCol: String, textCol: String,
+                  minRun: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "token")
+    val grp = toks.withColumn("grp",
+      col("p") - row_number().over(Window.partitionBy(col(idCol),
+        col("token")).orderBy(col("p"))))
+    val runs = grp.groupBy(col(idCol), col("token"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+    runs.withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("run_len").desc, col("token"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("token"), col("run_len"))
+  }
+
+  /** TextTiling-style block cohesion — topical-boundary detection for
+    * long-document chunking: split each document's token stream into
+    * fixed `blockTokens`-token blocks, measure the Jaccard overlap (floor
+    * ppm, distinct tokens) between each adjacent block pair, and flag a
+    * segment boundary where cohesion falls below `boundaryPpm`. Returns
+    * (id, block, overlap_ppm, is_boundary) for every adjacent pair —
+    * `block` is the left block index.
+    *
+    * The packing pipeline's chunker wants to cut long documents at topic
+    * shifts, not mid-thought; block-overlap minima are the classic
+    * signal (TextTiling, Hearst CL'97). Scale shape: one explode to
+    * (id, block, token) distinct triples, one self-join on (id, block+1)
+    * — both shuffled on the doc key, blocks bounded per doc — then pure
+    * per-row ppm arithmetic. Exact integers, bit-replayable in SQL. */
+  def blockCohesion(df: DataFrame, idCol: String, textCol: String,
+                    blockTokens: Int = 20,
+                    boundaryPpm: Long = 100000L): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col(idCol), expr(s"pos div $blockTokens").as("block"),
+        col("col").as("token"))
+      .distinct()
+    val sizes = toks.groupBy(col(idCol), col("block"))
+      .agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("a.block") + 1 === col("b.block") &&
+          col("a.token") === col("b.token"))
+      .groupBy(col(s"a.$idCol").as(idCol), col("a.block").as("block"))
+      .agg(count(lit(1)).as("ix"))
+    sizes.as("l")
+      .join(sizes.as("r"),
+        col(s"l.$idCol") === col(s"r.$idCol") &&
+          col("l.block") + 1 === col("r.block"))
+      .select(col(s"l.$idCol").as(idCol), col("l.block").as("block"),
+        col("l.sz").as("lsz"), col("r.sz").as("rsz"))
+      .join(inter, Seq(idCol, "block"), "left")
+      .select(col(idCol), col("block"),
+        expr("coalesce(ix, 0L) * 1000000L div (lsz + rsz - coalesce(ix, 0L))")
+          .as("overlap_ppm"))
+      .withColumn("is_boundary", col("overlap_ppm") < boundaryPpm)
+  }
 }

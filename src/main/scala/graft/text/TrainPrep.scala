@@ -75,6 +75,32 @@ object TrainPrep {
         pmod(col("start"), lit(capacity)).as("bin_offset"))
   }
 
+  /** Packing-efficiency audit over a [[sequentialPack]] layout — one row:
+    * (n_bins, n_docs, n_spanners, total_tokens, spilled_tokens, fill_ppm).
+    * A spanner is a document that crosses its start bin's boundary
+    * (bin_offset + n_tokens > capacity); spilled_tokens counts the
+    * overflow portions — the attention-mask fragmentation a training run
+    * pays unless it splits those documents. fill_ppm is total tokens over
+    * n_bins × capacity (the last partial bin counts as a full bin — the
+    * padding view).
+    *
+    * Pure aggregation over the pack assignment (one pass, one scalar
+    * row); the pack itself already paid the two-phase cumsum. */
+  def packAudit(packed: DataFrame, capacity: Long): DataFrame =
+    packed.agg(
+        (max(col("bin")) + 1L).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bin_offset") + col("n_tokens") > capacity, 1L)
+          .otherwise(0L)).as("n_spanners"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(greatest(lit(0L),
+          col("bin_offset") + col("n_tokens") - capacity))
+          .as("spilled_tokens"))
+      .select(col("n_bins"), col("n_docs"), col("n_spanners"),
+        col("total_tokens"), col("spilled_tokens"),
+        expr(s"total_tokens * 1000000L div (n_bins * ${capacity}L)")
+          .as("fill_ppm"))
+
   /** Systematic probability-proportional-to-size (PPS) sampling — the
     * deterministic weighted sampler a corpus pipeline uses to draw docs
     * ∝ weight (quality score, token count): positions
@@ -524,5 +550,50 @@ object TrainPrep {
     withPid.join(broadcast(offDf), "pid")
       .withColumn("order_idx", count(lit(1)).over(w) - 1L + col("off"))
       .select(col("id").as(idCol), col("bin"), col("order_idx"))
+  }
+
+  /** Train/validation token-distribution drift — the split sanity check
+    * run after [[hashSplit]]: if the two splits' unigram distributions
+    * diverge, the split leaked structure (e.g. all docs of one source
+    * landed in val) and downstream eval numbers are suspect.
+    *
+    * Returns the `topK` tokens by absolute ppm frequency gap,
+    * (token, train_ppm, valid_ppm, delta_ppm, tv_ppm) with the global
+    * total-variation distance (floor-ppm halved L1 over the shared
+    * vocabulary) repeated on each row — the same
+    * repeat-the-scalar-via-broadcast shape as the rich-club ledger.
+    *
+    * Scale: one corpus scan exploded to tokens, one (split, token)
+    * count shuffle (vocabulary-bounded output), a broadcast of the two
+    * per-split totals, a vocabulary-sized full-outer join, and a
+    * distributed TakeOrdered for the topK — the corpus itself never
+    * shuffles. Floor-ppm integers end-to-end. */
+  def splitDrift(df: DataFrame, idCol: String, textCol: String,
+                 salt: String = "s1", topK: Int = 12): DataFrame = {
+    val toks = df
+      .select(hashSplit(idCol, salt).as("split"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("split") =!= "test")
+    val counts = toks.groupBy(col("split"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val totals = counts.groupBy(col("split")).agg(sum(col("c")).as("t"))
+    val ppm = counts.join(broadcast(totals), "split")
+      .select(col("split"), col("token"),
+        expr("c * 1000000L div t").as("ppm"))
+    val tr = ppm.filter(col("split") === "train")
+      .select(col("token"), col("ppm").as("train_ppm"))
+    val va = ppm.filter(col("split") === "val")
+      .select(col("token"), col("ppm").as("valid_ppm"))
+    val joined = tr.join(va, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("train_ppm"), lit(0L)).as("train_ppm"),
+        coalesce(col("valid_ppm"), lit(0L)).as("valid_ppm"))
+      .withColumn("delta_ppm",
+        abs(col("train_ppm") - col("valid_ppm")))
+      .localCheckpoint(eager = true)
+    val tv = joined.agg(expr("sum(delta_ppm) div 2").as("tv_ppm"))
+    joined.orderBy(col("delta_ppm").desc, col("token")).limit(topK)
+      .crossJoin(broadcast(tv))
   }
 }

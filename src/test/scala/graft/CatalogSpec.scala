@@ -27,6 +27,32 @@ class CatalogSpec extends SparkSpec {
     assert(s3 > s2)
   }
 
+  test("branches: WAP isolation both ways, main advances, expire keeps heads") {
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog-br").toString)
+    cat.createOrReplace("t", Seq(1L, 2L).toDF("x"))
+    val head = cat.branch("t", "exp")
+    assert(cat.refs("t") === Map("main" -> head, "exp" -> head))
+    // branch append is invisible to the default read
+    cat.appendTo("t", "exp", Seq(3L).toDF("x"))
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    assert(cat.readRef(spark, "t", "exp").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // main-line append advances only main; the branch stays put
+    cat.append("t", Seq(4L).toDF("x"))
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 4L))
+    assert(cat.readRef(spark, "t", "exp").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // ref heads are GC roots: keep=1 must not break either read
+    cat.expireSnapshots("t", keep = 1)
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 4L))
+    assert(cat.readRef(spark, "t", "exp").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+  }
+
   test("expire snapshots: history pruned, content intact, parents kept") {
     val cat = new LocalCatalog(
       Files.createTempDirectory("graft-catalog-exp").toString)

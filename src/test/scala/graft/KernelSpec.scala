@@ -1466,4 +1466,57 @@ class KernelSpec extends SparkSpec {
       (0L, 2L) -> ((4L, 2000L)),
       (2L, 2L) -> ((0L, 1000L))))
   }
+
+  test("hitting time: four hand-traced milli sweeps on path4") {
+    // absorbing top-1 by (degree desc, vid) = vertex 2 (degree 2, ties
+    // with 3, lower id). Sweeps (milli): v1 pins at 1000 + h(2) = 1000;
+    // v3: 1000, 1500, 2000, 2250; v4: 1000 + h(3) one sweep behind:
+    // 1000, 2000, 2500, 3000
+    val got = HittingTime.run(edgeDF(golden("path4")), absorbTop = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(1L -> ((1L, 1000L)), 2L -> ((2L, 0L)),
+      3L -> ((2L, 2250L)), 4L -> ((1L, 3000L))))
+  }
+
+  test("power-law fit: exact integer least squares on star5 buckets") {
+    // degrees: 4 leaves of degree 1 -> bucket x=0 with n=4 -> y=2;
+    // center degree 4 -> x=2, n=1 -> y=0. k=2, sx=2, sy=2, sxy=0,
+    // sxx=4: slope = 1000*(0-4)/4 = -1000, intercept = (2000+2000)/2
+    val got = GraphStats.powerLawFit(edgeDF(golden("star5"))).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, -1000L, 2000L, 5L)))
+    // degenerate single-bucket histogram (triangle: all degrees 2):
+    // zero denominator -> no fit row rather than a division error
+    assert(GraphStats.powerLawFit(edgeDF(golden("triangle"))).count() === 0L)
+  }
+
+  test("rank agreement: overlap and truncated footrule, absent rank k+1") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 9L), (3L, 8L)).toDF("vid", "score")
+    val b = Seq((1L, 10L), (3L, 9L), (4L, 8L)).toDF("vid", "score")
+    // top-2(a) = [1,2], top-2(b) = [1,3]: overlap {1}; footrule =
+    // |1-1| + |2-3| + |3-2| = 2 (2 and 3 each absent from one side)
+    val r = GraphStats.rankAgreement(a, b, k = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 2L)))
+  }
+
+  test("weighted jaccard: hand-traced ppm on a weighted triangle") {
+    import spark.implicits._
+    // adj masses: W1=6, W2=10, W3=8. Shared-min sums: (1,2) via 3 ->
+    // min(2,6)=2; (1,3) via 2 -> min(4,6)=4; (2,3) via 1 -> min(4,2)=2.
+    // wj_ppm = 1e6*smin div (Wu+Wv-smin)
+    val w = Seq((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 6L))
+      .toDF("src", "dst", "weight")
+    val got = LinkPredict.weightedJaccard(w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L, 400000L), (1L, 2L, 142857L),
+      (2L, 3L, 125000L)))
+    // capPerCenter=1 keeps only each center's strongest incident end:
+    // center 1 keeps (2,w4), center 2 keeps (3,w6), center 3 keeps
+    // (2,w6) -> no center retains two rows, no pairs survive
+    assert(LinkPredict.weightedJaccard(w, capPerCenter = 1).count() === 0L)
+  }
 }

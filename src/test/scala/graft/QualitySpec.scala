@@ -462,4 +462,122 @@ class QualitySpec extends SparkSpec {
     // three f1 splits (0, 1333333333, 1333333333)
     assert(got("f2") === ((5L, 2000000000L, 500000L, 4L)))
   }
+
+  test("dedup savings: cluster-size histogram with chars saved") {
+    import graft.text.Dedup
+    // "aa" x3 (2 copies removed, 4 chars), "bbb" x1, "cc" x2 (1 copy, 2)
+    val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "aa"), (4L, "bbb"),
+      (5L, "cc"), (6L, "cc")).toDF("doc_id", "text")
+    val got = Dedup.dedupSavings(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(3L -> ((1L, 3L, 4L)), 1L -> ((1L, 1L, 0L)),
+      2L -> ((1L, 2L, 2L))))
+  }
+
+  test("pack audit: spanners, spilled tokens, fill ppm on a hand layout") {
+    // capacity 4, docs of 3/3/2 tokens at starts 0/3/6: doc2 spans
+    // (offset 3 + 3 > 4, spills 2), doc3 spans (2 + 2 > 4 is false:
+    // offset 6 pmod 4 = 2, 2+2 = 4 not > 4). n_bins = max(bin)+1 = 2;
+    // fill = 8 tokens / 8 slots = 1e6
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h"))
+      .toDF("doc_id", "text")
+    val packed = TrainPrep.sequentialPack(spark, docs, "doc_id",
+      graft.text.TextFunctions.tokenCount(col("text")), capacity = 4)
+    val r = TrainPrep.packAudit(packed, 4).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((2L, 3L, 1L, 8L, 2L, 1000000L)))
+  }
+
+  test("nb gains: per-score-band histogram, cumulative capture") {
+    import graft.text.NaiveBayes
+    // same fixture as the confusion test: spam docs score +6, ham -6
+    val d = Seq((1L, "spam spam buy", 1L), (2L, "spam buy buy", 1L),
+      (3L, "ham ham nice", 0L), (4L, "ham nice nice", 0L))
+      .toDF("doc_id", "text", "y")
+    val got = NaiveBayes.gains(d, "doc_id", "text", col("y"))
+      .orderBy(col("score").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (6L, 2L, 2L, 2L, 2L, 1000000L, 1000000L),
+      (-6L, 2L, 0L, 4L, 2L, 0L, 1000000L)))
+  }
+
+  test("block cohesion: adjacent-block jaccard ppm and boundary flag") {
+    // doc1 blocks {a,b,c}|{a,b,d}: inter 2 / union 4 -> 500000, cohesive;
+    // doc2 blocks disjoint -> 0 ppm, boundary; doc3 single block -> no row
+    val docs = Seq((1L, "a b c a b d"), (2L, "x y z p q r"), (3L, "m n"))
+      .toDF("doc_id", "text")
+    val got = QualityRules.blockCohesion(docs, "doc_id", "text",
+        blockTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L, 500000L, false),
+      (2L, 0L, 0L, true)))
+  }
+
+  test("tokenizer fertility: per-language floor-ppm sub-tokens per word") {
+    // doc1 'en' (3 marker hits): 4 words, 4 BPE pieces -> 1e6 ppm;
+    // doc2 'de': 3/3 -> 1e6; doc3 'und': 2 words, 3 pieces (zz,!,qq)
+    // -> 1500000 ppm
+    val docs = Seq((1L, "the the of x"), (2L, "der die qq"),
+      (3L, "zz! qq")).toDF("doc_id", "text")
+    val got = QualityRules.tokenizerFertility(docs, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "en" -> ((1L, 4L, 4L, 1000000L)),
+      "de" -> ((1L, 3L, 3L, 1000000L)),
+      "und" -> ((1L, 2L, 3L, 1500000L))))
+  }
+
+  test("max token run: islands per doc, argmax ties to lower token") {
+    val docs = Seq((1L, "a a a b b"), (2L, "x x y y"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    // minRun=3: only doc1's a-run qualifies
+    val g3 = QualityRules.maxTokenRun(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(g3.toSeq === Seq((1L, "a", 3L)))
+    // minRun=2: doc2 ties x/y at 2 -> lexically lower token wins; doc3
+    // has no consecutive repeat at all
+    val g2 = QualityRules.maxTokenRun(docs, "doc_id", "text", minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(g2.toSeq === Seq((1L, "a", 3L), (2L, "x", 2L)))
+  }
+
+  test("split drift: ppm gaps and TV agree with a replayed assignment") {
+    // the sha-side of hashSplit is oracled by q48; here replay the
+    // assignment with the same Column and check the drift arithmetic
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "aa bb" else "aa cc")).toDF("doc_id", "text")
+    val assigned = docs
+      .select(col("doc_id"), TrainPrep.hashSplit("doc_id", "s1").as("split"),
+        col("text"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def ppm(split: String, tok: String): Long = {
+      val toks = assigned.filter(_._1 == split)
+        .flatMap(_._2.split("\\s+"))
+      if (toks.isEmpty) 0L
+      else toks.count(_ == tok).toLong * 1000000L / toks.length
+    }
+    val toks = Seq("aa", "bb", "cc")
+    val expTv = toks.map(t => math.abs(ppm("train", t) - ppm("val", t)))
+      .sum / 2
+    val got = TrainPrep.splitDrift(docs, "doc_id", "text", topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length === 3)
+    got.foreach { case (t, tr, va, d, tv) =>
+      assert(tr === ppm("train", t))
+      assert(va === ppm("val", t))
+      assert(d === math.abs(tr - va))
+      assert(tv === expTv)
+    }
+    // rows ordered by gap desc then token
+    assert(got.map(r => (-r._4, r._1)).toSeq === got.map(r => (-r._4, r._1))
+      .sorted.toSeq)
+  }
 }
