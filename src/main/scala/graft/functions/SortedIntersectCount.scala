@@ -77,27 +77,40 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
 object GraftFunctions {
   val Name = "sorted_intersect_count"
+  val DotName = "graft_dot"
 
-  private def info = new ExpressionInfo(
-    classOf[SortedIntersectCount].getName, Name)
-
-  private def builder(exprs: Seq[Expression]): Expression = {
-    require(exprs.size == 2, s"$Name takes exactly 2 arguments")
-    SortedIntersectCount(exprs.head, exprs(1))
+  private def two(name: String, mk: (Expression, Expression) => Expression)(
+      exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, s"$name takes exactly 2 arguments")
+    mk(exprs.head, exprs(1))
   }
+
+  private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    Seq(
+      (Name, classOf[SortedIntersectCount],
+        two(Name, SortedIntersectCount.apply) _),
+      (DotName, classOf[DotProduct], two(DotName, DotProduct.apply) _))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(Name), info, builder _)
+    all.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        builder)
+    }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions` */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier(GraftFunctions.Name),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName,
-        GraftFunctions.Name),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+    Seq[(String, Class[_], Seq[Expression] => Expression)](
+      (GraftFunctions.Name, classOf[SortedIntersectCount],
+        exprs => SortedIntersectCount(exprs.head, exprs(1))),
+      (GraftFunctions.DotName, classOf[DotProduct],
+        exprs => DotProduct(exprs.head, exprs(1))))
+      .foreach { case (name, cls, builder) =>
+        ext.injectFunction((FunctionIdentifier(name),
+          new ExpressionInfo(cls.getName, name), builder))
+      }
 }

@@ -9,17 +9,26 @@ import org.apache.spark.sql.functions._
   * `bruteTopK` is the exact O(n²) baseline (all-pairs join + window);
   * `lshTopK` is the scale path: sign-random-projection bucketing so the
   * pair join only touches vectors sharing a hyperplane-sign band, then
-  * exact re-ranking of candidates. Dot products are sequential
-  * `aggregate` folds over `zip_with` products in double precision —
-  * codegen'd, deterministic, no UDFs.
+  * exact re-ranking of candidates. Dot products are the fused
+  * [[graft.functions.DotProduct]] codegen expression — one loop, zero
+  * per-pair allocation, sequential double accumulation: deterministic,
+  * no UDFs, bit-identical to the `aggregate`-over-`zip_with` fold it
+  * replaced.
   */
 object Ann {
 
-  /** Double-precision dot product of two array columns (sequential fold —
-    * deterministic across partitionings). */
+  /** Double-precision dot product of two array columns — the fused
+    * [[graft.functions.DotProduct]] codegen expression: one loop, zero
+    * per-row allocation, sequential left-to-right accumulation in double.
+    * Bit-identical to the composed `aggregate(zip_with(a, b, _*_), 0d,
+    * _+_)` form it replaced (same element order, same float→double
+    * widening), but without `zip_with` materializing the element-wise
+    * product array per candidate pair inside the quadratic loops.
+    * Resolved through the session function registry — every Ann entry
+    * point calls `GraftFunctions.ensureRegistered` first; callers using
+    * [[dot]]/[[cosine]] directly on their own session must too. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function(graft.functions.GraftFunctions.DotName, a, b)
 
   /** L2 norm of an array column. */
   def l2(a: Column): Column =
@@ -42,6 +51,7 @@ object Ann {
     * baseline and the per-bucket kernel of [[lshTopK]]. */
   def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val a = vecs.select(col(idCol).as("vec_id"),
       normalized(col(vecCol)).as("va"))
     val b = vecs.select(col(idCol).as("nn_id"),
@@ -62,6 +72,7 @@ object Ann {
     * join) through the same cosine filter instead. */
   def nearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val a = vecs.select(col(idCol).as("d1"), normalized(col(vecCol)).as("va"))
     val b = vecs.select(col(idCol).as("d2"), normalized(col(vecCol)).as("vb"))
     a.join(b, col("d1") < col("d2"))
@@ -145,6 +156,7 @@ object Ann {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 8,
               lloydIters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val centroids = kmeansCentroids(vecs, idCol, vecCol, nlist, lloydIters)
     val unit = vecs.select(col(idCol).as("vid"),
       normalized(col(vecCol)).as("v"))
@@ -615,6 +627,7 @@ object Ann {
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               dim: Int, bands: Int = 32, bitsPerBand: Int = -1,
               seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val bpb =
       if (bitsPerBand > 0) bitsPerBand
       else {
