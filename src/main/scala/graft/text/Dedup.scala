@@ -88,13 +88,30 @@ object Dedup {
     * Permutation i is `hashFn(shingle, i)` (default `xxhash64(shingle, i)`
     * — fast path; pass [[shaSeededHash60]] for DuckDB-verifiable
     * signatures); the signature is k builtin min-aggregations
-    * (partial+final, map-side combined). */
+    * (partial+final, map-side combined).
+    *
+    * The permutation hashes depend only on the SHINGLE, so they are
+    * evaluated once per distinct shingle (the vocabulary — bounded by
+    * charset^k for char shingles, orders of magnitude smaller than the
+    * (id, shingle) stream) and broadcast-joined back. For the sha-seeded
+    * oracle-parity family this cuts `numHashes` sha256+hex-conv
+    * evaluations per (id,g) row to `numHashes` per distinct g, with
+    * bit-identical values. Pass `broadcastVocab=false` when the
+    * vocabulary is NOT driver-bounded (long token shingles over an open
+    * vocabulary) — the hash table then reaches the stream through a
+    * shuffled join instead of a broadcast. */
   def minHashSignatures(sh: DataFrame, numHashes: Int = 64,
                         hashFn: (Column, Int) => Column =
-                          (g, i) => xxhash64(g, lit(i))): DataFrame = {
+                          (g, i) => xxhash64(g, lit(i)),
+                        broadcastVocab: Boolean = true): DataFrame = {
+    val vocab = sh.select(col("g")).distinct()
+      .select(col("g"), array(
+        (0 until numHashes).map(i => hashFn(col("g"), i)): _*).as("hs"))
+    val hashed = sh.join(
+      if (broadcastVocab) broadcast(vocab) else vocab, "g")
     val mins = (0 until numHashes).map(i =>
-      min(hashFn(col("g"), i)).as(s"m$i"))
-    sh.groupBy(col("id"))
+      min(element_at(col("hs"), i + 1)).as(s"m$i"))
+    hashed.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
