@@ -2466,7 +2466,43 @@ object SparkEntry {
     "q235_pack_audit" -> ((s, d) =>
       graft.text.TrainPrep.packAudit(
         graft.text.TrainPrep.sequentialPack(s, T(s, d, "documents"),
-          "doc_id", TF.tokenCount(col("text")), capacity = 512), 512))
+          "doc_id", TF.tokenCount(col("text")), capacity = 512), 512)),
+
+    // cross-key interval-overlap self-join via time binning — the band
+    // join Spark lacks natively; each pair counted once in the bin of
+    // the later start, no dedup shuffle
+    "q236_interval_join" -> ((s, d) =>
+      graft.streaming.Streaming.intervalOverlap(T(s, d, "events"), 512)),
+
+    // NB reliability ledger: implied 2^|s|/(2^|s|+1) confidence vs
+    // empirical band accuracy + expected calibration error, integer ppm
+    "q237_nb_calibration" -> ((s, d) => {
+      val t = TF.tokens(col("text"))
+      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      graft.text.NaiveBayes.calibration(T(s, d, "documents"), "doc_id",
+        "text", (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
+    }),
+
+    // exact Lorenz deciles + Gini of doc-length concentration — value-
+    // histogram ranks, no per-row global sort
+    "q238_lorenz" -> ((s, d) =>
+      graft.text.TrainPrep.lorenzDeciles(T(s, d, "documents"), "n_chars")),
+
+    // Heaps'-law vocabulary growth per 64-doc block — word-trigram
+    // first-occurrence agg + a ledger-sized cumulative window
+    "q239_heaps" -> ((s, d) =>
+      graft.text.TrainPrep.heapsLedger(T(s, d, "documents"), "doc_id",
+        "text", n = 3, bucket = 64)),
+
+    // gap-based throttle (debounce) ledger — kept iff > 60 s after the
+    // key's previous event; one-long-per-key state in the stream twin
+    "q240_throttle" -> ((s, d) =>
+      graft.streaming.Streaming.throttleBatch(T(s, d, "events"), 60L)),
+
+    // structural dedup of connected components: canonical degree-
+    // histogram sha per component, grouped into shape classes
+    "q241_component_fp" -> ((s, d) =>
+      graft.kernels.GraphStats.componentFingerprints(s, e2(s, d)))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -6931,6 +6967,129 @@ object SparkEntry {
         |       CAST(sum(greatest(0, bin_offset + n_tokens - 512)) AS BIGINT) AS spilled_tokens,
         |       CAST(sum(n_tokens) AS BIGINT) * 1000000
         |         // (CAST(max(bin) + 1 AS BIGINT) * 512) AS fill_ppm
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // closed-interval overlap, duration = floor(value) whole seconds
+    "q236_interval_join" ->
+      """WITH iv AS (SELECT event_id, epoch_us(ts) // 1000000 AS s,
+        |                   epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
+        |            FROM events)
+        |SELECT a.event_id AS e1, b.event_id AS e2,
+        |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
+        |FROM iv a JOIN iv b
+        |  ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+
+    // reliability ledger over the q211 NB score histogram
+    "q237_nb_calibration" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |            FROM documents),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+        |                CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS thec
+        |         FROM tk GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN thec * 20 >= ntok THEN 1 ELSE 0 END AS y FROM base),
+        |ti AS (SELECT t.doc_id, l.y, t.tok FROM tk t JOIN lab l USING (doc_id)),
+        |tot AS (SELECT y, CAST(count(*) AS BIGINT) AS t,
+        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |        FROM ti GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ti),
+        |w AS (SELECT tok,
+        |        CAST(length(bin((CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |                        * ((SELECT t FROM tot WHERE y = 0) + (SELECT v FROM vv)))) AS BIGINT)
+        |      - CAST(length(bin((CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |                        * ((SELECT t FROM tot WHERE y = 1) + (SELECT v FROM vv)))) AS BIGINT) AS w
+        |      FROM ti GROUP BY 1),
+        |sc AS (SELECT ti.doc_id, ti.y,
+        |              CAST(sum(w.w) AS BIGINT)
+        |              + CAST(length(bin((SELECT n FROM tot WHERE y = 1))) AS BIGINT)
+        |              - CAST(length(bin((SELECT n FROM tot WHERE y = 0))) AS BIGINT) AS score
+        |       FROM ti JOIN w USING (tok) GROUP BY 1, 2),
+        |led AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(CASE WHEN y = CASE WHEN score > 0 THEN 1 ELSE 0 END
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |        FROM sc GROUP BY 1),
+        |cal AS (SELECT score, n, n_correct,
+        |               (1000000 * (CAST(1 AS BIGINT) << least(abs(score), 20)))
+        |                 // ((CAST(1 AS BIGINT) << least(abs(score), 20)) + 1) AS conf_ppm,
+        |               (1000000 * n_correct) // n AS acc_ppm
+        |        FROM led),
+        |g AS (SELECT score, n, n_correct, conf_ppm, acc_ppm,
+        |             abs(conf_ppm - acc_ppm) AS gap_ppm FROM cal),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |              CAST(sum(n * gap_ppm) AS BIGINT) AS sg FROM g)
+        |SELECT score, n, n_correct, conf_ppm, acc_ppm, gap_ppm,
+        |       sg // nn AS ece_ppm
+        |FROM g CROSS JOIN tt""".stripMargin,
+
+    // exact Lorenz deciles + Gini over the length-value histogram
+    "q238_lorenz" ->
+      """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1),
+        |cum AS (SELECT x, c, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS r1,
+        |               CAST(sum(c) OVER (ORDER BY x) - c AS BIGINT) AS r0 FROM h),
+        |tot AS (SELECT CAST(max(r1) AS BIGINT) AS n, CAST(sum(x * c) AS BIGINT) AS t,
+        |               CAST(sum(x * (c * r0 + c * (c + 1) // 2)) AS BIGINT) AS s
+        |        FROM cum),
+        |gg AS (SELECT n, t, (1000000 * (2 * s - (n + 1) * t)) // (n * t) AS gini_ppm FROM tot),
+        |dec AS (SELECT d.decile, cum.x,
+        |               least(cum.r1, (d.decile + 1) * gg.n // 10)
+        |                 - greatest(cum.r0, d.decile * gg.n // 10) AS o
+        |        FROM cum CROSS JOIN gg
+        |             CROSS JOIN (SELECT unnest(range(10)) AS decile) d),
+        |agg AS (SELECT decile, CAST(sum(o) AS BIGINT) AS n_docs,
+        |               CAST(sum(o * x) AS BIGINT) AS mass
+        |        FROM dec WHERE o > 0 GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, mass,
+        |       (1000000 * mass) // gg.t AS mass_ppm,
+        |       (1000000 * CAST(sum(mass) OVER (ORDER BY decile) AS BIGINT)) // gg.t AS cum_mass_ppm,
+        |       gg.gini_ppm
+        |FROM agg CROSS JOIN gg""".stripMargin,
+
+    // vocabulary growth by 64-doc block from trigram first occurrences
+    "q239_heaps" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tok WHERE len(t) >= 3),
+        |tk AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tok FROM pos),
+        |f AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fid FROM tk GROUP BY 1),
+        |b AS (SELECT fid // 64 AS bucket, CAST(count(*) AS BIGINT) AS new_tokens
+        |      FROM f GROUP BY 1)
+        |SELECT bucket, bucket * 64 AS first_doc, bucket * 64 + 63 AS last_doc,
+        |       new_tokens,
+        |       CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+        |FROM b""".stripMargin,
+
+    // kept iff first of key or > 60 s after the key's previous event
+    "q240_throttle" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        |           FROM events),
+        |k AS (SELECT user_id, event_type,
+        |             CASE WHEN lag(tus) OVER w IS NULL
+        |                    OR tus - lag(tus) OVER w > 60000000 THEN 1 ELSE 0 END AS kept
+        |      FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tus, event_id))
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM k GROUP BY 1, 2""".stripMargin,
+
+    // canonical size|degree-histogram sha per component, shape classes
+    "q241_component_fp" ->
+      s"""WITH RECURSIVE $CTE,
+         |reach(vid, lbl) AS (
+         |  SELECT vid, vid FROM deg
+         |  UNION
+         |  SELECT s.d, r.lbl FROM reach r JOIN sym s ON r.vid = s.s
+         |),
+         |comp AS (SELECT vid, CAST(min(lbl) AS BIGINT) AS component
+         |         FROM reach GROUP BY vid),
+         |hist AS (SELECT c.component, d.degree, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM comp c JOIN deg d USING (vid) GROUP BY 1, 2),
+         |per AS (SELECT component, CAST(sum(cnt) AS BIGINT) AS size,
+         |               string_agg(CAST(degree AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+         |                          ',' ORDER BY degree) AS h
+         |        FROM hist GROUP BY 1)
+         |SELECT sha256(CAST(size AS VARCHAR) || '|' || h) AS fp_sha, size,
+         |       CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(min(component) AS BIGINT) AS example_component
+         |FROM per GROUP BY 1, 2""".stripMargin
   )
 }

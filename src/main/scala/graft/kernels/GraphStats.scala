@@ -790,4 +790,45 @@ object GraphStats {
         sum(when(col("both"), 1L).otherwise(0L)).as("overlap"),
         sum(abs(col("ra") - col("rb"))).as("footrule"))
   }
+
+  /** Structural DEDUP of connected components: every component collapses
+    * to a canonical fingerprint — sha256 of its size and ascending
+    * (degree : count) histogram — and components sharing a fingerprint
+    * group together. The graph-shaped twin of content dedup: a web-scale
+    * co-occurrence graph is mostly a giant component plus millions of
+    * small satellites, and repeated satellite SHAPES (the same template
+    * page, the same generated cluster) show up as fingerprint groups
+    * with n_components ≫ 1. Equal fingerprints are isomorphism
+    * CANDIDATES (degree-histogram equality is necessary, not
+    * sufficient — the WL refinement q163 is the stronger follow-up
+    * filter); distinct fingerprints are PROVABLY non-isomorphic.
+    *
+    * Scale shape: hash-min CC (the q08 kernel), one (component, degree)
+    * count, then a per-component histogram fold whose width is the
+    * number of DISTINCT degree values in the component — bounded far
+    * below component size on power-law graphs; the giant component
+    * contributes one row with a few-thousand-entry histogram, never a
+    * collect of its vertices. @return (fp_sha, size, n_components,
+    * example_component = min component label). */
+  def componentFingerprints(spark: org.apache.spark.sql.SparkSession,
+                            edges: DataFrame): DataFrame = {
+    val sym = Edges.symmetrize(edges)
+    val comps = ConnectedComponents.run(spark, sym).components
+    val deg = Edges.degrees(sym)
+    val hist = comps.join(deg, "vid")
+      .groupBy(col("component"), col("degree"))
+      .agg(count(lit(1)).as("c"))
+    val per = hist.groupBy(col("component"))
+      .agg(sum(col("c")).as("size"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("degree"), col("c")))),
+          p => concat(p("degree").cast("string"), lit(":"),
+            p("c").cast("string"))), ",").as("h"))
+    per.select(col("component"), col("size"),
+        sha2(concat(col("size").cast("string"), lit("|"), col("h")), 256)
+          .as("fp_sha"))
+      .groupBy(col("fp_sha"), col("size"))
+      .agg(count(lit(1)).as("n_components"),
+        min(col("component")).as("example_component"))
+  }
 }

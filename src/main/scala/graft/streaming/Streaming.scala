@@ -298,6 +298,102 @@ object Streaming {
     snaps.toSeq
   }
 
+  /** Cross-key interval-OVERLAP self-join: every pair of events whose
+    * derived time intervals [start, start + floor(value) sec] intersect,
+    * with the overlap length — concurrency analysis (which operations ran
+    * at the same time) where [[attributionBatch]]'s per-user range join
+    * does not apply because there is NO shared equi-key to join on.
+    *
+    * Scale shape: Spark has no native band/interval join, and the naive
+    * plan is an all-pairs cross join with a range predicate. The classic
+    * fix is TIME BINNING: each interval explodes to the `binSec`-wide
+    * bins it touches (≤ 2 bins when binSec ≥ the max duration), pairs
+    * meet through a bin equi-join, and each qualifying pair is counted
+    * exactly once — only in the bin containing the LATER of the two
+    * starts — so no dedup shuffle is needed. Work is Σ per-bin c², the
+    * true pair density; binSec trades replication (long intervals touch
+    * more bins) against bin population, and a production run sizes it
+    * near the duration p99 and caps pathological bins the same way
+    * [[graft.text.Dedup]] caps LSH buckets. All-integer epoch-second
+    * arithmetic (`floor(value)` whole seconds, closed endpoints). */
+  def intervalOverlap(events: DataFrame, binSec: Int = 512): DataFrame = {
+    val w = binSec.toLong
+    val iv = events.select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000L").as("s"),
+        floor(col("value")).cast("long").as("dur"))
+      .select(col("event_id"), col("s"), (col("s") + col("dur")).as("e"))
+    val binned = iv.select(col("event_id"), col("s"), col("e"),
+      explode(expr(s"sequence(s div ${w}L, e div ${w}L)")).as("bin"))
+    binned.as("a")
+      .join(binned.as("b"),
+        col("a.bin") === col("b.bin") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
+          col("a.bin") === expr("greatest(a.s, b.s) div " + w + "L"))
+      .select(col("a.event_id").as("e1"), col("b.event_id").as("e2"),
+        (least(col("a.e"), col("b.e")) -
+          greatest(col("a.s"), col("b.s"))).as("overlap_sec"))
+  }
+
+  /** Gap-based THROTTLE ledger (batch twin): per (user, event_type), an
+    * event is KEPT iff it is the key's first or arrived more than
+    * `gapSec` after the key's previous event — the rate-limit /
+    * debounce operator (alert suppression, at-most-one-per-interval
+    * sampling), distinct from [[dedupBatch]] (first arrival wins
+    * forever) and sessionization (which groups, not filters). The gap
+    * is measured from the previous EVENT, kept or not, so the decision
+    * depends only on the predecessor — a per-key `lag` window
+    * (per-key cardinality is bounded; the window never sees the whole
+    * table) and exactly the one-value-per-key state
+    * [[throttleStream]] keeps. Returns (user_id, event_type, n_events,
+    * n_kept). */
+  def throttleBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    events
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("pus", lag(col("tus"), 1).over(ord))
+      .withColumn("kept",
+        when(col("pus").isNull ||
+          col("tus") - col("pus") > gapSec * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+  }
+
+  final case class Kept(user_id: Long, event_type: String, tus: Long,
+                        event_id: Long)
+
+  /** Streaming twin of [[throttleBatch]]: state per (user, event_type)
+    * is ONE long — the last-seen event time — updated on every event,
+    * emitting only those that clear the gap. Assumes per-key batch
+    * arrival in event order (watermark-sorted source), like
+    * [[sessionizeStream]]; kept rows match the batch twin's `kept`
+    * set exactly on such a stream — asserted in StreamingSpec. */
+  def throttleStream(spark: SparkSession, events: DataFrame,
+                     gapSec: Long): Dataset[Kept] = {
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(e => (e._1, e._2))
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e._3, e._4))
+          var last = state.getOption
+          val out = Seq.newBuilder[Kept]
+          evs.foreach { case (_, _, tus, id) =>
+            if (last.forall(p => tus - p > gapUs))
+              out += Kept(key._1, key._2, tus, id)
+            last = Some(tus)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def ingestCorpus(spark: SparkSession, dir: String, schema: StructType,
                    catalog: graft.catalog.CatalogAdapter,
                    table: String): Seq[Long] = {

@@ -110,4 +110,36 @@ object NaiveBayes {
         expr(s"cum_pos * 1000000L div ${math.max(totalPos, 1L)}L")
           .as("capture_ppm"))
   }
+
+  /** Reliability (calibration) ledger of the NB score against its own
+    * labels — "when the classifier is this confident, how often is it
+    * right". The integer bit-score implies a confidence: score s is a
+    * log2-odds estimate, so P(pred correct) ≈ 2^|s| / (2^|s| + 1); a
+    * well-calibrated band has empirical accuracy near that. One row per
+    * DISTINCT SCORE VALUE (the same tiny-histogram discipline as
+    * [[gains]] — no per-document window anywhere):
+    * (score, n, n_correct, conf_ppm, acc_ppm, gap_ppm, ece_ppm) with
+    * conf in integer ppm via a 2^min(|s|,20) shift (saturated: beyond 20
+    * bits conf_ppm is 1000000 − sub-ppm), acc the band's hit rate, and
+    * ece_ppm the n-weighted mean |conf − acc| over bands (expected
+    * calibration error, constant per row) — everything truncating
+    * integer `div`, bit-replayable by the SQL oracle. */
+  def calibration(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val p2 = "shiftleft(1L, cast(least(abs(score), 20) as int))"
+    val led = scores(docs, idCol, textCol, labelCol)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === (col("score") > 0L).cast("long"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("score"), col("n"), col("n_correct"),
+        expr(s"(1000000L * $p2) div ($p2 + 1L)").as("conf_ppm"),
+        expr("(1000000L * n_correct) div n").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+      .localCheckpoint(eager = true)
+    val ece = led
+      .agg(sum(col("n")).as("nn"), sum(col("n") * col("gap_ppm")).as("sg"))
+      .select(expr("sg div nn").as("ece_ppm"))
+    led.crossJoin(ece)
+  }
 }

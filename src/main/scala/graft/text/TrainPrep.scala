@@ -596,4 +596,92 @@ object TrainPrep {
     joined.orderBy(col("delta_ppm").desc, col("token")).limit(topK)
       .crossJoin(broadcast(tv))
   }
+
+  /** EXACT Lorenz-curve decile ledger + Gini coefficient of a
+    * non-negative integer column (document length, tokens-per-source,
+    * bytes-per-domain) — the concentration audit a curation run
+    * publishes ("the longest 10% of docs hold X% of the characters").
+    *
+    * Scale shape: rows collapse to one row per DISTINCT VALUE first
+    * (bounded vocabulary — lengths, not documents), so the global
+    * ascending rank is exact WITHOUT any per-row global sort: a value
+    * group of size c starting after cumulative count r0 occupies ranks
+    * (r0, r0+c], its Σ-rank mass is an arithmetic series, and its
+    * overlap with each decile's rank interval is plain integer
+    * arithmetic — the window runs over the value histogram (then ×10
+    * deciles), never over rows. Gini from the rank-weighted sum:
+    * G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), emitted as truncating-div ppm
+    * (exact while 10⁶·Σ i·x_i fits int64 — petabyte runs promote the
+    * three sums to decimal, same plan).
+    * @return 10 rows: (decile, n_docs, mass, mass_ppm, cum_mass_ppm,
+    *         gini_ppm) with decile d covering ascending ranks
+    *         (d·n div 10, (d+1)·n div 10]. */
+  def lorenzDeciles(df: DataFrame, valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(valueCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("r1", sum(col("c")).over(w))
+      .withColumn("r0", col("r1") - col("c"))
+      .localCheckpoint(eager = true)
+    val tot = cum.agg(max(col("r1")).as("n"), sum(col("x") * col("c")).as("t"),
+        // Σ i·x_i over the group: x·(c·r0 + c(c+1)/2)
+        sum(col("x") * (col("c") * col("r0") +
+          expr("c * (c + 1L) div 2"))).as("s"))
+      .select(col("n"), col("t"),
+        expr("(1000000L * (2L * s - (n + 1L) * t)) div (n * t)")
+          .as("gini_ppm"))
+    val deciles = df.sparkSession.range(0, 10)
+      .select(col("id").as("decile"))
+    val dec = cum.crossJoin(broadcast(tot.select(col("n"))))
+      .crossJoin(broadcast(deciles))
+      .select(col("decile"), col("x"), col("r0"), col("r1"), col("n"),
+        // overlap of the group's rank interval (r0, r1] with the
+        // decile's (d·n div 10, (d+1)·n div 10]
+        (least(col("r1"), expr("(decile + 1L) * n div 10")) -
+          greatest(col("r0"), expr("decile * n div 10"))).as("o"))
+      .filter(col("o") > 0L)
+      .groupBy(col("decile"))
+      .agg(sum(col("o")).as("n_docs"), sum(col("o") * col("x")).as("mass"))
+    val w2 = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.crossJoin(broadcast(tot.select(col("t"), col("gini_ppm"))))
+      .select(col("decile"), col("n_docs"), col("mass"),
+        expr("(1000000L * mass) div t").as("mass_ppm"),
+        sum(col("mass")).over(w2).as("cm"), col("t"), col("gini_ppm"))
+      .select(col("decile"), col("n_docs"), col("mass"), col("mass_ppm"),
+        expr("(1000000L * cm) div t").as("cum_mass_ppm"), col("gini_ppm"))
+  }
+
+  /** Heaps'-law vocabulary-growth ledger: reading the corpus in document
+    * id order, how many DISTINCT word `n`-grams have been seen by the
+    * end of each `bucket`-doc block — the "does more data still buy new
+    * vocabulary" curve (q199's novelty is per-document; this is the
+    * corpus-cumulative view). The n-gram order sets the vocabulary
+    * granularity: unigrams saturate almost immediately on any corpus
+    * with a closed word set, higher orders keep growing sublinearly —
+    * the curve whose flattening is the diminishing-returns signal.
+    *
+    * Scale shape: one (gram → min doc id) aggregation over the gram
+    * stream (map-side combined, vocabulary-bounded output — the same
+    * first-occurrence move as q115/q199), bucket the first-occurrence
+    * ids, and run the cumulative window over the ≤ n/bucket ledger rows
+    * only. @return (bucket, first_doc, last_doc, new_tokens, cum_vocab)
+    * for buckets that introduced ≥ 1 gram. */
+  def heapsLedger(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, bucket: Int = 64): DataFrame = {
+    val first = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("tok"))
+      .groupBy(col("tok")).agg(min(col("id")).as("fid"))
+      .groupBy(expr(s"fid div ${bucket}L").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first
+      .select(col("bucket"), (col("bucket") * bucket).as("first_doc"),
+        (col("bucket") * bucket + (bucket - 1)).as("last_doc"),
+        col("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+  }
 }

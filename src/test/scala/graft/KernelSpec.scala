@@ -1519,4 +1519,25 @@ class KernelSpec extends SparkSpec {
     // (2,w6) -> no center retains two rows, no pairs survive
     assert(LinkPredict.weightedJaccard(w, capPerCenter = 1).count() === 0L)
   }
+
+  test("componentFingerprints: isomorphic shapes group, others split") {
+    // two disjoint triangles (same shape), one 3-path (different)
+    val e = edgeDF(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (8L, 9L)))
+    val got = GraphStats.componentFingerprints(spark, e)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length === 2)
+    val tri = got.find(_._3 === 2L).get
+    assert(tri._2 === 3L && tri._4 === 1L) // size 3, example = min label
+    val path = got.find(_._3 === 1L).get
+    assert(path._2 === 3L && path._4 === 7L)
+    assert(tri._1 !== path._1) // same size, different degree histogram
+    // fingerprint is the documented canonical string
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("3|2:3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(tri._1 === sha)
+  }
 }

@@ -580,4 +580,63 @@ class QualitySpec extends SparkSpec {
     assert(got.map(r => (-r._4, r._1)).toSeq === got.map(r => (-r._4, r._1))
       .sorted.toSeq)
   }
+
+  test("lorenzDeciles: hand-traced deciles and Gini; uniform gives zero") {
+    // values 1..4: T=10, S=1+4+9+16=30, G=(2*30-5*10)/(4*10)=0.25
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "n_chars")
+    val got = TrainPrep.lorenzDeciles(df, "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // ranks land in deciles 2, 4, 7, 9 ((d·4 div 10, (d+1)·4 div 10])
+    assert(got.map(_._1).toSeq === Seq(2L, 4L, 7L, 9L))
+    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L, 4L)) // mass per decile
+    assert(got.map(_._5).toSeq ===
+      Seq(100000L, 300000L, 600000L, 1000000L)) // cumulative share
+    assert(got.forall(_._6 === 250000L))
+    // identical values: perfect equality, Gini exactly 0
+    val flat = (1L to 10L).map((_, 5L)).toDF("doc_id", "n_chars")
+    val g0 = TrainPrep.lorenzDeciles(flat, "n_chars").collect()
+    assert(g0.forall(_.getLong(5) === 0L))
+    assert(g0.map(_.getLong(1)).sum === 10L) // every rank in some decile
+  }
+
+  test("heapsLedger: trigram first-occurrence buckets, hand-traced") {
+    val docs = Seq(
+      (0L, "a b c d"), // grams: "a b c", "b c d"
+      (1L, "a b c"),   // nothing new
+      (2L, "x y z"),   // "x y z"
+      (3L, "p q")      // too short, no trigram
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.heapsLedger(docs, "doc_id", "text", n = 3,
+        bucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 0L, 1L, 2L, 2L), (1L, 2L, 3L, 1L, 3L)))
+  }
+
+  test("NB calibration: band accounting, conf formula, ECE recompute") {
+    import graft.text.NaiveBayes
+    // two clearly separable classes so both labels appear
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "spam spam offer" else "hello world again"))
+      .toDF("doc_id", "text")
+    val label = (col("text").contains("spam")).cast("long")
+    val got = NaiveBayes.calibration(docs, "doc_id", "text", label)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(_._2).sum === 30L) // every doc in exactly one band
+    got.foreach { case (s, n, nc, conf, acc, gap, _) =>
+      assert(nc <= n)
+      val m = math.min(math.abs(s), 20L)
+      assert(conf === 1000000L * (1L << m) / ((1L << m) + 1L))
+      assert(acc === 1000000L * nc / n)
+      assert(gap === math.abs(conf - acc))
+    }
+    // constant ECE column equals the n-weighted mean gap
+    val ece = got.map(r => r._2 * r._6).sum / got.map(_._2).sum
+    assert(got.forall(_._7 === ece))
+    // the separable corpus self-classifies perfectly
+    assert(got.map(_._3).sum === 30L)
+  }
 }

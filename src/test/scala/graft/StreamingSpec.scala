@@ -263,4 +263,70 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(streamed == expected)
   }
+
+  test("gap throttle: stream kept set equals the batch twin, hand-traced") {
+    def mk(id: Long, u: Long, t: String, ts: String) =
+      (id, u, t, Timestamp.valueOf(ts), 1.0)
+    // user 1 click: 0s, 30s (drop), 50s (drop — 20s after PREVIOUS event,
+    // kept or not), 200s (keep); user 1 view at 10s independent key
+    val chunks = Seq(
+      Seq(mk(1, 1, "click", "2026-01-01 00:00:00"),
+        mk(2, 1, "view", "2026-01-01 00:00:10")),
+      Seq(mk(3, 1, "click", "2026-01-01 00:00:30"),
+        mk(4, 1, "click", "2026-01-01 00:00:50"),
+        mk(5, 2, "click", "2026-01-01 00:01:00")),
+      Seq(mk(6, 1, "click", "2026-01-01 00:03:20")))
+    val dir = Files.createTempDirectory("graft-thr").toString
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = Files.createTempDirectory(s"graft-thr$i").toString
+      c.toDF("event_id", "user_id", "event_type", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, s"chunk$i.parquet"))
+    }
+    val all = spark.read.parquet(dir)
+
+    val ds = Streaming.throttleStream(spark,
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), gapSec = 60)
+    val q = ds.writeStream.format("memory").queryName("thr_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("thr_sink").collect()
+      .map(r => r.getLong(3)).toSet
+    assert(kept === Set(1L, 2L, 5L, 6L))
+
+    // batch ledger agrees per key
+    val batch = Streaming.throttleBatch(all, 60)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(batch === Map((1L, "click") -> ((4L, 2L)),
+      (1L, "view") -> ((1L, 1L)), (2L, "click") -> ((1L, 1L))))
+  }
+
+  test("intervalOverlap: binned pairs equal brute force, counted once") {
+    // intervals crafted around the 512 s bin boundary: a pair overlapping
+    // ACROSS bins must appear exactly once
+    def mk(id: Long, startSec: Long, durSec: Double) =
+      (id, 1L, "op", new Timestamp(startSec * 1000L), durSec)
+    val rows = Seq(
+      mk(1, 100, 50.0),   // [100,150]
+      mk(2, 120, 10.9),   // [120,130] overlaps 1
+      mk(3, 500, 100.0),  // [500,600] spans bins 0/1
+      mk(4, 590, 5.0),    // [590,595] bin 1, overlaps 3
+      mk(5, 145, 400.0),  // [145,545] overlaps 1, 3 (145<=150, 500<=545)
+      mk(6, 2000, 1.0))   // isolated
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Streaming.intervalOverlap(rows, binSec = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no pair twice
+    assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
+    val expected = Set((1L, 2L, 10L), (3L, 4L, 5L), (1L, 5L, 5L),
+      (3L, 5L, 45L))
+    assert(got.toSet === expected)
+  }
 }
