@@ -2502,7 +2502,32 @@ object SparkEntry {
     // structural dedup of connected components: canonical degree-
     // histogram sha per component, grouped into shape classes
     "q241_component_fp" -> ((s, d) =>
-      graft.kernels.GraphStats.componentFingerprints(s, e2(s, d)))
+      graft.kernels.GraphStats.componentFingerprints(s, e2(s, d))),
+
+    // k-anonymity audit over (lang, source, length-bucket) quasi-
+    // identifiers: groups under k=3 + corpus risk share
+    "q242_kanon" -> ((s, d) =>
+      graft.text.QualityRules.kAnonymityRisk(
+        T(s, d, "documents").select(col("lang"), col("source"),
+          expr("n_chars div 100L").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 3L)),
+
+    // exact midrank-tie AUC of the common-neighbor link predictor
+    // against the weight-1 pairs the >= 2 threshold dropped
+    "q243_linkpred_auc" -> ((s, d) =>
+      graft.kernels.LinkPredict.linkAuc(e2(s, d), cooc(s, d))),
+
+    // robust winnowing (MOSS) fingerprint selection: rightmost window
+    // minimum over sha-seeded positional 5-gram hashes, w=4
+    "q244_winnow" -> ((s, d) =>
+      Dedup.winnow(T(s, d, "documents"), "doc_id", "text", k = 5, w = 4)
+        .withColumnRenamed("id", "doc_id")),
+
+    // per-32-token-segment language id: mixing ledger per document
+    "q245_code_switch" -> ((s, d) =>
+      graft.text.QualityRules.codeSwitch(T(s, d, "documents"), "doc_id",
+          "text", seg = 32)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -7090,6 +7115,90 @@ object SparkEntry {
          |SELECT sha256(CAST(size AS VARCHAR) || '|' || h) AS fp_sha, size,
          |       CAST(count(*) AS BIGINT) AS n_components,
          |       CAST(min(component) AS BIGINT) AS example_component
-         |FROM per GROUP BY 1, 2""".stripMargin
+         |FROM per GROUP BY 1, 2""".stripMargin,
+
+    // QI groups under k=3 + constant corpus risk share
+    "q242_kanon" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |                  CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t,
+        |             CAST(sum(CASE WHEN n_docs < 3 THEN n_docs ELSE 0 END) AS BIGINT) AS r
+        |      FROM g)
+        |SELECT lang, source, len_bucket, n_docs, (1000000 * r) // t AS risk_ppm
+        |FROM g CROSS JOIN t WHERE n_docs < 3""".stripMargin,
+
+    // Mann-Whitney AUC with midrank ties over the score histogram
+    "q243_linkpred_auc" ->
+      s"""WITH $CTE,
+         |wed AS (SELECT a.d AS u, b.d AS v, CAST(count(*) AS BIGINT) AS score
+         |        FROM sym a JOIN sym b ON a.s = b.s AND a.d < b.d GROUP BY 1, 2),
+         |cand AS (SELECT w.u, w.v, w.score FROM wed w
+         |         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = w.u AND e.d = w.v)),
+         |lab AS (SELECT score,
+         |               CASE WHEN EXISTS (SELECT 1 FROM cooc c
+         |                                 WHERE c.src = cand.u AND c.dst = cand.v)
+         |                    THEN 1 ELSE 0 END AS y
+         |        FROM cand),
+         |hist AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+         |                CAST(sum(y) AS BIGINT) AS p
+         |         FROM lab GROUP BY 1),
+         |cum AS (SELECT score, c, p,
+         |               CAST(sum(c) OVER (ORDER BY score) - c AS BIGINT) AS r0
+         |        FROM hist),
+         |agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs,
+         |               CAST(sum(p) AS BIGINT) AS np,
+         |               CAST(sum(c - p) AS BIGINT) AS nn,
+         |               CAST(sum(p * (2 * r0 + c + 1)) AS BIGINT) AS r2
+         |        FROM cum)
+         |SELECT n_pairs, np AS n_pos, nn AS n_neg,
+         |       (1000000 * (r2 - np * (np + 1))) // (2 * np * nn) AS auc_ppm
+         |FROM agg WHERE np > 0 AND nn > 0""".stripMargin,
+
+    // robust winnowing: rightmost min of each full 4-window of 5-gram
+    // sha60 hashes, distinct selections
+    "q244_winnow" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+        |             FROM documents WHERE length(text) >= 8),
+        |h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |             CAST(('0x' || substr(sha256(substr(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT) AS h
+        |      FROM pos),
+        |w AS (SELECT doc_id, pos, h,
+        |             count(*) OVER win AS cnt,
+        |             min(struct_pack(h := h, np := -pos)) OVER win AS m
+        |      FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        |SELECT DISTINCT doc_id, -struct_extract(m, 'np') AS pos,
+        |       struct_extract(m, 'h') AS fp
+        |FROM w WHERE cnt = 4""".stripMargin,
+
+    // per-32-token-segment language id, mixing ledger per document
+    "q245_code_switch" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |seg AS (SELECT doc_id, array_to_string(t[i*32+1 : i*32+32], ' ') AS s
+        |        FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 32)) AS i
+        |              FROM tok)),
+        |lid AS (SELECT doc_id,
+        |          CASE WHEN e >= d AND e >= f AND e > 0 THEN 'en'
+        |               WHEN d >= f AND d > 0 THEN 'de'
+        |               WHEN f > 0 THEN 'fr' ELSE 'und' END AS l
+        |        FROM (SELECT doc_id,
+        |            len(list_filter(regexp_split_to_array(trim(s), '\s+'),
+        |                x -> x IN ('the','a','of','and','to','in','is','it'))) AS e,
+        |            len(list_filter(regexp_split_to_array(trim(s), '\s+'),
+        |                x -> x IN ('der','die','das','und','ist','nicht'))) AS d,
+        |            len(list_filter(regexp_split_to_array(trim(s), '\s+'),
+        |                x -> x IN ('le','la','les','et','est','que'))) AS f
+        |          FROM seg)),
+        |pl AS (SELECT doc_id, l, CAST(count(*) AS BIGINT) AS c FROM lid GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+        |               CAST(count(*) AS BIGINT) AS n_langs,
+        |               max(struct_pack(c := c, l := l)) AS m
+        |        FROM pl GROUP BY 1)
+        |SELECT doc_id, n_segments, n_langs,
+        |       struct_extract(m, 'l') AS majority_lang,
+        |       (1000000 * (n_segments - struct_extract(m, 'c'))) // n_segments AS minority_ppm
+        |FROM agg""".stripMargin
   )
 }

@@ -167,4 +167,43 @@ object LinkPredict {
         expr("smin * 1000000L div (wu + wv - smin)").as("wj_ppm"))
       .orderBy(col("wj_ppm").desc, col("u"), col("v")).limit(topK)
   }
+
+  /** EXACT ranking AUC of the common-neighbor score as a link predictor,
+    * evaluated against held-out ground truth: candidates are the
+    * non-edge 2-hop pairs of the `edges` graph, a candidate is POSITIVE
+    * iff it appears in `truth` (e.g. the weight-1 co-occurrence pairs
+    * the >= 2 threshold dropped — links that exist but were cut). AUC is
+    * the Mann-Whitney statistic with the standard midrank tie
+    * correction, computed EXACTLY in integer ppm: scores collapse to a
+    * value histogram first (common-neighbor counts are small integers),
+    * ascending cumulative counts give each value band's doubled midrank
+    * 2·r0 + c + 1, and AUC_ppm = 10⁶·(Σ_pos 2·midrank − n_pos·(n_pos+1))
+    * div (2·n_pos·n_neg) — the eval a link-prediction pipeline publishes
+    * next to q70's top-k, with no per-pair global sort anywhere (the
+    * window runs over the tiny score histogram; exact while the doubled
+    * rank sum fits int64 — beyond ~10⁹ candidates promote to decimal).
+    * @return one row (n_pairs, n_pos, n_neg, auc_ppm); empty if either
+    *         class is absent. */
+  def linkAuc(edges: DataFrame, truth: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val cn = Edges.coOccurrence(Edges.symmetrize(e), "src", "dst",
+        minWeight = 1L)
+      .withColumnRenamed("weight", "score")
+    val lab = cn.join(e, Seq("src", "dst"), "left_anti")
+      .join(truth.select(col("src"), col("dst"), lit(1L).as("y")),
+        Seq("src", "dst"), "left")
+      .select(col("score"), coalesce(col("y"), lit(0L)).as("y"))
+    val hist = lab.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("r0", sum(col("c")).over(w) - col("c"))
+      .agg(sum(col("c")).as("n_pairs"), sum(col("p")).as("np"),
+        sum(col("c") - col("p")).as("nn"),
+        sum(col("p") * (lit(2L) * col("r0") + col("c") + 1L)).as("r2"))
+      .filter(col("np") > 0L && col("nn") > 0L)
+      .select(col("n_pairs"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        expr("(1000000L * (r2 - np * (np + 1L))) div (2L * np * nn)")
+          .as("auc_ppm"))
+  }
 }

@@ -336,6 +336,42 @@ object Dedup {
   def shaTokenHash60(t: Column): Column =
     conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
 
+  /** ROBUST WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme): hash every positional character
+    * k-gram, slide a window of `w` consecutive hashes, and in each full
+    * window select the minimum (rightmost on ties); the distinct
+    * selected (position, hash) pairs are the document's fingerprints.
+    * Guarantees at least one shared fingerprint for any match of length
+    * ≥ w + k − 1 while storing ~2/(w+1) of the hashes — the
+    * position-aware sampling that [[exactGroups]]' whole-doc sha and
+    * q21's normalized sha cannot give, and the deterministic competitor
+    * of the "0 mod p" sampling the same paper shows is gap-unbounded.
+    *
+    * Scale shape: per-document windows only (partitioned by doc id,
+    * per-doc cardinality bounded by doc length — the q227/q53 window
+    * discipline), rightmost-argmin as ONE `min(struct(hash, −pos))`
+    * frame aggregation, then a distinct. Sha-seeded 60-bit hashes so
+    * the oracle replays selections bit-for-bit.
+    * @return (id, pos, fp) distinct selected fingerprints, for docs
+    *         with at least one full window (length ≥ k + w − 1). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.charShingles(col(textCol), k)))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        shaTokenHash60(col("col")).as("h"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("cnt", count(lit(1)).over(win))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("cnt") === w) // full windows only
+      .select(col("id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
+      .distinct()
+  }
+
   /** SimHash fingerprint per document over whitespace tokens:
     * bit j = sign of Σ_tokens (2·bit_j(hash(token)) − 1).
     * Pure builtin: `bits` sum-aggregations then a bitwise-OR fold.

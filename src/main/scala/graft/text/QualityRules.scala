@@ -475,4 +475,57 @@ object QualityRules {
           .as("overlap_ppm"))
       .withColumn("is_boundary", col("overlap_ppm") < boundaryPpm)
   }
+
+  /** k-ANONYMITY risk ledger over quasi-identifier columns — the
+    * re-identification audit a corpus release runs on its metadata:
+    * any combination of quasi-identifiers shared by FEWER than `k`
+    * documents singles those documents out (Sweeney 2002). Emits one
+    * row per risky group plus the corpus-wide share of at-risk docs as
+    * a constant ppm column. One hash aggregation on the QI tuple (the
+    * exact-dedup shuffle shape) + a broadcast-sized totals row; the
+    * corpus never reshuffles. `df` must be pre-projected to the QI
+    * columns (bucket continuous ones first — raw lengths would make
+    * every doc unique and the audit vacuous).
+    * @return (qiCols..., n_docs, risk_ppm) for groups with n_docs < k */
+  def kAnonymityRisk(df: DataFrame, qiCols: Seq[String],
+                     k: Long): DataFrame = {
+    val g = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = true)
+    val tot = g.agg(sum(col("n_docs")).as("t"),
+        sum(when(col("n_docs") < k, col("n_docs")).otherwise(0L)).as("r"))
+      .select(expr("(1000000L * r) div t").as("risk_ppm"))
+    g.filter(col("n_docs") < k).crossJoin(broadcast(tot))
+  }
+
+  /** CODE-SWITCH detection: language-identify each `seg`-token block of
+    * a document independently and report per-document language mixing —
+    * (n_segments, n_langs, majority_lang, minority_ppm). Catches the
+    * mixed-language pages a whole-document language id (q20) averages
+    * away — exactly the docs a monolingual corpus filter should route
+    * to review rather than keep-or-drop wholesale. Majority ties break
+    * to the lexicographically larger language (a deterministic
+    * `max(struct(count, lang))` — no window). Per-row segment explode +
+    * two hash aggregations; per-doc cardinality bounded by doc length. */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String,
+                 seg: Int = 32): DataFrame = {
+    val t = split(trim(col(textCol)), "\\s+")
+    val segs = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(transform(
+          sequence(lit(0), ((size(t) - 1) / seg).cast("int")),
+          i => concat_ws(" ", slice(t, i * seg + 1, lit(seg))))).as("seg"))
+    val perLang = segs
+      .select(col("id"), TextFunctions.langId(col("seg")).as("l"))
+      .groupBy(col("id"), col("l")).agg(count(lit(1)).as("c"))
+    perLang.groupBy(col("id"))
+      .agg(sum(col("c")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("l"))).as("m"))
+      .select(col("id"), col("n_segments"), col("n_langs"),
+        col("m.l").as("majority_lang"),
+        expr("(1000000L * (n_segments - m.c)) div n_segments")
+          .as("minority_ppm"))
+  }
 }

@@ -1540,4 +1540,20 @@ class KernelSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(tri._1 === sha)
   }
+
+  test("linkAuc: hand-traced midrank AUC with ties") {
+    // candidates (non-edge 2-hop pairs): (3,4) cn=2; (2,5),(3,5),(4,5)
+    // cn=1. truth = {(3,4),(2,5)} -> 2 pos / 2 neg; pairwise wins
+    // 2 + tie-halves 1 -> AUC 3/4
+    val e = edgeDF(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (1L, 5L)))
+    val truth = edgeDF(Seq((3L, 4L), (2L, 5L)))
+    val got = LinkPredict.linkAuc(e, truth).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2L, 2L, 750000L)))
+    // single-class truth -> empty result, not a division by zero
+    assert(LinkPredict.linkAuc(e, edgeDF(Seq())).count() === 0L)
+  }
 }

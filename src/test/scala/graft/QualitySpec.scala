@@ -639,4 +639,31 @@ class QualitySpec extends SparkSpec {
     // the separable corpus self-classifies perfectly
     assert(got.map(_._3).sum === 30L)
   }
+
+  test("kAnonymityRisk: risky groups and corpus share, hand-traced") {
+    // QI (lang, bucket): (en,0) x4 safe; (en,1) x2, (de,0) x1 risky
+    val df = Seq(("en", 0L), ("en", 0L), ("en", 0L), ("en", 0L),
+      ("en", 1L), ("en", 1L), ("de", 0L)).toDF("lang", "b")
+    val got = QualityRules.kAnonymityRisk(df, Seq("lang", "b"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // risk = 3 of 7 docs -> 428571 ppm
+    assert(got === Set(("en", 1L, 2L, 428571L), ("de", 0L, 1L, 428571L)))
+    // k=1 finds nothing (every group has at least itself)
+    assert(QualityRules.kAnonymityRisk(df, Seq("lang", "b"), 1L)
+      .count() === 0L)
+  }
+
+  test("codeSwitch: mixed-language doc flagged, tie breaks to larger") {
+    val en = "the a of and to in is it " * 4 // 32 tokens, langid en
+    val de = "der die das und ist nicht der die " * 4 // 32 tokens, de
+    val docs = Seq((1L, (en + de).trim), (2L, (en + en).trim))
+      .toDF("doc_id", "text")
+    val got = QualityRules.codeSwitch(docs, "doc_id", "text", seg = 32)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))).toMap
+    // doc 1: one en segment + one de segment; 1-1 tie -> 'en' > 'de'
+    assert(got(1L) === ((2L, 2L, "en", 500000L)))
+    assert(got(2L) === ((2L, 1L, "en", 0L)))
+  }
 }

@@ -876,4 +876,36 @@ class TextSimSpec extends SparkSpec {
       (0L, 0L) -> 1000000L, (1L, 1L) -> 1000000L, (2L, 2L) -> 1000000L,
       (0L, 1L) -> 0L, (1L, 2L) -> 0L, (0L, 2L) -> -1000000L))
   }
+
+  test("winnow: match guarantee, tie positions, short docs, density") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // repeated chars: all shingle hashes equal, so each full window must
+    // pick its RIGHTMOST position (robust winnowing tie rule)
+    val ties = Seq((1L, "a" * 8), (2L, "a" * 9), (3L, "a" * 7))
+      .toDF("doc_id", "text")
+    val tGot = Dedup.winnow(ties, "doc_id", "text", k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 chars -> 4 shingles -> one full window, rightmost pos 3;
+    // 9 chars -> two windows -> {3, 4}; 7 chars -> no full window
+    assert(tGot === Set((1L, 3L), (2L, 3L), (2L, 4L)))
+
+    // guarantee: two docs sharing a substring of length >= w + k - 1
+    // share at least one (possibly position-shifted) fingerprint HASH
+    val shared = "qwertzuiop" // 10 >= 8
+    val docs = Seq((1L, s"abcdef${shared}ghijkl"),
+      (2L, s"zzz${shared}yyy")).toDF("doc_id", "text")
+    val fps = Dedup.winnow(docs, "doc_id", "text", k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val common = fps.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
+    assert(common.nonEmpty)
+
+    // density: on random-ish text, selections ~ 2/(w+1) of positions
+    val rnd = Seq((9L, (1 to 400).map(i =>
+      ('a' + (i * 31 % 26)).toChar).mkString)).toDF("doc_id", "text")
+    val nSel = Dedup.winnow(rnd, "doc_id", "text", k, w).count()
+    val nPos = 400 - k + 1
+    assert(nSel >= nPos / (w + 1) && nSel <= nPos) // loose lower bound
+  }
 }
