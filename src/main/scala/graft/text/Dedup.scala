@@ -133,7 +133,7 @@ object Dedup {
     * boilerplate) are capped at `maxBucket` before the pair join. The
     * shared candidate pipeline of [[minHashLsh]] and
     * [[minHashCalibration]]. */
-  private def bandedCandidates(sigs: DataFrame, bands: Int, r: Int,
+  private[graft] def bandedCandidates(sigs: DataFrame, bands: Int, r: Int,
                                maxBucket: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -188,13 +188,22 @@ object Dedup {
     *
     * Scale shape: candidates come from the same banded minhash bucket
     * join as [[minHashLsh]] (maxBucket-guarded); the exact intersection
-    * is two keyed joins of the (id, shingle) relation against the
-    * candidate pair table — never an all-pairs scan. One caveat is
-    * honest: LSH buckets are tuned for RESEMBLANCE, so high-containment
-    * pairs with low resemblance (tiny A inside huge B) can be missed;
-    * production asymmetric dedup re-buckets on the smaller side's
-    * signature alone, which is a parameter choice (bands over a prefix
-    * of A's signature), not a different plan. */
+    * folds each document's shingle SET into one sorted array row first
+    * (one aggregation — the set table is |docs| rows, not the
+    * (id, shingle) stream) and scores each candidate pair with a
+    * per-row `array_intersect` after two id-keyed joins. Versus the
+    * explode-and-recount plan (join candidates to the shingle stream on
+    * d1, semi-match d2, re-aggregate) this moves the SAME bytes in
+    * |pairs| wide rows instead of |pairs|·|shingles| narrow ones and
+    * deletes the 100M-row post-join hash aggregation — measured 113 →
+    * ~15 s at sf0.1 (BENCH.md). Intersection is on the shingle STRINGS
+    * (no hash step), so the SQL oracle's exact count is replayed with
+    * no collision caveat. One caveat is honest: LSH buckets are tuned
+    * for RESEMBLANCE, so high-containment pairs with low resemblance
+    * (tiny A inside huge B) can be missed; production asymmetric dedup
+    * re-buckets on the smaller side's signature alone, which is a
+    * parameter choice (bands over a prefix of A's signature), not a
+    * different plan. */
   def containmentLsh(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                      thresholdPpm: Long = 800000L,
@@ -207,13 +216,21 @@ object Dedup {
     val sigs = minHashSignatures(sh, numHashes, hashFn)
     val cands = bandedCandidates(sigs, bands, r, maxBucket)
       .select(col("d1"), col("d2"))
-    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("n"))
+    // SHUFFLE_HASH: an id equi-join gains nothing from sorting 30 MB+
+    // of array rows per side (same measured choice as the superstep
+    // kernels' state joins); the set table exceeds any sane broadcast
+    // threshold at scale
     val inter = cands
-      .join(sh.select(col("id").as("d1"), col("g")), "d1")
-      .join(sh.select(col("id").as("d2"), col("g")), Seq("d2", "g"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      .join(sz.select(col("id").as("d1"), col("n").as("n1")), "d1")
-      .join(sz.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .join(sets.select(col("id").as("d1"), col("gs").as("g1"),
+        col("n").as("n1")).hint("shuffle_hash"), "d1")
+      .join(sets.select(col("id").as("d2"), col("gs").as("g2"),
+        col("n").as("n2")).hint("shuffle_hash"), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("g1"), col("g2"))).cast("long").as("i"),
+        col("n1"), col("n2"))
     val both = inter.select(col("d1").as("contained"),
         col("d2").as("container"),
         expr("1000000L * i div n1").as("containment_ppm"))
