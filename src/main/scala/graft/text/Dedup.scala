@@ -324,16 +324,21 @@ object Dedup {
       .select(col("d1"), col("d2"),
         expr(s"matches * 1000000L div $numHashes").as("est_ppm"))
       .persist()
-    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val ix = cands.select(col("d1"), col("d2"))
-      .join(sh.select(col("id").as("d1"), col("g")), "d1")
-      .join(sh.select(col("id").as("d2"), col("g")), Seq("d2", "g"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    // exact Jaccard per CANDIDATE pair via the same set-fold +
+    // per-row array_intersect plan as [[containmentLsh]] (one array row
+    // per doc, two SHUFFLE_HASH id-joins) — replaces the explode-and-
+    // recount shape; zero-intersection pairs fall out as size 0, so no
+    // outer join / coalesce is needed
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("n"))
     val out = cands
-      .join(ix, Seq("d1", "d2"), "left_outer")
-      .join(sz.select(col("id").as("d1"), col("n").as("na")), "d1")
-      .join(sz.select(col("id").as("d2"), col("n").as("nb")), "d2")
-      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .join(sets.select(col("id").as("d1"), col("gs").as("g1"),
+        col("n").as("na")).hint("shuffle_hash"), "d1")
+      .join(sets.select(col("id").as("d2"), col("gs").as("g2"),
+        col("n").as("nb")).hint("shuffle_hash"), "d2")
+      .withColumn("i",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .withColumn("jacc_ppm", expr("i * 1000000L div (na + nb - i)"))
       .withColumn("err", abs(col("est_ppm") - col("jacc_ppm")))
       .groupBy(expr("est_ppm div 100000L").as("bucket"))
