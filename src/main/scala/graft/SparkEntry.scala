@@ -2527,7 +2527,23 @@ object SparkEntry {
     "q245_code_switch" -> ((s, d) =>
       graft.text.QualityRules.codeSwitch(T(s, d, "documents"), "doc_id",
           "text", seg = 32)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // retention triangle: first-active-day cohorts x day offset
+    "q246_retention" -> ((s, d) =>
+      graft.operators.Cohorts.retention(T(s, d, "events"), "user_id",
+        "ts")),
+
+    // first-view -> first-later-purchase latency histogram (hours) +
+    // exact median bucket from the cumulative ledger
+    "q247_convert_latency" -> ((s, d) =>
+      graft.operators.Cohorts.convertLatency(T(s, d, "events"),
+        "user_id", "event_type", "ts", "view", "purchase")),
+
+    // RFM tercile segmentation census, 27 cells max
+    "q248_rfm" -> ((s, d) =>
+      graft.operators.Cohorts.rfm(T(s, d, "events"), "user_id", "ts",
+        "value"))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -7199,6 +7215,63 @@ object SparkEntry {
         |SELECT doc_id, n_segments, n_langs,
         |       struct_extract(m, 'l') AS majority_lang,
         |       (1000000 * (n_segments - struct_extract(m, 'c'))) // n_segments AS minority_ppm
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // first-active-day cohorts, per-offset activity + floor-ppm share
+    "q246_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        |             FROM events),
+        |coh AS (SELECT u, CAST(min(d) AS BIGINT) AS c FROM act GROUP BY 1),
+        |sz AS (SELECT c AS cohort_day, CAST(count(*) AS BIGINT) AS cohort_n
+        |       FROM coh GROUP BY 1),
+        |r AS (SELECT coh.c AS cohort_day, a.d - coh.c AS day_offset,
+        |             CAST(count(*) AS BIGINT) AS n_active
+        |      FROM act a JOIN coh ON a.u = coh.u GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset, r.n_active, sz.cohort_n,
+        |       (1000000 * r.n_active) // sz.cohort_n AS retention_ppm
+        |FROM r JOIN sz USING (cohort_day)""".stripMargin,
+
+    // hour-bucketed first-conversion delays + median bucket
+    "q247_convert_latency" ->
+      """WITH f AS (SELECT user_id AS u, CAST(min(epoch_us(ts)) AS BIGINT) AS f
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |d AS (SELECT e.user_id AS u, CAST(min(epoch_us(e.ts) - f.f) AS BIGINT) AS delay
+        |      FROM events e JOIN f ON e.user_id = f.u
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.f GROUP BY 1),
+        |h AS (SELECT delay // 3600000000 AS bucket_h, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT bucket_h, n_users,
+        |             CAST(sum(n_users) OVER (ORDER BY bucket_h) AS BIGINT) AS cum_users
+        |      FROM h),
+        |m AS (SELECT CAST(min(bucket_h) AS BIGINT) AS median_bucket_h
+        |      FROM c CROSS JOIN (SELECT max(cum_users) AS n FROM c) t
+        |      WHERE cum_users >= (n + 1) // 2)
+        |SELECT bucket_h, n_users, cum_users, m.median_bucket_h
+        |FROM c CROSS JOIN m""".stripMargin,
+
+    // RFM tercile census; boundaries from value-histogram cum counts
+    "q248_rfm" ->
+      """WITH per AS (SELECT user_id AS u,
+        |                    CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS lastd,
+        |                    CAST(count(*) AS BIGINT) AS freq,
+        |                    CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS mon
+        |             FROM events GROUP BY 1),
+        |mx AS (SELECT CAST(max(lastd) AS BIGINT) AS maxd FROM per),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |ft AS (SELECT u, maxd - lastd AS rec, freq, mon // 1000000 AS mband
+        |       FROM per CROSS JOIN mx),
+        |rh AS (SELECT rec AS v, CAST(count(*) AS BIGINT) AS c FROM ft GROUP BY 1),
+        |rt AS (SELECT v AS rec, least(2, (3 * CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT)) // nn.n) AS rec_t
+        |       FROM rh CROSS JOIN nn),
+        |fh AS (SELECT freq AS v, CAST(count(*) AS BIGINT) AS c FROM ft GROUP BY 1),
+        |ftt AS (SELECT v AS freq, least(2, (3 * CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT)) // nn.n) AS freq_t
+        |        FROM fh CROSS JOIN nn),
+        |mh AS (SELECT mband AS v, CAST(count(*) AS BIGINT) AS c FROM ft GROUP BY 1),
+        |mt AS (SELECT v AS mband, least(2, (3 * CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT)) // nn.n) AS mband_t
+        |       FROM mh CROSS JOIN nn)
+        |SELECT rt.rec_t AS r_t, ftt.freq_t AS f_t, mt.mband_t AS m_t,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM ft JOIN rt USING (rec) JOIN ftt USING (freq) JOIN mt USING (mband)
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -248,4 +248,72 @@ class TemporalTextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("retention triangle: hand-traced cohorts and ppm shares") {
+    import graft.operators.Cohorts
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    // users 1,2 join day 0; user 1 returns day 1 and 2; user 3 joins
+    // day 1; duplicate same-day events collapse
+    val events = Seq(
+      (1L, t(0, 1)), (1L, t(0, 5)), (2L, t(0, 2)),
+      (1L, t(1, 3)), (3L, t(1, 4)), (1L, t(2, 9))
+    ).toDF("user_id", "ts")
+    val got = Cohorts.retention(events, "user_id", "ts")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val d0 = got.keys.map(_._1).min
+    assert(got((d0, 0L)) === ((2L, 2L, 1000000L)))
+    assert(got((d0, 1L)) === ((1L, 2L, 500000L)))
+    assert(got((d0, 2L)) === ((1L, 2L, 500000L)))
+    assert(got((d0 + 1L, 0L)) === ((1L, 1L, 1000000L)))
+    assert(got.size === 4)
+  }
+
+  test("convertLatency: strict first-after ordering and median bucket") {
+    import graft.operators.Cohorts
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    val events = Seq(
+      // u1: view @0, purchase @1800s -> bucket 0
+      (1L, "view", t(0)), (1L, "purchase", t(1800)),
+      // u2: purchase BEFORE first view is ignored; later one @2h -> b 2
+      (2L, "purchase", t(5)), (2L, "view", t(10)),
+      (2L, "purchase", t(10 + 7200)),
+      // u3: view only -> drops out
+      (3L, "view", t(0)),
+      // u4: view @0, purchases @3600s and 7200s -> first wins, b 1
+      (4L, "view", t(0)), (4L, "purchase", t(3600)),
+      (4L, "purchase", t(7200))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Cohorts.convertLatency(events, "user_id", "event_type",
+        "ts", "view", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // buckets 0,1,2 one user each; median rank (3+1) div 2 = 2 -> b 1
+    assert(got.toSeq === Seq((0L, 1L, 1L, 1L), (1L, 1L, 2L, 1L),
+      (2L, 1L, 3L, 1L)))
+  }
+
+  test("rfm: tercile assignment from value-histogram ranks") {
+    import graft.operators.Cohorts
+    def t(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 00:00:00")
+    // three users, metrics engineered strictly increasing:
+    // u1: last day 2, 1 event,  1.00 -> rec 0, freq 1, mband 1
+    // u2: last day 1, 2 events, 4.50 -> rec 1, freq 2, mband 4
+    // u3: last day 0, 3 events, 9.00 -> rec 2, freq 3, mband 9
+    val events = Seq(
+      (1L, t(2), 1.0),
+      (2L, t(0), 2.0), (2L, t(1), 2.5),
+      (3L, t(0), 3.0), (3L, t(0), 3.0), (3L, t(0), 3.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Cohorts.rfm(events, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // ranks r0 = 0,1,2 of n=3 -> terciles 0,1,2 on every metric; u1 is
+    // most recent but least frequent/valuable
+    assert(got === Set((0L, 0L, 0L, 1L), (1L, 1L, 1L, 1L),
+      (2L, 2L, 2L, 1L)))
+  }
 }
