@@ -2543,7 +2543,21 @@ object SparkEntry {
     // RFM tercile segmentation census, 27 cells max
     "q248_rfm" -> ((s, d) =>
       graft.operators.Cohorts.rfm(T(s, d, "events"), "user_id", "ts",
-        "value"))
+        "value")),
+
+    // C4/LDNOOBW-style wordlist gate: per-doc hit ppm + keep decision
+    "q249_blocklist" -> ((s, d) =>
+      graft.text.QualityRules.blocklistGate(T(s, d, "documents"),
+        "doc_id", "text", Seq("error", "slow", "fail"),
+        thresholdPpm = 50000L)),
+
+    // NDCG@10 + MRR of the q189 BM25 ranking, relevance = matched
+    // query terms; integer micro discounts shared with the oracle
+    "q250_ndcg" -> ((s, d) =>
+      graft.text.TfIdf.ndcgAtK(
+        graft.text.TfIdf.bm25OddsMicro(T(s, d, "documents"), "doc_id",
+          "text", Seq("spark", "join", "stream", "filter")),
+        "doc_id", "n_terms_matched", "score_micro", k = 10))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -7272,6 +7286,64 @@ object SparkEntry {
         |SELECT rt.rec_t AS r_t, ftt.freq_t AS f_t, mt.mband_t AS m_t,
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM ft JOIN rt USING (rec) JOIN ftt USING (freq) JOIN mt USING (mband)
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-doc blocklist hits + keep decision
+    "q249_blocklist" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |            x -> x IN ('error', 'slow', 'fail'))) AS BIGINT) AS hits,
+        |       CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |            THEN (1000000 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                 x -> x IN ('error', 'slow', 'fail'))) AS BIGINT))
+        |                 // CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |            ELSE 0 END AS hit_ppm,
+        |       CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |            THEN (1000000 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                 x -> x IN ('error', 'slow', 'fail'))) AS BIGINT))
+        |                 // CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |            ELSE 0 END < 50000 AS keep
+        |FROM documents""".stripMargin,
+
+    // NDCG@10 + MRR over the q189 chain; disc table interpolated from
+    // the same TfIdf.ndcgDiscMicro constants the operator uses
+    "q250_ndcg" -> {
+      val discVals = graft.text.TfIdf.ndcgDiscMicro(10).zipWithIndex
+        .map { case (dv, i) => s"(${i + 1}, $dv)" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        |       WHERE term IN ('spark', 'join', 'stream', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |pt AS (SELECT tf.doc_id, tf.tf,
+        |              (2 * (nn.n - df.df) + 1) * 1000000 // (2 * df.df + 1) AS idf_ppm,
+        |              (1000000 - 750000) + (750000 * dl.dl * nn.n) // nn.tot AS norm_ppm
+        |       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nn),
+        |sc AS (SELECT doc_id,
+        |              CAST(sum(idf_ppm * (tf * (1000000 + 1200000) * 1000000 //
+        |                (tf * 1000000 + (1200000 * norm_ppm) // 1000000)) // 1000000) AS BIGINT) AS s,
+        |              CAST(count(*) AS BIGINT) AS nm
+        |       FROM pt GROUP BY 1),
+        |sco AS (SELECT dl.doc_id AS doc_id, coalesce(sc.nm, 0) AS rel,
+        |               coalesce(sc.s, 0) AS score
+        |        FROM dl LEFT JOIN sc ON sc.doc_id = dl.doc_id),
+        |disc(rnk, dv) AS (VALUES $discVals),
+        |act AS (SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |        FROM sco ORDER BY score DESC, doc_id LIMIT 10),
+        |ide AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+        |        FROM sco ORDER BY rel DESC, doc_id LIMIT 10),
+        |a AS (SELECT CAST(sum(rel * disc.dv) AS BIGINT) AS dcg_micro,
+        |             CAST(min(CASE WHEN rel > 0 THEN act.rnk END) AS BIGINT) AS fr
+        |      FROM act JOIN disc ON disc.rnk = act.rnk),
+        |i AS (SELECT CAST(sum(rel * disc.dv) AS BIGINT) AS idcg_micro
+        |      FROM ide JOIN disc ON disc.rnk = ide.rnk)
+        |SELECT a.dcg_micro, i.idcg_micro,
+        |       (1000000 * a.dcg_micro) // i.idcg_micro AS ndcg_ppm,
+        |       coalesce(1000000 // a.fr, 0) AS mrr_micro
+        |FROM a CROSS JOIN i WHERE i.idcg_micro > 0""".stripMargin
+    }
   )
 }

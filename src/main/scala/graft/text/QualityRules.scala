@@ -528,4 +528,22 @@ object QualityRules {
         expr("(1000000L * (n_segments - m.c)) div n_segments")
           .as("minority_ppm"))
   }
+
+  /** Blocklist gate — the wordlist filter every public corpus pipeline
+    * runs (the C4/LDNOOBW pattern): per document, total tokens,
+    * blocklist hits, floor-ppm hit rate, and the keep decision
+    * (hit_ppm < threshold). Pure per-row codegen over the token array;
+    * the blocklist is a literal `isin` (production swaps in a broadcast
+    * set — same plan shape as the q65 benchmark-n-gram broadcast). */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    words: Seq[String],
+                    thresholdPpm: Long = 10000L): DataFrame =
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        size(filter(TextFunctions.tokens(col(textCol)),
+          _.isInCollection(words))).cast("long").as("hits"))
+      .withColumn("hit_ppm",
+        when(col("n_tokens") > 0L,
+          expr("(1000000L * hits) div n_tokens")).otherwise(0L))
+      .withColumn("keep", col("hit_ppm") < thresholdPpm)
 }

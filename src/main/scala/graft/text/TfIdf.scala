@@ -211,4 +211,49 @@ object TfIdf {
         expr(s"1000000 div ($rrfK + rank_bm25) + 1000000 div ($rrfK + rank_tf)"))
       .orderBy(col("rrf_ppm").desc, col(idCol)).limit(topK)
   }
+
+  /** Micro-unit rank discounts 10⁶/log₂(r+1), r = 1..k, floored — ONE
+    * definition shared by [[ndcgAtK]] and the SQL oracle (which
+    * interpolates this exact table into a VALUES list), so the float
+    * log appears only in these build-time constants, never in a
+    * distributed sum. */
+  def ndcgDiscMicro(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k + MRR@k retrieval-quality evaluation of a scored ranking —
+    * the eval a search/retrieval pipeline publishes next to its scorer
+    * (q189 BM25): DCG from the top-k by (score desc, id), IDCG from the
+    * top-k by (relevance desc, id) over the WHOLE corpus, both as exact
+    * integer micro sums over the fixed discount table
+    * ([[ndcgDiscMicro]]), and MRR as 10⁶ div first-relevant rank.
+    *
+    * Scale shape: both rankings are distributed TakeOrdereds down to k
+    * rows (the [[graft.kernels.GraphStats.rankAgreement]] discipline);
+    * the rank windows and DCG sums run over k-row frames only.
+    * @return one row (dcg_micro, idcg_micro, ndcg_ppm, mrr_micro);
+    *         empty if the corpus has no relevant document. */
+  def ndcgAtK(scored: DataFrame, idCol: String, relCol: String,
+              scoreCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val disc = array(ndcgDiscMicro(k).map(lit): _*)
+    val withDisc = scored.withColumn("disc", disc)
+    def dcg(ord: Seq[org.apache.spark.sql.Column], out: String) =
+      withDisc.select(col(idCol), col(relCol).cast("long").as("rel"),
+          col(scoreCol), col("disc"))
+        .orderBy(ord: _*).limit(k)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .agg(expr("CAST(sum(rel * element_at(disc, CAST(rnk AS INT))) AS BIGINT)")
+          .as(out),
+          min(when(col("rel") > 0L, col("rnk"))).as(s"${out}_first"))
+    val actual = dcg(Seq(col(scoreCol).desc, col(idCol)), "dcg_micro")
+    val ideal = dcg(Seq(col("rel").desc, col(idCol)), "idcg_micro")
+    actual.crossJoin(ideal)
+      .filter(col("idcg_micro") > 0L)
+      .select(col("dcg_micro"), col("idcg_micro"),
+        expr("(1000000L * dcg_micro) div idcg_micro").as("ndcg_ppm"),
+        coalesce(expr("1000000L div dcg_micro_first"), lit(0L))
+          .as("mrr_micro"))
+  }
 }

@@ -654,6 +654,35 @@ class QualitySpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("blocklistGate: hit accounting and keep threshold") {
+    val docs = Seq((1L, "fast scan slow error slow"), // 2 slow+1 error of 5
+      (2L, "fast scan merge")).toDF("doc_id", "text")
+    val got = QualityRules.blocklistGate(docs, "doc_id", "text",
+        Seq("error", "slow", "fail"), thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((5L, 3L, 600000L, false)))
+    assert(got(2L) === ((3L, 0L, 0L, true)))
+  }
+
+  test("ndcgAtK: hand-traced DCG/IDCG/MRR; empty when nothing relevant") {
+    import graft.text.TfIdf
+    val scored = Seq((1L, 2L, 100L), (2L, 0L, 90L), (3L, 1L, 80L),
+      (4L, 3L, 10L)).toDF("doc_id", "rel", "score")
+    val got = TfIdf.ndcgAtK(scored, "doc_id", "rel", "score", k = 3)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    // actual top-3: rels 2,0,1 -> 2*1000000 + 0 + 1*500000 = 2500000
+    // ideal top-3:  rels 3,2,1 -> 3000000 + 2*630929 + 500000 = 4761858
+    assert(r.getLong(0) === 2500000L)
+    assert(r.getLong(1) === 4761858L)
+    assert(r.getLong(2) === 2500000L * 1000000L / 4761858L)
+    assert(r.getLong(3) === 1000000L)
+    val dead = scored.withColumn("rel", lit(0L))
+    assert(TfIdf.ndcgAtK(dead, "doc_id", "rel", "score", 3).count() === 0L)
+  }
+
   test("codeSwitch: mixed-language doc flagged, tie breaks to larger") {
     val en = "the a of and to in is it " * 4 // 32 tokens, langid en
     val de = "der die das und ist nicht der die " * 4 // 32 tokens, de
