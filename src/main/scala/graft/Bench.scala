@@ -400,7 +400,7 @@ object Bench {
     // the first TC leg, the PR kernel + pre-loop split, or the query suite
     val queriesReserve =
       if (!doQueries) 0.0
-      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "2240").toDouble
+      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "2260").toDouble
     val kernelsReserve = 280.0
     var tcEst = 150.0 // per fresh-JVM TC leg incl. spawn + parquet load
     // initial per-leg cost guesses (superstep time scales ~1/cores + a

@@ -2557,7 +2557,17 @@ object SparkEntry {
       graft.text.TfIdf.ndcgAtK(
         graft.text.TfIdf.bm25OddsMicro(T(s, d, "documents"), "doc_id",
           "text", Seq("spark", "join", "stream", "filter")),
-        "doc_id", "n_terms_matched", "score_micro", k = 10))
+        "doc_id", "n_terms_matched", "score_micro", k = 10)),
+
+    // false-twin (identical-neighborhood) classes + quotient ratio
+    "q251_structural_equiv" -> ((s, d) =>
+      graft.kernels.GraphStats.structuralEquivalence(e2(s, d))),
+
+    // same-brand edge share vs degree-preserving random expectation
+    "q252_homophily" -> ((s, d) =>
+      graft.kernels.GraphStats.labelHomophily(e2(s, d),
+        T(s, d, "part").select(col("p_partkey").as("vid"),
+          col("p_brand").as("label"))))
   )
 
   /** Recall gate for the approximate-operator queries: when set, q29/q40
@@ -7344,6 +7354,42 @@ object SparkEntry {
         |       (1000000 * a.dcg_micro) // i.idcg_micro AS ndcg_ppm,
         |       coalesce(1000000 // a.fr, 0) AS mrr_micro
         |FROM a CROSS JOIN i WHERE i.idcg_micro > 0""".stripMargin
-    }
+    },
+
+    // identical sorted-neighbor-list sha classes + quotient ppm
+    "q251_structural_equiv" ->
+      s"""WITH $CTE,
+         |adj AS (SELECT s AS vid, string_agg(CAST(d AS VARCHAR), ',' ORDER BY d) AS ns,
+         |               CAST(count(*) AS BIGINT) AS degree
+         |        FROM sym GROUP BY 1),
+         |cls AS (SELECT sha256(ns) AS class_sha, degree,
+         |               CAST(count(*) AS BIGINT) AS n_vertices,
+         |               CAST(min(vid) AS BIGINT) AS example_vid
+         |        FROM adj GROUP BY 1, 2),
+         |tot AS (SELECT (1000000 * CAST(count(*) AS BIGINT))
+         |               // CAST(sum(n_vertices) AS BIGINT) AS quotient_ppm
+         |        FROM cls)
+         |SELECT class_sha, degree, n_vertices, example_vid, tot.quotient_ppm
+         |FROM cls CROSS JOIN tot WHERE n_vertices >= 2""".stripMargin,
+
+    // same-label edge share vs sum of squared end-label shares
+    "q252_homophily" ->
+      s"""WITH $CTE,
+         |lb AS (SELECT p_partkey AS vid, p_brand AS label FROM part),
+         |el AS (SELECT e.s, e.d, a.label AS ls, b.label AS ld
+         |       FROM e JOIN lb a ON a.vid = e.s JOIN lb b ON b.vid = e.d),
+         |obs AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |               CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS same_edges
+         |        FROM el),
+         |en AS (SELECT l, CAST(count(*) AS BIGINT) AS c FROM
+         |       (SELECT ls AS l FROM el UNION ALL SELECT ld FROM el) GROUP BY 1),
+         |ag AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2,
+         |              CAST(sum(c) AS BIGINT) AS ends FROM en)
+         |SELECT obs.m, obs.same_edges,
+         |       (1000000 * obs.same_edges) // obs.m AS observed_ppm,
+         |       (1000000 * ag.s2) // (ag.ends * ag.ends) AS expected_ppm,
+         |       (1000000 * obs.same_edges) // obs.m
+         |         - (1000000 * ag.s2) // (ag.ends * ag.ends) AS gap_ppm
+         |FROM obs CROSS JOIN ag""".stripMargin
   )
 }

@@ -831,4 +831,67 @@ object GraphStats {
       .agg(count(lit(1)).as("n_components"),
         min(col("component")).as("example_component"))
   }
+
+  /** Structural-equivalence (FALSE-TWIN) classes: vertices with
+    * IDENTICAL neighbor sets collapse to one class — the vertex-level
+    * companion of [[componentFingerprints]]' component-level shapes,
+    * and the first move of web-graph compression (twin pages from the
+    * same template share every out-link) and crawl-duplicate detection.
+    * Twins are provably interchangeable in any kernel that reads only
+    * the adjacency (same PageRank score, same core number), so a
+    * pipeline can run on the quotient graph and fan results back out.
+    *
+    * One adjacency fold (the q05 shape) + one sha-group: class key =
+    * sha256 of the sorted neighbor-id list. Emits classes with ≥ 2
+    * members plus the whole-graph compression ratio as a constant
+    * column: quotient vertices / vertices, floor ppm.
+    * @return (class_sha, n_vertices, degree, example_vid,
+    *         quotient_ppm) */
+  def structuralEquivalence(edges: DataFrame): DataFrame = {
+    val sym = Edges.symmetrize(edges)
+    val cls = sym.groupBy(col("src").as("vid"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .select(col("vid"),
+        sha2(array_join(transform(col("nbrs"), _.cast("string")), ","),
+          256).as("class_sha"),
+        size(col("nbrs")).cast("long").as("degree"))
+      .groupBy(col("class_sha"), col("degree"))
+      .agg(count(lit(1)).as("n_vertices"), min(col("vid")).as("example_vid"))
+      .localCheckpoint(eager = true)
+    val tot = cls.agg(sum(col("n_vertices")).as("nv"),
+        count(lit(1)).as("nc"))
+      .select(expr("(1000000L * nc) div nv").as("quotient_ppm"))
+    cls.filter(col("n_vertices") >= 2L).crossJoin(broadcast(tot))
+  }
+
+  /** Label HOMOPHILY ledger: the share of edges joining same-label
+    * endpoints, against the expectation under degree-preserving random
+    * mixing (Σ_l q_l² with q_l = label share of edge ENDS — Newman's
+    * assortativity numerator terms, kept in exact integers). The
+    * "does this graph cluster by label" check run before trusting
+    * label propagation (q11/q174) or community features at scale.
+    *
+    * Exact-integer plan: canonical edges join the broadcast label
+    * table twice; expected_ppm = 10⁶·Σ ends_l² div (2m)² by
+    * cross-multiplication. One row:
+    * (m, same_edges, observed_ppm, expected_ppm, gap_ppm). */
+  def labelHomophily(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lb = broadcast(labels.select(col("vid"), col("label")))
+    val e = edges.select(col("src"), col("dst"))
+      .join(lb.select(col("vid").as("src"), col("label").as("ls")), "src")
+      .join(lb.select(col("vid").as("dst"), col("label").as("ld")), "dst")
+      .localCheckpoint(eager = true)
+    val obs = e.agg(count(lit(1)).as("m"),
+      sum(when(col("ls") === col("ld"), 1L).otherwise(0L))
+        .as("same_edges"))
+    val ends = e.select(col("ls").as("l"))
+      .union(e.select(col("ld").as("l")))
+      .groupBy(col("l")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("ends"))
+    obs.crossJoin(ends)
+      .select(col("m"), col("same_edges"),
+        expr("(1000000L * same_edges) div m").as("observed_ppm"),
+        expr("(1000000L * s2) div (ends * ends)").as("expected_ppm"))
+      .withColumn("gap_ppm", col("observed_ppm") - col("expected_ppm"))
+  }
 }

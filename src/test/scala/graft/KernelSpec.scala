@@ -1556,4 +1556,30 @@ class KernelSpec extends SparkSpec {
     // single-class truth -> empty result, not a division by zero
     assert(LinkPredict.linkAuc(e, edgeDF(Seq())).count() === 0L)
   }
+
+  test("structuralEquivalence: star leaves are false twins") {
+    val e = edgeDF(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    val got = GraphStats.structuralEquivalence(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // leaves 2,3,4 share the neighbor list "1"; the center's class is
+    // a singleton and filtered; quotient = 2 classes / 4 vertices
+    assert(got.length === 1)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.head === ((sha, 1L, 3L, 2L, 500000L)))
+  }
+
+  test("labelHomophily: observed vs squared-end-share expectation") {
+    import spark.implicits._
+    val e = edgeDF(Seq((1L, 2L), (3L, 4L), (1L, 3L)))
+    val lb = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("vid", "label")
+    val got = GraphStats.labelHomophily(e, lb).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // 2 of 3 edges same-label; ends a:3 b:3 -> expected 18/36
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 2L, 666666L, 500000L, 166666L)))
+  }
 }
