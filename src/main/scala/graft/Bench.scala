@@ -23,10 +23,18 @@ import org.apache.spark.sql.functions._
   *  - a GLOBAL WALL-CLOCK BUDGET (`SPARK_GRAFT_BUDGET_SEC`, default 2700)
   *    degrades the protocol gracefully instead of overrunning the driver's
   *    timeout: extra scaling-leg rounds go first, then extra TC rounds,
-  *    then the saturated 32-core leg and the in-session CC/LP/convergence
-  *    extras — never the headline N→4N pair, the first TC leg, the PR
-  *    pre-loop split, or the query suite (per-query timings stop early
-  *    only if the budget is already blown, with the skip count recorded);
+  *    then the saturated 32-core leg and the in-session LP extra — never
+  *    the headline N→4N pair, the first TC leg, the PR kernel + pre-loop
+  *    split, the CC + PR-convergence BUDGET ANCHORS (round-4 VERDICT
+  *    item 3: north-rule evidence, ~30 s total, not degradable), or the
+  *    query suite (per-query timings stop early only if the budget is
+  *    already blown, with the skip count recorded);
+  *  - a HOST-PHASE CONTROL (round-4 VERDICT item 2): every TC leg and the
+  *    in-session PR kernel record the calibrated tiny-graph superstep
+  *    floor ([[controlSec]]) measured in their own window; a reading > 2×
+  *    the historical floor marks the VM's minutes-scale slow phases and
+  *    arms ONE re-draw of that leg later in the run — the artifact either
+  *    shows a quiet draw or carries its own phase evidence;
   *  - every section's result is appended to `target/bench_full.json` AS
   *    IT COMPLETES and progress goes to stderr, so even a hard kill
   *    leaves evidence;
@@ -87,6 +95,34 @@ object Bench {
   }
 
   private def salts: Int = sys.env.getOrElse("SPARK_GRAFT_SALTS", "8").toInt
+
+  /** Calibrated host-phase control (round-4 VERDICT item 2): the
+    * tiny-graph superstep floor — best steady superstep of a 4-iteration
+    * PageRank over the deterministic Small-corpus graph (~27k directed
+    * edges), measured INSIDE the same JVM/session as the leg it guards.
+    * On a quiet host this reads near [[ControlFloor]] (historical median,
+    * BENCH.md); a reading > 2× the floor is the signature of the VM's
+    * minutes-scale background-throughput phases, so the artifact carries
+    * its own phase evidence next to every TC/PR number instead of
+    * relying on builder-run probes. ~3-5 s per invocation. */
+  private def controlSec(spark: SparkSession): Double = {
+    val sym = Edges.symmetrize(
+      EdgeDeriver.pathEdges(CorpusGen.corpus(spark, CorpusGen.Small),
+        minWeight = 1L, capPerGroup = 200)
+        .select(col("src"), col("dst"))).persist()
+    sym.count()
+    val res = PageRank.run(spark, sym, fixedIter = Some(4), salts = salts,
+      symmetric = true)
+    res.ranks.count()
+    sym.unpersist()
+    steadySec(res.metrics)
+  }
+
+  /** Historical quiet-window median of [[controlSec]] at 32 cores on the
+    * dev host (calibration runs recorded in BENCH.md round 5); override
+    * with SPARK_GRAFT_CONTROL_FLOOR. The slow-phase threshold is 2×. */
+  private def controlFloor: Double =
+    sys.env.getOrElse("SPARK_GRAFT_CONTROL_FLOOR", "0.35").toDouble
 
   /** Best steady-state superstep seconds from the engine's iteration
     * metrics, excluding superstep 1 (which materializes the persisted link
@@ -153,8 +189,13 @@ object Bench {
           f""","tc_warm_sec":${time(
             TriangleCount.total(canonical).head().getLong(0))._2}%.3f"""
         else ""
+      // host-phase control AFTER the timed kernel (same leg window — the
+      // VM's slow phases are minutes-scale — without perturbing the cold
+      // methodology rounds 1-4 used); the parent compares it to the
+      // calibrated floor and re-draws a slow-phase leg once
+      val ctl = controlSec(spark)
       println(
-        f"""LEGTC{"cores":$cores,"tc_sec":$sec%.3f,"triangles":$tri$warm}""")
+        f"""LEGTC{"cores":$cores,"tc_sec":$sec%.3f,"triangles":$tri$warm,"control_sec":$ctl%.3f}""")
     } finally spark.stop()
   }
 
@@ -193,15 +234,17 @@ object Bench {
       field("edges_per_sec").toDouble)
   }
 
-  /** @return (cold kernel sec, triangles, warm kernel sec if requested) */
+  /** @return (cold kernel sec, triangles, warm kernel sec if requested,
+    *          host-phase control sec for the leg's window) */
   private def spawnTcLeg(cores: Int, edgesPath: String,
                          warm: Boolean = false)
-      : (Double, Long, Option[Double]) = {
+      : (Double, Long, Option[Double], Double) = {
     val field = spawnChild(Seq("--tcleg", cores.toString), edgesPath,
       0, "LEGTC{",
       if (warm) Map("SPARK_GRAFT_TC_WARM" -> "1") else Map.empty)
     (field("tc_sec").toDouble, field("triangles").toLong,
-      if (warm) Some(field("tc_warm_sec").toDouble) else None)
+      if (warm) Some(field("tc_warm_sec").toDouble) else None,
+      field("control_sec").toDouble)
   }
 
   final case class Leg(edges: Long, secs: Seq[Double]) {
@@ -233,10 +276,15 @@ object Bench {
     @volatile var legs: Map[Int, Leg] = Map.empty
     @volatile var legsSkipped = 0
     @volatile var tcRuns: Seq[(Double, Long)] = Nil
+    @volatile var tcControls: Seq[Double] = Nil
     @volatile var tcRoundsRun = 0
     @volatile var tcWarmSec = -1.0
+    @volatile var ctlFloor = -1.0
     @volatile var m = -1L
     @volatile var prSec = -1.0
+    @volatile var prControl = -1.0
+    @volatile var prRedrawSec = -1.0
+    @volatile var prRedrawControl = -1.0
     @volatile var prWall = -1.0
     @volatile var prPreloopSec = -1.0
     @volatile var prStepsSec = -1.0
@@ -250,6 +298,7 @@ object Bench {
     @volatile var convTp = -1L
     @volatile var queries: Seq[(String, Double)] = Nil
     @volatile var queriesSkipped = 0
+    @volatile var queriesGated = 0
     @volatile var elapsedF: () => Double = () => -1.0
     @volatile var emitted = false
 
@@ -265,8 +314,14 @@ object Bench {
     // in the JSON, `value_source` says which was used)
     private def legTp: Option[Long] =
       legs.get(cores4N).map(_.tpMedian.toLong)
+    // the in-session candidate uses the better of the first draw and the
+    // slow-phase redraw (both raw values stay in the JSON) — the same
+    // best-sampled capacity-estimator rule as steadySec's MIN
+    def prBest: Double =
+      if (prSec > 0 && prRedrawSec > 0) math.min(prSec, prRedrawSec)
+      else if (prRedrawSec > 0) prRedrawSec else prSec
     private def insessTp: Option[Long] =
-      if (m > 0 && prSec > 0) Some((m.toDouble / prSec).toLong) else None
+      if (m > 0 && prBest > 0) Some((m.toDouble / prBest).toLong) else None
     def value: Long =
       if (legs.get(cores4N).exists(_.secs.size >= 2)) legTp.get
       else (legTp.toSeq ++ insessTp.toSeq).maxOption.getOrElse(-1L)
@@ -301,12 +356,13 @@ object Bench {
       }
     private def graphJson: String = {
       val tcRunsJson = tcRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
-      f""""graph":{"directed_edges":$m,"pagerank_superstep_sec":$prSec%.2f,"pagerank_wall_sec":$prWall%.2f,"pagerank_preloop_sec":$prPreloopSec%.2f,"pagerank_supersteps_wall_sec":$prStepsSec%.2f,"cc_sec":$ccSec%.2f,"cc_iters":$ccIters,"lp_sec":$lpSec%.2f,"tc_sec":$tcSec%.2f,"tc_sec_runs":$tcRunsJson,"tc_rounds":$tcRoundsRun,"tc_warm_sec":$tcWarmSec%.2f,"triangles":$tcTotal}"""
+      val tcCtlJson = tcControls.map(c => f"$c%.2f").mkString("[", ",", "]")
+      f""""graph":{"directed_edges":$m,"pagerank_superstep_sec":$prSec%.2f,"pagerank_control_sec":$prControl%.2f,"pagerank_redraw_superstep_sec":$prRedrawSec%.2f,"pagerank_redraw_control_sec":$prRedrawControl%.2f,"pagerank_superstep_sec_best":$prBest%.2f,"pagerank_wall_sec":$prWall%.2f,"pagerank_preloop_sec":$prPreloopSec%.2f,"pagerank_supersteps_wall_sec":$prStepsSec%.2f,"cc_sec":$ccSec%.2f,"cc_iters":$ccIters,"lp_sec":$lpSec%.2f,"tc_sec":$tcSec%.2f,"tc_sec_runs":$tcRunsJson,"tc_control_runs":$tcCtlJson,"tc_rounds":$tcRoundsRun,"tc_warm_sec":$tcWarmSec%.2f,"control_floor_sec":$ctlFloor%.2f,"triangles":$tcTotal}"""
     }
     private def convJson: String =
       f""""pagerank_convergence":{"directed_edges":$convM,"iters":$convIters,"converged":$convConverged,"sec":$convSec%.2f,"edges_per_sec":$convTp}"""
     private def head: String =
-      f"""{"metric":"pagerank_edges_per_sec_per_superstep","value":$value,"value_source":"$valueSource","unit":"edges/sec","sf":"$sfDir","budget_sec":$budget,"elapsed_sec":${elapsedF()}%.0f,"legs_skipped":$legsSkipped,"queries_skipped":$queriesSkipped"""
+      f"""{"metric":"pagerank_edges_per_sec_per_superstep","value":$value,"value_source":"$valueSource","unit":"edges/sec","sf":"$sfDir","budget_sec":$budget,"elapsed_sec":${elapsedF()}%.0f,"legs_skipped":$legsSkipped,"queries_skipped":$queriesSkipped,"queries_gated":$queriesGated"""
 
     def fullJson: String = {
       val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }
@@ -495,9 +551,10 @@ object Bench {
           val t = System.nanoTime()
           // round 1 also times a SAME-JVM warm rerun: the steady-state
           // number the cold/warm attribution in BENCH.md relies on
-          val (cold, tri, warmSec) =
+          val (cold, tri, warmSec, ctl) =
             spawnTcLeg(cores4N, edgesPath, warm = i == 1)
           runs = runs :+ (cold -> tri)
+          S.tcControls = S.tcControls :+ ctl
           warmSec.foreach(S.tcWarmSec = _)
           // later rounds skip the one-time warm rerun — estimating them at
           // round 1's warm-inclusive wall overshot by ~110 s in round 4's
@@ -512,9 +569,16 @@ object Bench {
 
     // --- 4N-core session: kernels, convergence, per-query timings ---
     val spark = session(cores4N)
+    S.ctlFloor = controlFloor
     val sym = (if (doScaling || doTc) spark.read.parquet(edgesPath)
                else Edges.symmetrize(benchEdges(spark, rows))).persist()
     S.m = sym.count()
+    // host-phase control BEFORE the PR kernel: pagerank_control_sec near
+    // the calibrated floor certifies a quiet window for the superstep
+    // number; > 2× floor marks a slow phase and arms the post-queries
+    // redraw (the control also absorbs first-query JIT, which the MIN
+    // steadySec estimator already discarded via superstep 1)
+    S.prControl = controlSec(spark)
     val (prRes, prWall) = time {
       val r = PageRank.run(spark, sym, fixedIter = Some(supersteps),
         salts = salts, symmetric = true)
@@ -531,13 +595,17 @@ object Bench {
 
     // TC recorded = median of the fresh-JVM legs above; an in-session run
     // here would sit behind the PR/CC/LP caches and a long-lived heap,
-    // which is exactly what round 2 mismeasured
-    if (remaining - queriesReserve > 100) {
+    // which is exactly what round 2 mismeasured.
+    // CC is a BUDGET ANCHOR (round-4 VERDICT item 3): ~20 s of north-rule
+    // kernel evidence that the r4 reserve math silently dropped
+    // (cc_sec: -1, legs_skipped: 5) while 700+ s of budget went unused;
+    // LP keeps a (relaxed) gate as the cheaper degradable twin.
+    locally {
       val (ccRes, ccSec) = time(ConnectedComponents.run(spark, sym))
       S.ccSec = ccSec; S.ccIters = ccRes.iterations
       checkpointSection("cc")
-    } else System.err.println("[bench] SKIP cc (budget)")
-    if (remaining - queriesReserve > 60) {
+    }
+    if (remaining - queriesReserve > 30) {
       val (_, lpSec) = time(LabelPropagation.run(spark, sym, 5).labels.count())
       S.lpSec = lpSec
       checkpointSection("lp")
@@ -560,8 +628,10 @@ object Bench {
       smallSym.unpersist()
       checkpointSection("convergence")
     }
-    if (remaining - queriesReserve > 60) runConvergence()
-    else System.err.println("[bench] SKIP convergence (deferred to top-up)")
+    // convergence is a BUDGET ANCHOR, not a degradable leg (round-4
+    // VERDICT item 3): ~12 s buys the north rule's converged=true/iters
+    // evidence, which the r4 artifact lost to pessimistic reserve math
+    runConvergence()
     sym.unpersist()
 
     // per-query timings on the driver's sf dir — runs to completion
@@ -569,7 +639,15 @@ object Bench {
     // skipped and counted; completed timings stay recorded per query)
     if (doQueries) {
       var qs = Vector.empty[(String, Double)]
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) =>
+          // quadratic-by-design exactness baselines: Verify-only, like
+          // the recall baselines (VERDICT r4 #7) — count, don't time
+          val gated = SparkEntry.benchGated(name)
+          if (gated) S.queriesGated += 1
+          gated
+        }
+        .foreach { case (name, fn) =>
         if (remaining > 10) {
           val (_, sec) = time {
             try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -587,10 +665,21 @@ object Bench {
     // in round 4's dry run (950 s reserved, 454 s spent at the 39-query
     // mark), which silently cost two TC rounds while 700+ s went unused ---
     if (doTc) {
-      while (S.tcRoundsRun < tcRounds && remaining > tcEst * 1.2 + 20) {
+      // slow-phase redraw (round-4 VERDICT item 2): when EVERY completed
+      // TC leg's in-artifact control read > 2× the calibrated floor, the
+      // artifact has no quiet-window TC sample — one extra draw later in
+      // the run either lands a quiet one or adds another control proving
+      // the phase persisted; a single quiet control among the runs means
+      // the median already has quiet evidence and no redraw is owed
+      def tcRedraw: Int =
+        if (S.tcControls.nonEmpty &&
+            S.tcControls.forall(_ > 2.0 * controlFloor)) 1 else 0
+      while (S.tcRoundsRun < tcRounds + tcRedraw &&
+             remaining > tcEst * 1.2 + 20) {
         val t = System.nanoTime()
-        val (cold, tri, _) = spawnTcLeg(cores4N, edgesPath)
+        val (cold, tri, _, ctl) = spawnTcLeg(cores4N, edgesPath)
         S.tcRuns = S.tcRuns :+ (cold -> tri)
+        S.tcControls = S.tcControls :+ ctl
         tcEst = (System.nanoTime() - t) / 1e9
         S.tcRoundsRun += 1
         checkpointSection(s"tc-topup${S.tcRoundsRun}")
@@ -621,9 +710,27 @@ object Bench {
         }
       }
     }
-    // convergence last in the top-up ladder (cheapest, and the 1e-6
-    // convergence fact is also asserted by KernelSpec — the bench row is
-    // corroborating evidence, not the only record)
+    // PR slow-phase redraw: if the pre-PR control read > 2× the floor,
+    // the in-session superstep number drew a slow phase — re-run the
+    // kernel once now (budget permitting) with its own control, so the
+    // artifact carries either a quiet-window superstep or two controls
+    // proving the phase spanned the run. Both draws stay in the JSON;
+    // pagerank_superstep_sec_best is the min (capacity estimator).
+    if (S.prControl > 2.0 * controlFloor && S.m > 0 &&
+        remaining > S.prWall * 1.2 + 30) {
+      val sym2 = (if (doScaling || doTc) spark.read.parquet(edgesPath)
+                  else Edges.symmetrize(benchEdges(spark, rows))).persist()
+      sym2.count()
+      S.prRedrawControl = controlSec(spark)
+      val r2 = PageRank.run(spark, sym2, fixedIter = Some(supersteps),
+        salts = salts, symmetric = true)
+      r2.ranks.count()
+      S.prRedrawSec = steadySec(r2.metrics)
+      sym2.unpersist()
+      checkpointSection("pagerank-redraw")
+    }
+    // convergence is an anchor now; this guard only fires if an earlier
+    // section threw and the shutdown hook replay reaches here
     if (S.convIters < 0 && remaining > 90) runConvergence()
     emit()
     spark.stop()

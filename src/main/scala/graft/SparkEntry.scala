@@ -188,8 +188,19 @@ object SparkEntry {
         sha2(col("text"), 256).as("sha"))),
     "q16_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(T(s, d, "documents"), "doc_id", "text")),
+    // Exact all-pairs n-gram Jaccard — the quadratic exactness baseline
+    // for q26's LSH scale path. Runs on a deterministic sha-sampled doc
+    // slice (~1/4 of docs → ~1/16 of the pair work): exactness on the
+    // slice is preserved and the oracle applies the identical slice, but
+    // the suite no longer pays the full quadratic wall (r4: 154 s = 11%
+    // of the suite) for a baseline whose scale twin is hash-matched.
     "q17_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text", 3, 0.65)
+      Dedup.ngramJaccard(
+        T(s, d, "documents").filter(
+          conv(substring(sha2(concat(lit("q17:"),
+            col("doc_id").cast("string")), 256), 1, 4), 16, 10)
+            .cast("long") % 4 === 0),
+        "doc_id", "text", 3, 0.65)
         .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))),
     "q18_tokens" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
@@ -391,14 +402,29 @@ object SparkEntry {
         cooc(s, d).select(col("src"), col("dst"), col("weight")),
         graft.kernels.FocusCluster.Params(minWeight = 2.0, minCore = 10))),
 
-    // BDG Voronoi+greedy layout (B3/B5/B6/B7): per-worker blocks/vertices
-    // and cross-edge counts vs the hash baseline. Deterministic; no SQL
-    // oracle (multi-round flooding + driver greedy) — PartitionSpec holds
-    // the invariants and the hash-beating assertion.
-    "q38_bdg_layout" -> ((s, d) =>
-      graft.partition.BdgLayout.crossEdgeStats(s,
-        Edges.symmetrize(e2(s, d)),
-        graft.partition.BdgLayout.Params(seedRate = 0.01, workers = 8))),
+    // BDG Voronoi+greedy layout END-TO-END (B3/B5/B6/B7), hash-matched
+    // (round-5 promotion of the last rows-only pipeline row): frozen
+    // sha-seeded flood at the production 1% seed rate (deeper 6-hop
+    // radius compensates the sparser seeds), integer parity packer
+    // (assignBlocksExact, q96-proven), exact per-worker stats with the
+    // sha-hash baseline (q97-proven) — every stage deterministic and
+    // SQL-replayable, so the full pipeline output hash-matches a DuckDB
+    // recursive-CTE replay. The production float path (re-seed ladder +
+    // float packer, voronoiColors/assignBlocks) stays spec-covered in
+    // PartitionSpec with the hash-beating assertion.
+    "q38_bdg_layout" -> ((s, d) => {
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 10)
+        .select(col("vid"), col("vid").as("color"))
+      val colors = graft.partition.BdgLayout.floodColors(sym, seeds,
+        maxHop = 6)._1
+      val assign = graft.partition.BdgLayout.assignBlocksExact(s, sym,
+        colors, workers = 8)
+      graft.partition.BdgLayout.crossEdgeStatsExact(s, sym, colors, assign,
+        workers = 8)
+    }),
 
     // B3 Voronoi flood ALONE, hash-matched (round-3 promotion of the q38
     // no-oracle row): seeds are a deterministic sha-hash sample (the one
@@ -902,9 +928,14 @@ object SparkEntry {
         Edges.symmetrize(e2(s, d)), hops = 2)),
 
     // calibrated int8 embedding compression: per-dimension min/max →
-    // affine map onto [-127,127] + max reconstruction error per vector
+    // affine map onto [-127,127] + max reconstruction error per vector.
+    // qvec is projected as a comma-joined string (sort-stable scalar):
+    // the driver's pandas compare sorts every column and cannot order
+    // raw arrays, so both sides emit the identical CSV rendering.
     "q91_quantize_int8" -> ((s, d) =>
-      Ann.calibratedInt8(T(s, d, "embeddings"), "vec_id", "embedding")),
+      Ann.calibratedInt8(T(s, d, "embeddings"), "vec_id", "embedding")
+        .withColumn("qvec",
+          concat_ws(",", col("qvec").cast("array<string>")))),
 
     // deterministic Luby MIS (sha priorities), 2-round prefix — the
     // symmetry-breaking primitive; each round is a min-aggregate over
@@ -2570,6 +2601,16 @@ object SparkEntry {
           col("p_brand").as("label"))))
   )
 
+  /** Quadratic-by-design exactness baselines, retired from the BENCH path
+    * (VERDICT r4 #7): each is the all-pairs ground-truth twin of a benched
+    * bucketed scale path (q23/q28 → q57/q58 parity ANN + q29/q40 fast
+    * paths; q33 → q125 SemDeDup / q26 LSH). Verify still runs and
+    * hash-checks all three every round — they are correctness evidence,
+    * wrong thing to time, exactly like the recall baselines behind
+    * [[recallGate]]. Bench skips them and records the count. */
+  val benchGated: Set[String] =
+    Set("q23_ann_top1", "q28_ann_topk", "q33_embed_neardup")
+
   /** Recall gate for the approximate-operator queries: when set, q29/q40
     * additionally evaluate their exact quadratic baseline to report
     * measured recall (honest evidence, wrong thing to time — VERDICT r2
@@ -2669,8 +2710,11 @@ object SparkEntry {
     "q16_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    // identical sha slice as the Spark side: ~1/4 of docs, exact on the slice
     "q17_ngram_jaccard" ->
-      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i FROM documents),
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  WHERE CAST(('0x' || substr(sha256('q17:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4 = 0),
+        |pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i FROM docs),
         |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM pos),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -3816,7 +3860,8 @@ object SparkEntry {
         |             THEN lo + CAST(qv + 127 AS DOUBLE) * (hi - lo) / 254.0
         |             ELSE lo END AS recon
         |      FROM q)
-        |SELECT vec_id AS id, array_agg(qv ORDER BY pos) AS qvec,
+        |SELECT vec_id AS id,
+        |       array_to_string(array_agg(qv ORDER BY pos), ',') AS qvec,
         |       round(max(abs(x - recon)), 8) AS max_abs_err
         |FROM r GROUP BY 1""".stripMargin,
     // staged 2-round Luby replay: sha60 priorities, strict-less winner
@@ -3991,6 +4036,88 @@ object SparkEntry {
          |  UNION
          |  SELECT s.d, r.color, r.h + 1 FROM reach r JOIN sym s ON r.vid = s.s
          |  WHERE r.h < 4
+         |),
+         |md AS (SELECT vid, min(h) AS mh FROM reach GROUP BY 1),
+         |colors AS MATERIALIZED (
+         |  SELECT r.vid, min(r.color) AS color
+         |  FROM reach r JOIN md ON r.vid = md.vid AND r.h = md.mh GROUP BY 1),
+         |sizes AS (SELECT color, count(*) AS size FROM colors GROUP BY 1),
+         |nbp AS (SELECT DISTINCT ca.color AS c1, cb.color AS c2
+         |        FROM sym s JOIN colors ca ON s.s = ca.vid
+         |                   JOIN colors cb ON s.d = cb.vid
+         |        WHERE ca.color <> cb.color),
+         |binfo AS (SELECT z.color, z.size,
+         |                 coalesce(list(n.c2 ORDER BY n.c2)
+         |                          FILTER (n.c2 IS NOT NULL), []) AS nbs
+         |          FROM sizes z LEFT JOIN nbp n ON z.color = n.c1
+         |          GROUP BY 1, 2),
+         |blocks AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY size DESC, color) AS rk,
+         |         color, size, nbs FROM binfo),
+         |nblocks AS MATERIALIZED (
+         |  SELECT count(*) AS nb_cnt, (11*sum(size))//(10*8) AS cap FROM blocks),
+         |st(i, hist, loads) AS (
+         |  SELECT 0, CAST([] AS STRUCT(c BIGINT, w BIGINT, z BIGINT)[]),
+         |         CAST([0,0,0,0,0,0,0,0] AS BIGINT[])
+         |  UNION ALL
+         |  SELECT t.i + 1,
+         |         list_append(t.hist, {'c': t.color, 'w': t.chosen, 'z': t.size}),
+         |         [t.loads[j+1] + CASE WHEN j = t.chosen THEN t.size ELSE 0 END FOR j IN range(8)]
+         |  FROM (
+         |    SELECT s.i, s.hist, s.loads, b.color, b.size,
+         |      coalesce(
+         |        7 - (list_max([
+         |           coalesce(list_sum([h.z FOR h IN s.hist IF h.w = j AND list_contains(b.nbs, h.c)]), 0)
+         |             * (n.cap - s.loads[j+1]) * 8 + (7 - j)
+         |           FOR j IN range(8)
+         |           IF s.loads[j+1] + b.size <= n.cap
+         |              AND coalesce(list_sum([h.z FOR h IN s.hist IF h.w = j AND list_contains(b.nbs, h.c)]), 0)
+         |                  * (n.cap - s.loads[j+1]) > 0]) % 8),
+         |        list_min([s.loads[j+1] * 8 + j FOR j IN range(8)]) % 8) AS chosen
+         |    FROM st s JOIN blocks b ON b.rk = s.i + 1 CROSS JOIN nblocks n
+         |  ) t
+         |),
+         |asg AS MATERIALIZED (
+         |  SELECT h.c AS color, h.w AS worker
+         |  FROM (SELECT unnest(hist) AS h FROM st, nblocks
+         |        WHERE st.i = nblocks.nb_cnt)),
+         |lay AS MATERIALIZED (
+         |  SELECT c.vid, c.color, a.worker
+         |  FROM colors c JOIN asg a ON c.color = a.color),
+         |wedges AS MATERIALIZED (
+         |  SELECT s.s, s.d, la.worker AS wa, lb.worker AS wb
+         |  FROM sym s JOIN lay la ON s.s = la.vid JOIN lay lb ON s.d = lb.vid),
+         |crossx AS (SELECT wa AS worker, count(*) AS cross_edges
+         |           FROM wedges WHERE wa <> wb GROUP BY 1),
+         |hcross AS (SELECT CAST(('0x' || substr(sha256(CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS worker,
+         |                  count(*) AS sha_cross_edges
+         |           FROM wedges
+         |           WHERE CAST(('0x' || substr(sha256(CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         |              <> CAST(('0x' || substr(sha256(CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         |           GROUP BY 1),
+         |perw AS (SELECT worker, count(DISTINCT color) AS n_blocks,
+         |                count(*) AS n_vertices FROM lay GROUP BY 1)
+         |SELECT u.worker,
+         |       coalesce(p.n_blocks, 0) AS n_blocks,
+         |       coalesce(p.n_vertices, 0) AS n_vertices,
+         |       coalesce(c.cross_edges, 0) AS cross_edges,
+         |       coalesce(h.sha_cross_edges, 0) AS sha_cross_edges
+         |FROM (SELECT unnest(range(8)) AS worker) u
+         |LEFT JOIN perw p ON u.worker = p.worker
+         |LEFT JOIN crossx c ON u.worker = c.worker
+         |LEFT JOIN hcross h ON u.worker = h.worker""".stripMargin,
+
+    // end-to-end BDG pipeline replay — q97's flood+packer+stats CTE at
+    // the production 1% seed rate and 6-hop flood radius
+    "q38_bdg_layout" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 10),
+         |reach(vid, color, h) AS (
+         |  SELECT vid, vid, 0 FROM seeds
+         |  UNION
+         |  SELECT s.d, r.color, r.h + 1 FROM reach r JOIN sym s ON r.vid = s.s
+         |  WHERE r.h < 6
          |),
          |md AS (SELECT vid, min(h) AS mh FROM reach GROUP BY 1),
          |colors AS MATERIALIZED (
@@ -7037,7 +7164,8 @@ object SparkEntry {
     // closed-interval overlap, duration = floor(value) whole seconds
     "q236_interval_join" ->
       """WITH iv AS (SELECT event_id, epoch_us(ts) // 1000000 AS s,
-        |                   epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e
+        |                   epoch_us(ts) // 1000000
+        |                   + greatest(0, CAST(floor(value) AS BIGINT)) AS e
         |            FROM events)
         |SELECT a.event_id AS e1, b.event_id AS e2,
         |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec

@@ -125,7 +125,17 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
 
   /** Create branch `ref` at the current head (pinning "main" there too
     * if this is the table's first branch). Returns the head snapshot. */
+  // ref names are interpolated into the JSON ref log unescaped; a name
+  // with a quote would write a line the refs() regex skips — silently
+  // losing the branch head. Fail loudly at the API boundary instead.
+  private def validRef(ref: String): String = {
+    require(ref.matches("[A-Za-z0-9._-]+"),
+      s"invalid ref name '$ref': must match [A-Za-z0-9._-]+")
+    ref
+  }
+
   def branch(name: String, ref: String): Long = {
+    validRef(ref)
     val head = snapshots(name).maxOption
       .getOrElse(sys.error(s"no committed snapshot for table $name"))
     if (!refs(name).contains("main")) writeRef(name, "main", head)
@@ -136,7 +146,7 @@ final class LocalCatalog(root: String) extends CatalogAdapter {
   /** Append onto a named ref: the new snapshot's lineage is the ref
     * head's chain, and only that ref advances. */
   def appendTo(name: String, ref: String, df: DataFrame): Long = {
-    val head = refs(name).getOrElse(ref,
+    val head = refs(name).getOrElse(validRef(ref),
       sys.error(s"unknown ref $ref for table $name"))
     commit(name, df, parentsOf(name, head) :+ head, advance = Some(ref))
   }

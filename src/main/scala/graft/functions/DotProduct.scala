@@ -22,9 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Each side may independently be array<float> or array<double>
   * (elements are widened to double exactly as `cast("double")` does).
-  * Arrays must have equal length (embedding columns are fixed-dim);
-  * behavior on unequal lengths is undefined, like
-  * [[SortedIntersectCount]]'s sortedness contract.
+  * Unequal lengths return NULL — the observable behavior of the
+  * `zip_with` fold this replaced — so a dimension-mismatch schema bug
+  * surfaces as a visible null, never a plausible truncated partial dot.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,6 +43,9 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // the mismatched-length NULL means the result can be null even when
+  // both inputs are non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def isFloat(t: DataType): Boolean = t match {
@@ -53,16 +56,19 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (fx, fy) = (isFloat(left.dataType), isFloat(right.dataType))
-    val n = math.min(x.numElements(), y.numElements())
-    var i = 0; var s = 0.0
-    while (i < n) {
-      val u = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
-      val v = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
-      s += u * v
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val (fx, fy) = (isFloat(left.dataType), isFloat(right.dataType))
+      val n = x.numElements()
+      var i = 0; var s = 0.0
+      while (i < n) {
+        val u = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val v = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+        s += u * v
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,10 +78,14 @@ case class DotProduct(left: Expression, right: Expression)
       def get(arr: String, t: DataType) =
         if (isFloat(t)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+         |  }
          |}
        """.stripMargin
     })

@@ -27,24 +27,34 @@ object Bipartite {
     // hash-min CC: component id IS the component's minimum vid = the root
     val comp = ConnectedComponents.run(spark, sym).components
       .localCheckpoint(eager = true)
-    var seen = comp.filter(col("vid") === col("component"))
+    // frontier-piece discipline ([[Bfs.distances]]): the per-level frontier
+    // is a lazy checkpoint materialized by the SAME count that drives
+    // convergence, and the seen set is the lazy union of per-level pieces
+    // (folded into one eager checkpoint every compactEvery levels) — one
+    // driver job per BFS level instead of the three (eager checkpoint +
+    // count + seen re-checkpoint) this loop issued through round 4
+    val roots = comp.filter(col("vid") === col("component"))
       .select(col("component"), col("vid"), lit(0L).as("par"))
       .localCheckpoint(eager = true)
-    var frontier = seen
-    var n = frontier.count()
+    var pieces = List(roots)
+    def seen: DataFrame = pieces.reduce(_ union _)
+    var frontier = roots
+    var n = 1L // roots are nonempty whenever the graph is
     var it = 0
+    val compactEvery = 8
     while (n > 0 && it < maxIter) {
       it += 1
-      val exp = frontier.join(sym, frontier("vid") === sym("src"))
+      val next = frontier.join(sym, frontier("vid") === sym("src"))
         .select(frontier("component"), sym("dst").as("vid"),
           (lit(1L) - frontier("par")).as("par"))
         .distinct()
-      val next = exp.join(seen, Seq("component", "vid", "par"), "left_anti")
-        .localCheckpoint(eager = true)
+        .join(seen, Seq("component", "vid", "par"), "left_anti")
+        .localCheckpoint(eager = false) // materialized by the count below
       n = next.count()
       if (n > 0) {
-        seen = seen.union(next).localCheckpoint(eager = true)
-        frontier = next
+        frontier = next; pieces = next :: pieces
+        if (pieces.size >= compactEvery)
+          pieces = List(pieces.reduce(_ union _).localCheckpoint(eager = true))
       }
     }
     sym.unpersist()

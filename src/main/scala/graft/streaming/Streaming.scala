@@ -318,9 +318,13 @@ object Streaming {
     * arithmetic (`floor(value)` whole seconds, closed endpoints). */
   def intervalOverlap(events: DataFrame, binSec: Int = 512): DataFrame = {
     val w = binSec.toLong
+    // dur clamped at 0: a negative value would invert the interval
+    // (e < s), and while the descending sequence() still explodes bins,
+    // the count-once bin predicate can fall outside the inverted range
+    // and silently drop pairs a direct range predicate emits
     val iv = events.select(col("event_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000L").as("s"),
-        floor(col("value")).cast("long").as("dur"))
+        greatest(lit(0L), floor(col("value")).cast("long")).as("dur"))
       .select(col("event_id"), col("s"), (col("s") + col("dur")).as("e"))
     val binned = iv.select(col("event_id"), col("s"), col("e"),
       explode(expr(s"sequence(s div ${w}L, e div ${w}L)")).as("bin"))

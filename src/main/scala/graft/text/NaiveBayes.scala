@@ -101,7 +101,10 @@ object NaiveBayes {
       .localCheckpoint(eager = true)
     val w = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totalPos = hist.agg(sum(col("pos"))).head().getLong(0)
+    // sum over an empty histogram is NULL — Option-guard like the other
+    // empty-input scalar pulls (conductanceWeighted, systematicPpsSample)
+    val totalPos = Option(hist.agg(sum(col("pos"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     hist.withColumn("cum_n", sum(col("n")).over(w))
       .withColumn("cum_pos", sum(col("pos")).over(w))
       .select(col("score"), col("n"), col("pos"), col("cum_n"),

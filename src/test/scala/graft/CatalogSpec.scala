@@ -53,6 +53,18 @@ class CatalogSpec extends SparkSpec {
       === Array(1L, 2L, 3L))
   }
 
+  test("branch rejects ref names the JSON ref log cannot round-trip") {
+    val cat = new LocalCatalog(
+      Files.createTempDirectory("graft-catalog-ref").toString)
+    cat.createOrReplace("t", Seq(1L).toDF("x"))
+    // a quote (or any JSON metachar) would write a ref-log line the
+    // refs() regex skips — the head would be silently lost, not broken
+    intercept[IllegalArgumentException](cat.branch("t", "bad\"ref"))
+    intercept[IllegalArgumentException](cat.branch("t", "sp ace"))
+    cat.branch("t", "ok-ref_1.x") // the full allowed alphabet
+    assert(cat.refs("t").contains("ok-ref_1.x"))
+  }
+
   test("expire snapshots: history pruned, content intact, parents kept") {
     val cat = new LocalCatalog(
       Files.createTempDirectory("graft-catalog-exp").toString)

@@ -86,6 +86,26 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
   }
 
+  test("graft_dot returns NULL on mismatched array lengths (both paths)") {
+    GraftFunctions.ensureRegistered(spark)
+    // codegen path via SQL
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) x")
+      .head()
+    assert(viaSql.isNullAt(0),
+      "dimension mismatch must surface as NULL (the zip_with fold's " +
+        "observable behavior), never a truncated partial dot")
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Literal.create(new GenericArrayData(Array(1.0, 2.0)),
+      ArrayType(DoubleType))
+    val b = Literal.create(new GenericArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayType(DoubleType))
+    assert(graft.functions.DotProduct(a, b).eval(null) == null)
+  }
+
   test("graft_dot interpreted eval matches codegen result") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
