@@ -455,9 +455,15 @@ object Bench {
     // the budget trims extra leg rounds first, then extra TC rounds, then
     // the in-session CC/LP/convergence extras — never the headline pair,
     // the first TC leg, the PR kernel + pre-loop split, or the query suite
+    // retuned for the round-5 suite (q17 sliced, q38 deterministic,
+    // 3 quadratic baselines gated): measured 792 s quiet for 249 queries;
+    // 1700 covers a ~2× slow-phase draw while no longer starving the
+    // inline leg/TC rounds and the LP extra the 2260 reserve skipped
+    // (the r4 suite was 1352 s at driver phase — its reserve was sized
+    // to a suite shape that no longer exists)
     val queriesReserve =
       if (!doQueries) 0.0
-      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "2260").toDouble
+      else sys.env.getOrElse("SPARK_GRAFT_QUERIES_RESERVE", "1700").toDouble
     val kernelsReserve = 280.0
     var tcEst = 150.0 // per fresh-JVM TC leg incl. spawn + parquet load
     // initial per-leg cost guesses (superstep time scales ~1/cores + a
