@@ -2598,7 +2598,38 @@ object SparkEntry {
     "q252_homophily" -> ((s, d) =>
       graft.kernels.GraphStats.labelHomophily(e2(s, d),
         T(s, d, "part").select(col("p_partkey").as("vid"),
-          col("p_brand").as("label"))))
+          col("p_brand").as("label")))),
+
+    // 2-approx minimum vertex cover (Gavril): endpoints of the q119
+    // maximal matching (3-round replayable prefix), each with its sym
+    // degree — the "monitoring set" / cut-coverage primitive; |cover| <=
+    // 2 OPT and |matching| <= OPT bound it from both sides
+    "q253_vertex_cover" -> ((s, d) =>
+      graft.kernels.Matching.vertexCover(s, e2(s, d), maxRounds = 3)
+        .join(Edges.degrees(Edges.symmetrize(e2(s, d))), "vid")),
+
+    // leave-one-source-out NB data valuation: per held-out source, the
+    // confusion matrix of the classifier retrained WITHOUT that source
+    // (additive sufficient statistics — one extra aggregation, no
+    // retraining pass), evaluated on the surviving docs; same label
+    // rule and integer bit arithmetic as q211
+    "q254_loo_source_value" -> ((s, d) => {
+      val t = TF.tokens(col("text"))
+      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      graft.text.NaiveBayes.looSourceValue(T(s, d, "documents"), "doc_id",
+        "text", "source",
+        (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
+    }),
+
+    // l-diversity audit (attribute disclosure, the q242 companion):
+    // (lang, 25-char length bucket) groups whose docs span < 3 distinct
+    // sources leak their source to anyone who locates the group (the
+    // fine bucket keeps the audit non-vacuous at every sf)
+    "q255_ldiversity" -> ((s, d) =>
+      graft.text.QualityRules.lDiversityRisk(
+        T(s, d, "documents").select(col("lang"),
+          expr("n_chars div 25L").as("len_bucket"), col("source")),
+        Seq("lang", "len_bucket"), "source", l = 3L))
   )
 
   /** Quadratic-by-design exactness baselines, retired from the BENCH path
@@ -7518,6 +7549,106 @@ object SparkEntry {
          |       (1000000 * ag.s2) // (ag.ends * ag.ends) AS expected_ppm,
          |       (1000000 * obs.same_edges) // obs.m
          |         - (1000000 * ag.s2) // (ag.ends * ag.ends) AS gap_ppm
-         |FROM obs CROSS JOIN ag""".stripMargin
+         |FROM obs CROSS JOIN ag""".stripMargin,
+
+    // the q119 3-round matching replay, endpoints unioned into the cover,
+    // each with its sym degree
+    "q253_vertex_cover" ->
+      s"""WITH $CTE,
+         |l0 AS MATERIALIZED (SELECT s, d,
+         |       CAST(('0x' || substr(sha256('mm:' || s || ':' || d), 1, 15)) AS BIGINT) AS p
+         |       FROM e),
+         |v1 AS MATERIALIZED (SELECT v, min(p) AS mp FROM
+         |       (SELECT s AS v, p FROM l0 UNION ALL SELECT d, p FROM l0) GROUP BY 1),
+         |m1 AS MATERIALIZED (SELECT l.s, l.d FROM l0 l
+         |       JOIN v1 a ON l.s = a.v AND l.p = a.mp
+         |       JOIN v1 b ON l.d = b.v AND l.p = b.mp),
+         |x1 AS MATERIALIZED (SELECT s AS v FROM m1 UNION SELECT d FROM m1),
+         |l1 AS MATERIALIZED (SELECT l.* FROM l0 l
+         |       WHERE NOT EXISTS (SELECT 1 FROM x1 WHERE x1.v = l.s)
+         |         AND NOT EXISTS (SELECT 1 FROM x1 WHERE x1.v = l.d)),
+         |v2 AS MATERIALIZED (SELECT v, min(p) AS mp FROM
+         |       (SELECT s AS v, p FROM l1 UNION ALL SELECT d, p FROM l1) GROUP BY 1),
+         |m2 AS MATERIALIZED (SELECT l.s, l.d FROM l1 l
+         |       JOIN v2 a ON l.s = a.v AND l.p = a.mp
+         |       JOIN v2 b ON l.d = b.v AND l.p = b.mp),
+         |x2 AS MATERIALIZED (SELECT s AS v FROM m2 UNION SELECT d FROM m2),
+         |l2 AS MATERIALIZED (SELECT l.* FROM l1 l
+         |       WHERE NOT EXISTS (SELECT 1 FROM x2 WHERE x2.v = l.s)
+         |         AND NOT EXISTS (SELECT 1 FROM x2 WHERE x2.v = l.d)),
+         |v3 AS MATERIALIZED (SELECT v, min(p) AS mp FROM
+         |       (SELECT s AS v, p FROM l2 UNION ALL SELECT d, p FROM l2) GROUP BY 1),
+         |m3 AS MATERIALIZED (SELECT l.s, l.d FROM l2 l
+         |       JOIN v3 a ON l.s = a.v AND l.p = a.mp
+         |       JOIN v3 b ON l.d = b.v AND l.p = b.mp),
+         |cover AS (SELECT s AS vid FROM m1 UNION SELECT d FROM m1
+         |          UNION SELECT s FROM m2 UNION SELECT d FROM m2
+         |          UNION SELECT s FROM m3 UNION SELECT d FROM m3)
+         |SELECT c.vid, deg.degree FROM cover c JOIN deg ON c.vid = deg.vid""".stripMargin,
+
+    // LOO NB replay: q211's pipeline with per-source totals subtracted
+    // inside the bit-logs; length(bin()) differences replay Spark's
+    // (length-1) bits exactly (the -1s cancel in every difference)
+    "q254_loo_source_value" ->
+      """WITH tk AS (SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |            FROM documents),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+        |                CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS thec
+        |         FROM tk GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN thec * 20 >= ntok THEN 1 ELSE 0 END AS y FROM base),
+        |ti AS (SELECT t.doc_id, t.source AS dsrc, l.y, t.tok FROM tk t JOIN lab l USING (doc_id)),
+        |tot AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+        |               CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS BIGINT) AS n1,
+        |               CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS BIGINT) AS n0,
+        |               CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |        FROM ti),
+        |stot AS (SELECT dsrc AS hsrc,
+        |               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1s,
+        |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0s,
+        |               CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS BIGINT) AS n1s,
+        |               CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS BIGINT) AS n0s
+        |        FROM ti GROUP BY 1),
+        |pres AS (SELECT DISTINCT tok, dsrc FROM ti),
+        |excl AS (SELECT p.dsrc AS hsrc, CAST(count(*) AS BIGINT) AS vx
+        |         FROM pres p JOIN (SELECT tok, count(*) AS ns FROM pres GROUP BY 1) q USING (tok)
+        |         WHERE q.ns = 1 GROUP BY 1),
+        |scal AS (SELECT s.hsrc, s.t1s, s.t0s, s.n1s, s.n0s,
+        |                (SELECT v FROM tot) - coalesce(e.vx, 0) AS vloo
+        |         FROM stot s LEFT JOIN excl e USING (hsrc)),
+        |cnt AS (SELECT tok,
+        |               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+        |        FROM ti GROUP BY 1),
+        |cnts AS (SELECT tok, dsrc AS hsrc,
+        |               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1s,
+        |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0s
+        |         FROM ti GROUP BY 1, 2),
+        |w AS (SELECT c.tok, s.hsrc,
+        |             CAST(length(bin((c.c1 - coalesce(cs.c1s, 0) + 1) * ((SELECT t0 FROM tot) - s.t0s + s.vloo))) AS BIGINT)
+        |           - CAST(length(bin((c.c0 - coalesce(cs.c0s, 0) + 1) * ((SELECT t1 FROM tot) - s.t1s + s.vloo))) AS BIGINT) AS w,
+        |             CAST(length(bin((SELECT n1 FROM tot) - s.n1s + 1)) AS BIGINT)
+        |           - CAST(length(bin((SELECT n0 FROM tot) - s.n0s + 1)) AS BIGINT) AS prior
+        |      FROM cnt c CROSS JOIN scal s
+        |      LEFT JOIN cnts cs ON cs.tok = c.tok AND cs.hsrc = s.hsrc),
+        |sc AS (SELECT ti.doc_id, ti.y, w.hsrc, w.prior,
+        |              CAST(sum(w.w) AS BIGINT) + w.prior AS score
+        |       FROM ti JOIN w ON ti.tok = w.tok AND ti.dsrc <> w.hsrc
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT hsrc AS held_out, CAST(y AS BIGINT) AS y,
+        |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin,
+
+    // one aggregation + corpus-wide share, groups spanning < 3 sources
+    "q255_ldiversity" ->
+      """WITH g AS (SELECT lang, n_chars // 25 AS len_bucket,
+        |                  CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive
+        |           FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST((1000000 * sum(CASE WHEN n_sensitive < 3 THEN n_docs ELSE 0 END))
+        |                    // sum(n_docs) AS BIGINT) AS risk_ppm FROM g)
+        |SELECT g.lang, g.len_bucket, g.n_docs, g.n_sensitive, tot.risk_ppm
+        |FROM g CROSS JOIN tot WHERE g.n_sensitive < 3""".stripMargin
   )
 }

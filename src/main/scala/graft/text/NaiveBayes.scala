@@ -145,4 +145,92 @@ object NaiveBayes {
       .select(expr("sg div nn").as("ece_ppm"))
     led.crossJoin(ece)
   }
+
+  /** Leave-one-source-out (LOO) data valuation of the NB classifier —
+    * "which corpus source is load-bearing for the model": for every
+    * source s, train the classifier on the corpus MINUS s and report the
+    * confusion matrix on the remaining docs. The influence-function /
+    * Shapley-lite question every mixing decision asks before dropping or
+    * down-weighting a source, answered exactly because multinomial-NB
+    * sufficient statistics are ADDITIVE: the LOO model for s is the
+    * global count tables minus s's count tables — no per-source
+    * retraining pass, the whole family of |S| models falls out of ONE
+    * extra (token, source) aggregation.
+    *
+    * Exactness: identical integer bit arithmetic to [[scores]] (floor-
+    * log2 via bin-length), with per-source totals subtracted inside the
+    * logs and the LOO vocabulary V_s = V − |tokens exclusive to s|
+    * (Laplace denominators see only surviving vocabulary). LOO priors
+    * get +1 smoothing (a source may own an entire class; the global
+    * model in [[confusion]] keeps its raw priors).
+    *
+    * Scale shape: token instances shuffle twice (global counts,
+    * per-source counts); the LOO weight table is vocabulary × |sources|
+    * rows and the scoring join replicates each token instance |sources|
+    * times — bounded by the source count, which at any corpus scale is
+    * the mixing-ledger grain (dozens), never a per-doc dimension.
+    * Output: (held_out, y, pred, n) — one confusion per held-out source
+    * over the docs that survive the holdout. */
+  def looSourceValue(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String,
+                     labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(srcCol).as("dsrc"),
+        labelCol.as("y"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .localCheckpoint(eager = true)
+
+    val tot = toks.groupBy(col("y")).agg(
+      count(lit(1)).as("t"), countDistinct(col("id")).as("n"))
+    val v = toks.select(col("tok")).distinct().count()
+    val trow = tot.filter(col("y") === 1L)
+      .crossJoin(tot.filter(col("y") === 0L)
+        .select(col("t").as("t0"), col("n").as("n0")))
+      .select(col("t").as("t1"), col("n").as("n1"), col("t0"), col("n0"))
+      .head()
+    val (t1, n1, t0, n0) =
+      (trow.getLong(0), trow.getLong(1), trow.getLong(2), trow.getLong(3))
+
+    // per-source class totals + exclusive-vocabulary count → the LOO
+    // scalar table (|sources| rows, broadcast everywhere below)
+    val srcTot = toks.groupBy(col("dsrc").as("hsrc")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("t1s"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("t0s"),
+      countDistinct(when(col("y") === 1L, col("id"))).as("n1s"),
+      countDistinct(when(col("y") === 0L, col("id"))).as("n0s"))
+    val pres = toks.select(col("tok"), col("dsrc")).distinct()
+    val excl = pres.join(
+        pres.groupBy(col("tok")).agg(count(lit(1)).as("ns")), "tok")
+      .filter(col("ns") === 1L)
+      .groupBy(col("dsrc").as("hsrc")).agg(count(lit(1)).as("vx"))
+    val scal = srcTot.join(excl, Seq("hsrc"), "left")
+      .select(col("hsrc"), col("t1s"), col("t0s"), col("n1s"), col("n0s"),
+        (lit(v) - coalesce(col("vx"), lit(0L))).as("vloo"))
+
+    val cnt = toks.groupBy(col("tok")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"))
+    val cntS = toks.groupBy(col("tok"), col("dsrc").as("hsrc")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1s"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0s"))
+
+    // LOO weight table: vocabulary × sources; a (tok, source) pair absent
+    // from cntS subtracts nothing (the token never occurs in that source)
+    val w = cnt.crossJoin(broadcast(scal))
+      .join(cntS, Seq("tok", "hsrc"), "left")
+      .select(col("tok"), col("hsrc"),
+        (bits((col("c1") - coalesce(col("c1s"), lit(0L)) + 1L) *
+            (lit(t0) - col("t0s") + col("vloo"))) -
+          bits((col("c0") - coalesce(col("c0s"), lit(0L)) + 1L) *
+            (lit(t1) - col("t1s") + col("vloo")))).as("w"),
+        (bits(lit(n1) - col("n1s") + 1L) -
+          bits(lit(n0) - col("n0s") + 1L)).as("prior"))
+
+    toks.join(w, "tok")
+      .filter(col("dsrc") =!= col("hsrc")) // held-out docs leave the eval
+      .groupBy(col("id"), col("y"), col("hsrc"), col("prior"))
+      .agg((sum(col("w")) + col("prior")).as("score"))
+      .groupBy(col("hsrc").as("held_out"), col("y"),
+        (col("score") > 0L).cast("long").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

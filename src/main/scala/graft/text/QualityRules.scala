@@ -498,6 +498,30 @@ object QualityRules {
     g.filter(col("n_docs") < k).crossJoin(broadcast(tot))
   }
 
+  /** l-DIVERSITY risk ledger — the attribute-disclosure companion of
+    * [[kAnonymityRisk]] (Machanavajjhala et al., ICDE'06): a QI group can
+    * be k-anonymous yet still leak its sensitive attribute when every
+    * member SHARES it; any group with fewer than `l` distinct sensitive
+    * values lets an attacker who locates the group infer the attribute.
+    * Same scale shape as the k-audit: one hash aggregation on the QI
+    * tuple (now also counting distinct sensitive values — map-side
+    * combinable) + a broadcast totals row; the corpus never reshuffles.
+    * @return (qiCols..., n_docs, n_sensitive, risk_ppm) for groups with
+    *         n_sensitive < l; risk_ppm = corpus-wide share of docs in
+    *         under-diverse groups */
+  def lDiversityRisk(df: DataFrame, qiCols: Seq[String], sensCol: String,
+                     l: Long): DataFrame = {
+    val g = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(sensCol)).as("n_sensitive"))
+      .localCheckpoint(eager = true)
+    val tot = g.agg(sum(col("n_docs")).as("t"),
+        sum(when(col("n_sensitive") < l, col("n_docs")).otherwise(0L))
+          .as("r"))
+      .select(expr("(1000000L * r) div t").as("risk_ppm"))
+    g.filter(col("n_sensitive") < l).crossJoin(broadcast(tot))
+  }
+
   /** CODE-SWITCH detection: language-identify each `seg`-token block of
     * a document independently and report per-document language mixing —
     * (n_segments, n_langs, majority_lang, minority_ppm). Catches the

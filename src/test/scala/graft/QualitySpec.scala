@@ -654,6 +654,41 @@ class QualitySpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("lDiversityRisk: under-diverse groups and corpus share, hand-traced") {
+    // (en,0): 3 docs over sources a/b/c — diverse at l=3, safe;
+    // (en,1): 2 docs, one source — risky; (de,0): 2 docs, two sources — risky
+    val df = Seq(("en", 0L, "a"), ("en", 0L, "b"), ("en", 0L, "c"),
+      ("en", 1L, "a"), ("en", 1L, "a"), ("de", 0L, "a"), ("de", 0L, "b"))
+      .toDF("lang", "b", "src")
+    val got = QualityRules.lDiversityRisk(df, Seq("lang", "b"), "src", 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // risky docs 4 of 7 -> 571428 ppm
+    assert(got === Set(("en", 1L, 2L, 1L, 571428L),
+      ("de", 0L, 2L, 2L, 571428L)))
+    // l=1 finds nothing (every group spans at least one value)
+    assert(QualityRules.lDiversityRisk(df, Seq("lang", "b"), "src", 1L)
+      .count() === 0L)
+  }
+
+  test("looSourceValue: hand-traced LOO weights on the two-source fixture") {
+    import graft.text.NaiveBayes
+    // the confusion-test fixture split across two sources; holding out
+    // either source halves every count symmetrically. Hand trace for
+    // held-out B (t1s=t0s=3, n1s=n0s=1, no exclusive vocab -> vloo=4):
+    // w(spam)=bits(3*7)-bits(1*7)=+2, w(buy)=bits(2*7)-bits(7)=+1,
+    // w(ham)=-2, w(nice)=-1, prior 0 -> doc1 scores +5, doc3 -5; the
+    // held-out docs (2, 4) leave the eval. A is symmetric.
+    val d = Seq((1L, "spam spam buy", 1L, "A"), (2L, "spam buy buy", 1L, "B"),
+      (3L, "ham ham nice", 0L, "A"), (4L, "ham nice nice", 0L, "B"))
+      .toDF("doc_id", "text", "y", "src")
+    val got = NaiveBayes.looSourceValue(d, "doc_id", "text", "src", col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(("A", 1L, 1L, 1L), ("A", 0L, 0L, 1L),
+      ("B", 1L, 1L, 1L), ("B", 0L, 0L, 1L)))
+  }
+
   test("blocklistGate: hit accounting and keep threshold") {
     val docs = Seq((1L, "fast scan slow error slow"), // 2 slow+1 error of 5
       (2L, "fast scan merge")).toDF("doc_id", "text")
