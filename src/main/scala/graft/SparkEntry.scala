@@ -2629,7 +2629,14 @@ object SparkEntry {
       graft.text.QualityRules.lDiversityRisk(
         T(s, d, "documents").select(col("lang"),
           expr("n_chars div 25L").as("len_bucket"), col("source")),
-        Seq("lang", "len_bucket"), "source", l = 3L))
+        Seq("lang", "len_bucket"), "source", l = 3L)),
+
+    // EWMA level anomaly over densified hourly event counts (α = 1/4,
+    // integer micro-units) — the long-memory detector beside q201's
+    // 3-hour window burst rule; per-type bounded array fold, the
+    // recurrence replayed by a recursive CTE
+    "q256_ewma_anomaly" -> ((s, d) =>
+      graft.streaming.Streaming.ewmaAnomaly(T(s, d, "events")))
   )
 
   /** Quadratic-by-design exactness baselines, retired from the BENCH path
@@ -7649,6 +7656,41 @@ object SparkEntry {
         |tot AS (SELECT CAST((1000000 * sum(CASE WHEN n_sensitive < 3 THEN n_docs ELSE 0 END))
         |                    // sum(n_docs) AS BIGINT) AS risk_ppm FROM g)
         |SELECT g.lang, g.len_bucket, g.n_docs, g.n_sensitive, tot.risk_ppm
-        |FROM g CROSS JOIN tot WHERE g.n_sensitive < 3""".stripMargin
+        |FROM g CROSS JOIN tot WHERE g.n_sensitive < 3""".stripMargin,
+
+    // densified hourly counts, then the fixed-point recurrence
+    // e' = (3e + 1e6 n) // 4 replayed one hour per recursion step;
+    // first hour seeds e = 1e6 n with the -1 sentinel and never flags
+    "q256_ewma_anomaly" ->
+      """WITH RECURSIVE cnt AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |         FROM cnt GROUP BY 1),
+        |dense AS (SELECT s.event_type,
+        |                 unnest(generate_series(s.h0, s.h1)) AS h
+        |          FROM span s),
+        |dn AS (SELECT d.event_type, d.h, coalesce(c.n, 0) AS n
+        |       FROM dense d LEFT JOIN cnt c
+        |         ON d.event_type = c.event_type AND d.h = c.h),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type, h, n,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM dn),
+        |st(event_type, rn, e) AS (
+        |  SELECT event_type, CAST(1 AS BIGINT), n * 1000000
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, (3 * s.e + 1000000 * i.n) // 4
+        |  FROM st s JOIN idx i
+        |    ON i.event_type = s.event_type AND i.rn = s.rn + 1
+        |)
+        |SELECT i.event_type, i.h, i.n,
+        |       coalesce(p.e, -1) AS ewma_prev_micro,
+        |       CAST(CASE WHEN p.e IS NOT NULL AND i.n * 1000000 > 3 * p.e
+        |            THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM idx i LEFT JOIN st p
+        |  ON p.event_type = i.event_type AND p.rn = i.rn - 1""".stripMargin
   )
 }

@@ -398,6 +398,63 @@ object Streaming {
       }
   }
 
+  /** EWMA anomaly ledger over hourly event-type counts — the
+    * exponentially-weighted moving average detector telemetry pipelines
+    * run next to the window-burst rule ([[SparkEntry]] q201): where the
+    * burst rule compares an hour to its trailing 3-hour SUM (forgets
+    * everything older), the EWMA carries the whole history at
+    * geometrically decaying weight (α = 1/4), so a slow ramp that never
+    * doubles any 3-hour window still eventually reads as a spike against
+    * its long-run level — and a recovered level stops flagging.
+    *
+    * All-integer fixed point, replayable bit-for-bit: the state is the
+    * EWMA in micro-units, e' = (3·e + 10⁶·n) div 4 (truncating div), an
+    * hour is a spike when 10⁶·n > 3·e_prev (count above 3× the level
+    * BEFORE the hour), the first hour seeds e = 10⁶·n and never flags
+    * (ewma_prev_micro = −1 sentinel).
+    *
+    * Scale shape: hours are DENSIFIED per type (a silent hour must decay
+    * the level — dropping it would freeze the detector), then the
+    * recurrence folds a per-type sorted (hour, count) array with
+    * `aggregate` — sequential by nature, but the array is bounded by the
+    * time span (hours per type: the telemetry grain, never per-event),
+    * exactly the bounded-per-key exception [[sessionizeBatch]]'s windows
+    * already use. One corpus aggregation + one |types|-row fold.
+    * @return (event_type, h, n, ewma_prev_micro, spike) */
+  def ewmaAnomaly(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600L").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val dense = cnt.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      .join(cnt, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    dense.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("h"), col("n")))).as("xs"))
+      .select(col("event_type"), expr(
+        """aggregate(xs,
+          |  named_struct('e', -1L,
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<h: BIGINT, n: BIGINT,
+          |                   ewma_prev_micro: BIGINT, spike: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'e', CASE WHEN acc.e < 0L THEN x.n * 1000000L
+          |              ELSE (3L * acc.e + 1000000L * x.n) div 4L END,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'h', x.h, 'n', x.n,
+          |      'ewma_prev_micro', CASE WHEN acc.e < 0L THEN -1L
+          |                              ELSE acc.e END,
+          |      'spike', CASE WHEN acc.e >= 0L AND x.n * 1000000L > 3L * acc.e
+          |               THEN 1L ELSE 0L END)))),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("r"))
+      .select(col("event_type"), col("r.h").as("h"), col("r.n").as("n"),
+        col("r.ewma_prev_micro").as("ewma_prev_micro"),
+        col("r.spike").as("spike"))
+  }
+
   def ingestCorpus(spark: SparkSession, dir: String, schema: StructType,
                    catalog: graft.catalog.CatalogAdapter,
                    table: String): Seq[Long] = {

@@ -230,6 +230,25 @@ class StreamingSpec extends SparkSpec {
     assert(totals._1 + totals._2 + totals._3 === 6L)
   }
 
+  test("ewmaAnomaly: hand-traced fixed-point trace with a silent hour") {
+    // type a: hour 0 four events (seed e=4e6), hour 1 SILENT (densified,
+    // decays e to 3e6), hour 2 one event (e -> 2.5e6), hour 3 ten events
+    // (10e6 > 3*2.5e6 -> spike, e -> (7.5e6+10e6)/4)
+    def ev(h: Long, k: Int): Seq[(String, Long)] =
+      Seq.fill(k)(("a", h * 3600L + 7L))
+    val events = (ev(0, 4) ++ ev(2, 1) ++ ev(3, 10))
+      .toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val got = Streaming.ewmaAnomaly(events)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got === Array(
+      (0L, 4L, -1L, 0L),
+      (1L, 0L, 4000000L, 0L),
+      (2L, 1L, 3000000L, 0L),
+      (3L, 10L, 2500000L, 1L)))
+  }
+
   test("stream-stream attribution interval join equals the batch twin") {
     def mk(id: Long, u: Long, t: String, ts: String) =
       (id, u, t, Timestamp.valueOf(ts), 0.0)
