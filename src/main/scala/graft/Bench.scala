@@ -612,7 +612,12 @@ object Bench {
       S.ccSec = ccSec; S.ccIters = ccRes.iterations
       checkpointSection("cc")
     }
-    if (remaining - queriesReserve > 30) {
+    // LP may overdraft the queries reserve by up to 150 s: the reserve is
+    // sized for a ~2× slow-phase suite (measured 792-875 s quiet vs 1700
+    // reserved), so a ~35 s kernel inside that pessimism never endangers
+    // the suite — runs 1/3 of the round-5 protocols skipped LP on a
+    // reserve that then went ~800 s unused
+    if (remaining - queriesReserve > -150) {
       val (_, lpSec) = time(LabelPropagation.run(spark, sym, 5).labels.count())
       S.lpSec = lpSec
       checkpointSection("lp")
