@@ -2636,7 +2636,33 @@ object SparkEntry {
     // 3-hour window burst rule; per-type bounded array fold, the
     // recurrence replayed by a recursive CTE
     "q256_ewma_anomaly" -> ((s, d) =>
-      graft.streaming.Streaming.ewmaAnomaly(T(s, d, "events")))
+      graft.streaming.Streaming.ewmaAnomaly(T(s, d, "events"))),
+
+    // effective diameter (90th-percentile reach distance, the standard
+    // large-graph distance summary — Boldi–Vigna's metric) measured
+    // EXACTLY on a sha-sampled 2% seed set (Eppstein–Wang sampling),
+    // 6-hop horizon: the per-hop neighborhood-function ledger with the
+    // integer 10·cum ≥ 9·total rule; one multi-seed BFS (q118's
+    // machinery), the cumulative window runs over ≤ 7 hop rows
+    "q257_eff_diameter" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sym = Edges.symmetrize(e2(s, d))
+      val seeds = sym.select(col("src").as("vid")).distinct()
+        .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
+          lit(1000L)) < 20)
+      val dist = graft.kernels.Bfs.perSeedDistances(sym, seeds, maxHop = 6)
+      val nf = dist.groupBy(col("dist").as("h"))
+        .agg(count(lit(1)).as("pairs"))
+        .localCheckpoint(eager = true) // ≤ 7 rows — metadata scale
+      val w = Window.orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = nf.withColumn("cum_pairs", sum(col("pairs")).over(w))
+      val tot = cum.agg(max(col("cum_pairs")).as("tot"))
+      val eff = cum.crossJoin(broadcast(tot))
+        .filter(col("cum_pairs") * 10L >= col("tot") * 9L)
+        .agg(min(col("h")).as("eff_diameter"))
+      cum.crossJoin(broadcast(eff))
+    })
   )
 
   /** Quadratic-by-design exactness baselines, retired from the BENCH path
@@ -7691,6 +7717,31 @@ object SparkEntry {
         |       CAST(CASE WHEN p.e IS NOT NULL AND i.n * 1000000 > 3 * p.e
         |            THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM idx i LEFT JOIN st p
-        |  ON p.event_type = i.event_type AND p.rn = i.rn - 1""".stripMargin
+        |  ON p.event_type = i.event_type AND p.rn = i.rn - 1""".stripMargin,
+
+    // sampled-exact neighborhood function + 90%-rule effective diameter:
+    // the q118 reach CTE from the 2% sha seed set, min-dist closure,
+    // per-hop pair counts, cumulative window over <= 7 hop rows
+    "q257_eff_diameter" ->
+      s"""WITH RECURSIVE $CTE,
+         |seeds AS (SELECT vid FROM deg
+         |          WHERE CAST(('0x' || substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 20),
+         |reach(seed, vid, dist) AS (
+         |  SELECT vid, vid, 0 FROM seeds
+         |  UNION
+         |  SELECT r.seed, s.d, r.dist + 1
+         |  FROM reach r JOIN sym s ON r.vid = s.s WHERE r.dist < 6
+         |),
+         |idx AS (SELECT seed, vid, min(dist) AS dist FROM reach GROUP BY 1, 2),
+         |nf AS (SELECT CAST(dist AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS pairs
+         |       FROM idx GROUP BY 1),
+         |cum AS (SELECT h, pairs,
+         |               CAST(sum(pairs) OVER (ORDER BY h) AS BIGINT) AS cum_pairs
+         |        FROM nf),
+         |tot AS (SELECT max(cum_pairs) AS tot FROM cum),
+         |eff AS (SELECT CAST(min(h) AS BIGINT) AS eff_diameter
+         |        FROM cum CROSS JOIN tot WHERE cum_pairs * 10 >= tot * 9)
+         |SELECT cum.h, cum.pairs, cum.cum_pairs, eff.eff_diameter
+         |FROM cum CROSS JOIN eff""".stripMargin
   )
 }
