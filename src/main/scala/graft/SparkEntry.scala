@@ -43,7 +43,17 @@ object SparkEntry {
     }))
   private def scratchDir(prefix: String): String = {
     scratchHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    // scratch I/O (checkpoints, catalog snapshots) on tmpfs when
+    // available: the IO/catalog queries pay several small parquet
+    // write+rename commits each, and /tmp on a real disk serializes them
+    // behind fsync. Parameterised (SPARK_GRAFT_SCRATCH_DIR); on a
+    // cluster this is NVMe-local or object storage via the catalog.
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+      .orElse(Some("/dev/shm").filter(p =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val p = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), prefix)
     scratchDirs.add(p)
     p.toString
   }
@@ -145,8 +155,11 @@ object SparkEntry {
         .groupBy(col("component")).agg(count(lit(1)).as("n"))),
     // PageRank, 10 fixed supersteps (B1/B2 substrate)
     "q10_pagerank" -> ((s, d) =>
+      // symmetric=true: the input IS a symmetrize() view, so the vertex
+      // set equals the out-degree keys and nothing dangles — skips the
+      // |2E|-row union+distinct and the dangling probe; ranks identical
       PageRank.run(s, Edges.symmetrize(cooc(s, d).select(col("src"), col("dst"))),
-        fixedIter = Some(10)).ranks
+        fixedIter = Some(10), symmetric = true).ranks
         .select(col("vid"), round(col("rank"), 8).as("rank"))),
     // synchronous label propagation, 5 supersteps, mode w/ min tie-break
     "q11_lp" -> ((s, d) =>
@@ -413,7 +426,7 @@ object SparkEntry {
     // float packer, voronoiColors/assignBlocks) stays spec-covered in
     // PartitionSpec with the hash-beating assertion.
     "q38_bdg_layout" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 10)
@@ -433,7 +446,7 @@ object SparkEntry {
     // among the NEAREST seeds", which a bounded recursive CTE replays
     // exactly (see BdgLayout.floodColors scaladoc).
     "q56_voronoi" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 50)
@@ -461,6 +474,7 @@ object SparkEntry {
         array(concat(lit("a"), pmod(col("src"), lit(3)).cast("string")))
           .as("attrs"), col("adj")), s"$tmp/attr")
       val c = cooc(s, d).filter(col("weight") >= 2)
+        .localCheckpoint(eager = true) // consumed by both union branches
       val wsym = c.select(col("src"), col("dst"), col("weight"))
         .union(c.select(col("dst"), col("src"), col("weight")))
       GraphIO.writeMultiAttrAdj(wsym.select(col("src"),
@@ -501,7 +515,7 @@ object SparkEntry {
     // final components must equal the uninterrupted q08 fixpoint
     "q44_resume" -> ((s, d) => {
       val root = scratchDir("graft_ckpt")
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       ConnectedComponents.run(s, sym, maxIter = 2,
         ckpt = Some(new graft.engine.Checkpointer(root, "cc")))
       val r = ConnectedComponents.run(s, sym,
@@ -653,7 +667,7 @@ object SparkEntry {
     // set — the reachability primitive (graph feature generation;
     // replayed by a bounded recursive CTE like q56)
     "q59_bfs" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
@@ -683,12 +697,15 @@ object SparkEntry {
     // sha-sampled seed set (PageRank.run(personalized=...)); replayed by
     // the q10 recursive CTE with a per-vertex teleport column
     "q62_ppr" -> ((s, d) => {
+      // materialized once: consumed by the seed filter AND the PR pre-
+      // loop; symmetric=true as in q10 (input is a symmetrize() view)
       val sym = Edges.symmetrize(cooc(s, d).select(col("src"), col("dst")))
+        .localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
       PageRank.run(s, sym, fixedIter = Some(10),
-          personalized = Some(seeds))
+          personalized = Some(seeds), symmetric = true)
         .ranks.select(col("vid"), round(col("rank"), 8).as("rank"))
     }),
 
@@ -696,6 +713,7 @@ object SparkEntry {
     // edges): integer co-occurrence weights keep the replay exact
     "q63_sssp" -> ((s, d) => {
       val cw = cooc(s, d).filter(col("weight") >= 2)
+        .localCheckpoint(eager = true) // consumed by both union branches
       val symW = cw.select(col("src"), col("dst"), col("weight"))
         .union(cw.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
@@ -732,7 +750,7 @@ object SparkEntry {
     // feeding q38's greedy packer, mirroring how q56 isolated the flood):
     // per-color size + sorted neighbor-color set over the q56 flood colors
     "q67_block_info" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 50)
@@ -829,7 +847,7 @@ object SparkEntry {
     // harmonic centrality of the sha-sampled landmark set, 4-hop horizon:
     // ONE labeled multi-source BFS shared across seeds, floor-ppm sums
     "q80_harmonic" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
@@ -963,7 +981,7 @@ object SparkEntry {
     // forward integer path counts + one backward dependency level —
     // staged-SQL-replayable; the spec covers deeper horizons
     "q94_betweenness" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
@@ -975,7 +993,7 @@ object SparkEntry {
     // packer over the q56 flood colors; a DuckDB recursive CTE replays
     // every placement (one iteration per block, list-carried state)
     "q96_bdg_assign" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 50)
@@ -991,7 +1009,7 @@ object SparkEntry {
     // baseline on the same colored subgraph (the number BDG must beat —
     // EuroSys §8.4; at sf0.01 BDG crosses 2756 directed edges vs 5952)
     "q97_bdg_cross" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 50)
@@ -1025,7 +1043,9 @@ object SparkEntry {
     // ranks — the resume-after-deletion path a catalog-backed engine
     // actually runs; the oracle replays both phases in one recursive CTE
     "q100_pr_warm" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      // materialized once: both PR pre-loops and the deletion filter
+      // consume it
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val r0 = PageRank.run(s, sym, fixedIter = Some(6),
         symmetric = true).ranks
       val ef = sym.filter(pmod(col("src"), lit(7)) =!= 0 &&
@@ -1050,7 +1070,9 @@ object SparkEntry {
     // between 5-superstep label propagation and the CC ground truth —
     // the evaluation op run after every community-detection change
     "q103_rand_index" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      // materialized once: both kernels build their own persisted edge
+      // fabric from it
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       graft.kernels.GraphStats.randIndex(
         LabelPropagation.run(s, sym, 5).labels,
         ConnectedComponents.run(s, sym).components)
@@ -1101,7 +1123,9 @@ object SparkEntry {
     // engine answers after every q46-style drill-down; reuses the q100
     // warm-start phases, top-20 by |delta| with vid tie-break
     "q111_pr_movers" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      // materialized once: both PR pre-loops and the deletion filter
+      // consume it
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val r0 = PageRank.run(s, sym, fixedIter = Some(6),
         symmetric = true).ranks
       val ef = sym.filter(pmod(col("src"), lit(7)) =!= 0 &&
@@ -1120,6 +1144,7 @@ object SparkEntry {
     // supersteps; integer weight sums keep every round exact)
     "q112_lp_weighted" -> ((s, d) => {
       val cw = cooc(s, d).filter(col("weight") >= 2)
+        .localCheckpoint(eager = true) // consumed by both union branches
       val symW = cw.select(col("src"), col("dst"), col("weight"))
         .unionAll(cw.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
@@ -1191,6 +1216,7 @@ object SparkEntry {
       // the FULL co-occurrence graph (the weight-thresholded one is too
       // fragmented at larger SFs for landmark balls to cover pairs)
       val sym = Edges.symmetrize(cooc(s, d).select(col("src"), col("dst")))
+        .localCheckpoint(eager = true)
       val verts = Edges.vertexIds(sym)
       val sha = Dedup.shaTokenHash60(col("vid").cast("string"))
       val landmarks = Edges.degrees(sym)
@@ -1376,12 +1402,15 @@ object SparkEntry {
     // argmin prefix is the local cluster (composes the q62 PPR kernel
     // with the q134 conductance metric)
     "q136_sweep_cut" -> ((s, d) => {
-      val sym = Edges.symmetrize(e2(s, d))
+      // materialized once: consumed by the seed filter, the PR pre-loop
+      // AND three sweep passes (degrees, 2m count, prefix-internal join);
+      // symmetric=true as in q10 (input is a symmetrize() view)
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)
       val pr = PageRank.run(s, sym, fixedIter = Some(10),
-          personalized = Some(seeds))
+          personalized = Some(seeds), symmetric = true)
         .ranks.select(col("vid"), round(col("rank"), 8).as("rank"))
       graft.kernels.SweepCut.sweep(sym, pr, limit = 150)
     }),
@@ -1473,11 +1502,29 @@ object SparkEntry {
       val hubs = Edges.degrees(sym)
         .orderBy(col("degree").desc, col("vid")).limit(5)
         .select(col("vid")).collect().map(_.getLong(0)) // 5-row collect
-      val per = hubs.toSeq.map { h =>
-        val rem = sym.filter(col("src") =!= h && col("dst") =!= h)
-        ConnectedComponents.run(s, rem).components
-          .groupBy(col("component")).agg(count(lit(1)).as("n"))
-          .agg(count(lit(1)).as("n_components"), max(col("n")).as("largest"))
+      // ALL five hub-removal graphs run as ONE hash-min CC over their
+      // disjoint union (vertex spaces separated by vid*5 + hub index —
+      // q169's encoding): slices never share an edge, so per-slice
+      // components equal the standalone runs', while the superstep loop
+      // runs once for max(iters) instead of five times
+      val union = hubs.toSeq.zipWithIndex.map { case (h, i) =>
+        sym.filter(col("src") =!= h && col("dst") =!= h)
+          .select((col("src") * 5L + i).as("src"),
+            (col("dst") * 5L + i).as("dst"))
+      }.reduce(_ unionAll _)
+      val sizes = ConnectedComponents.run(s, union).components
+        .groupBy(pmod(col("vid"), lit(5L)).as("i"), col("component"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n_components"), max(col("n")).as("largest"))
+        .localCheckpoint(eager = true)
+      val per = hubs.toSeq.zipWithIndex.map { case (h, i) =>
+        // ≤1-row slice stats; the fold keeps the original empty-graph
+        // row (0 components, NULL largest)
+        sizes.filter(col("i") === i)
+          .agg(coalesce(max(col("n_components")), lit(0L))
+              .as("n_components"),
+            max(col("largest")).as("largest"))
           .select(lit(h).as("hub"), col("n_components"), col("largest"))
       }
       per.reduce(_ union _).localCheckpoint(eager = true)
@@ -1762,17 +1809,41 @@ object SparkEntry {
     // failure (sha-kept edges at 400/800 ppt) — the random-failure
     // complement of q167's targeted attack; two bounded CC runs (J4)
     "q169_percolation" -> ((s, d) => {
-      val e = e2(s, d).localCheckpoint(eager = true)
-      val per = Seq(400L, 800L).map { p =>
-        val kept = e.filter(pmod(Dedup.shaTokenHash60(
+      // BOTH keep-rates run as ONE hash-min CC over the disjoint union
+      // of the two kept graphs (vertex spaces separated by vid*2 + slice
+      // tag): slices never share an edge, so each converges exactly as
+      // its standalone run would — same component sizes — while the
+      // superstep loop (the dominant job count) runs once, for
+      // max(iters) instead of their sum. The sha keep-hash is computed
+      // once per edge instead of once per rate.
+      val ps = Seq(400L, 800L)
+      val e = e2(s, d)
+        .withColumn("hh", pmod(Dedup.shaTokenHash60(
           concat(col("src").cast("string"), lit(":"),
-            col("dst").cast("string"))), lit(1000L)) < p)
-        val sizes = ConnectedComponents.run(s, Edges.symmetrize(kept))
-          .components
-          .groupBy(col("component")).agg(count(lit(1)).as("n"))
-        kept.agg(count(lit(1)).as("n_edges")).crossJoin(
-            sizes.agg(count(lit(1)).as("n_components"),
-              coalesce(max(col("n")), lit(0L)).as("largest")))
+            col("dst").cast("string"))), lit(1000L)))
+        .localCheckpoint(eager = true)
+      val union = ps.zipWithIndex.map { case (p, j) =>
+        e.filter(col("hh") < p)
+          .select((col("src") * 2L + j).as("src"),
+            (col("dst") * 2L + j).as("dst"))
+      }.reduce(_ union _)
+      val sizes = ConnectedComponents.run(s, Edges.symmetrize(union))
+        .components
+        .groupBy(pmod(col("vid"), lit(2L)).as("j"), col("component"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n_components"),
+          coalesce(max(col("n")), lit(0L)).as("largest"))
+        .localCheckpoint(eager = true)
+      val per = ps.zipWithIndex.map { case (p, j) =>
+        e.filter(col("hh") < p).agg(count(lit(1)).as("n_edges"))
+          .crossJoin(
+            // ≤1-row slice stats; the max-over-nothing fold keeps the
+            // original "empty graph → (0, 0)" row
+            broadcast(sizes.filter(col("j") === j)
+              .agg(coalesce(max(col("n_components")), lit(0L))
+                  .as("n_components"),
+                coalesce(max(col("largest")), lit(0L)).as("largest"))))
           .select(lit(p).as("keep_ppt"), col("n_edges"),
             col("n_components"), col("largest"))
       }
@@ -1785,7 +1856,7 @@ object SparkEntry {
     // recomputes from the modified edge set — additivity makes the two
     // provably identical
     "q170_ivm_degrees" -> ((s, d) => {
-      val e = e2(s, d)
+      val e = e2(s, d).localCheckpoint(eager = true)
       val hh = pmod(Dedup.shaTokenHash60(concat(col("src").cast("string"),
         lit(":"), col("dst").cast("string"))), lit(10L))
       val view = Edges.degrees(Edges.symmetrize(e))
@@ -2646,7 +2717,7 @@ object SparkEntry {
     // machinery), the cumulative window runs over ≤ 7 hop rows
     "q257_eff_diameter" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val sym = Edges.symmetrize(e2(s, d))
+      val sym = Edges.symmetrize(e2(s, d)).localCheckpoint(eager = true)
       val seeds = sym.select(col("src").as("vid")).distinct()
         .filter(pmod(Dedup.shaTokenHash60(col("vid").cast("string")),
           lit(1000L)) < 20)

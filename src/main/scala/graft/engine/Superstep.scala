@@ -63,6 +63,12 @@ object Superstep {
     *                   the cheap, already-materialized states
     * @param converged  delta => done?
     * @param resume     continue from the checkpointer's latest state
+    * @param stats      optional fused (rows, delta) extractor over the
+    *                   materialized next state — kernels whose delta is a
+    *                   function of the next state alone (e.g. a carried
+    *                   `changed` flag) compute both in ONE job instead of
+    *                   a count job plus a delta job per superstep; values
+    *                   must equal what countRows + delta would report
     * @return (final state, metrics, iterations run, converged?)
     */
   def run(
@@ -75,7 +81,9 @@ object Superstep {
       maxIter: Int,
       ckpt: Option[Checkpointer] = None,
       resume: Boolean = false,
-      countRows: Boolean = true): (DataFrame, Seq[IterationMetric], Int, Boolean) = {
+      countRows: Boolean = true,
+      stats: Option[DataFrame => (Long, Double)] = None)
+      : (DataFrame, Seq[IterationMetric], Int, Boolean) = {
 
     val meter = new ShuffleMeter(spark)
     val metrics = ArrayBuffer.empty[IterationMetric]
@@ -94,9 +102,14 @@ object Superstep {
       val (r0, w0) = meter.snapshot
       val mat = materialize(spark, step(state), iter, ckpt)
       // rows metric costs one (cheap) extra job per superstep; callers on a
-      // pure-throughput path (fixed-iteration bench) can skip it
-      val rows = if (countRows) mat.count() else -1L
-      val d = delta(state, mat)
+      // pure-throughput path (fixed-iteration bench) can skip it, and
+      // kernels with a next-state-only delta fuse both into one job
+      val (rows, d) = stats match {
+        case Some(f) => f(mat)
+        case None    =>
+          val r = if (countRows) mat.count() else -1L
+          (r, delta(state, mat))
+      }
       val (r1, w1) = meter.snapshot
       val m = IterationMetric(algo, runId, iter, rows, d,
         (System.nanoTime() - t0) / 1000000L, r1 - r0, w1 - w0)

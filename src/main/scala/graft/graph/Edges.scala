@@ -37,22 +37,34 @@ object Edges {
       itemCol: String,
       minWeight: Long = 1L,
       capPerGroup: Int = Int.MaxValue): DataFrame = {
-    val items0 = df
+    // TWO exchanges instead of four: collect each group's DISTINCT item
+    // set in one aggregation (map-side partial set-union dedupes before
+    // the shuffle — the old distinct+self-join shape shuffled the item
+    // stream once for the distinct and again for the group-key join),
+    // expand the i<j pairs per row with array expressions (no join), and
+    // aggregate. Identical result set: the sorted-set pair expansion
+    // emits exactly the a.item < b.item pairs of the old join, and the
+    // cap keeps the same deterministic (xxhash64(item), item) top-K.
+    // Skew note: a hub group becomes ONE wide row expanding cap² pairs
+    // in-task — bounded by capPerGroup exactly like the old window path,
+    // which also funneled the whole group through one window task.
+    val grouped = df
       .select(col(groupCol).as("g"), col(itemCol).cast("long").as("item"))
-      .distinct()
+      .groupBy(col("g")).agg(collect_set(col("item")).as("items0"))
     val items =
-      if (capPerGroup == Int.MaxValue) items0
-      else {
-        val w = Window.partitionBy(col("g"))
-          .orderBy(xxhash64(col("item")), col("item"))
-        items0.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= capPerGroup)
-          .drop("rn")
-      }
-    items.as("a")
-      .join(items.as("b"),
-        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      if (capPerGroup == Int.MaxValue) sort_array(col("items0"))
+      else sort_array(transform(
+        slice(sort_array(transform(col("items0"),
+          it => struct(xxhash64(it).as("h"), it.as("item")))),
+          1, capPerGroup),
+        s => s.getField("item")))
+    val arr = col("items")
+    grouped
+      .select(items.as("items")) // sorted/capped ONCE per group row
+      .select(explode(flatten(transform(arr, (x, i) =>
+        transform(slice(arr, i + lit(2), size(arr) - i - lit(1)),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minWeight)
   }

@@ -34,6 +34,11 @@ object Bfs {
     * every K hops, and shallow fan-out traversals never trigger it). */
   def distances(sym: DataFrame, seeds: DataFrame, maxHop: Int,
                 compactEvery: Int = 8): DataFrame = {
+    // persist the edge view for the loop: every hop probes it, and a
+    // caller handing a LAZY derived graph (e.g. the co-occurrence
+    // self-join) would otherwise re-derive it once PER HOP — measured
+    // as the dominant cost of q101/q257 (diameter × derivation)
+    val e = sym.select(col("src"), col("dst")).persist()
     var last = seeds.select(col("vid"), lit(0L).as("dist"))
       .localCheckpoint(eager = true)
     var pieces = List(last)
@@ -42,9 +47,9 @@ object Bfs {
     var grew = true
     while (grew && hop < maxHop) {
       hop += 1
-      val frontier = sym.join(last.hint("SHUFFLE_HASH"),
-          sym("src") === last("vid"))
-        .select(sym("dst").as("vid")).distinct()
+      val frontier = e.join(last.hint("SHUFFLE_HASH"),
+          e("src") === last("vid"))
+        .select(e("dst").as("vid")).distinct()
         .join(reached, Seq("vid"), "left_anti")
         .select(col("vid"), lit(hop.toLong).as("dist"))
         .localCheckpoint(eager = false) // materialized by the count below
@@ -55,6 +60,7 @@ object Bfs {
           pieces = List(pieces.reduce(_ union _).localCheckpoint(eager = true))
       }
     }
+    e.unpersist() // every piece is checkpointed; nothing re-reads e
     reached
   }
 
@@ -69,6 +75,8 @@ object Bfs {
     * centrality at scale, Eppstein–Wang 2004). */
   def perSeedDistances(sym: DataFrame, seeds: DataFrame, maxHop: Int,
                        compactEvery: Int = 8): DataFrame = {
+    // persisted for the loop — same re-derivation guard as [[distances]]
+    val e = sym.select(col("src"), col("dst")).persist()
     var last = seeds.select(col("vid").as("seed"), col("vid"),
         lit(0L).as("dist"))
       .localCheckpoint(eager = true)
@@ -78,9 +86,9 @@ object Bfs {
     var grew = true
     while (grew && hop < maxHop) {
       hop += 1
-      val frontier = sym.join(last.hint("SHUFFLE_HASH"),
-          sym("src") === last("vid"))
-        .select(col("seed"), sym("dst").as("vid")).distinct()
+      val frontier = e.join(last.hint("SHUFFLE_HASH"),
+          e("src") === last("vid"))
+        .select(col("seed"), e("dst").as("vid")).distinct()
         .join(reached, Seq("seed", "vid"), "left_anti")
         .select(col("seed"), col("vid"), lit(hop.toLong).as("dist"))
         .localCheckpoint(eager = false) // materialized by the count below
@@ -91,6 +99,7 @@ object Bfs {
           pieces = List(pieces.reduce(_ union _).localCheckpoint(eager = true))
       }
     }
+    e.unpersist() // every piece is checkpointed; nothing re-reads e
     reached
   }
 
@@ -106,17 +115,20 @@ object Bfs {
     * distance must be able to re-propagate. */
   def weightedDistances(edgesW: DataFrame, seeds: DataFrame,
                         rounds: Int): DataFrame = {
+    // persisted for the loop — same re-derivation guard as [[distances]]
+    val e = edgesW.select(col("src"), col("dst"), col("weight")).persist()
     var state = seeds.select(col("vid"), lit(0L).as("dist"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
-      val relaxed = edgesW.join(state.hint("SHUFFLE_HASH"),
-          edgesW("src") === state("vid"))
-        .select(edgesW("dst").as("vid"),
-          (col("dist") + edgesW("weight")).as("dist"))
+      val relaxed = e.join(state.hint("SHUFFLE_HASH"),
+          e("src") === state("vid"))
+        .select(e("dst").as("vid"),
+          (col("dist") + e("weight")).as("dist"))
         .union(state)
         .groupBy(col("vid")).agg(min(col("dist")).as("dist"))
       state = relaxed.localCheckpoint(eager = true)
     }
+    e.unpersist()
     state
   }
 }

@@ -40,7 +40,10 @@ object Coloring {
                      salt: String = "col",
                      maxRounds: Int = 500): DataFrame = {
     import spark.implicits._
+    // materialized once: consumed by the hpAll checkpoint AND the initial
+    // uncolored set — a lazy derived caller graph would be derived twice
     val e = sym.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = true)
     val withP = e
       .withColumn("ps", prio(col("src"), salt))
       .withColumn("pd", prio(col("dst"), salt))

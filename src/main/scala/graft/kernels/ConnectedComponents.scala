@@ -90,8 +90,19 @@ object ConnectedComponents {
     def delta(prev: DataFrame, next: DataFrame): Double =
       next.filter(col("changed")).count().toDouble
 
+    // fused per-superstep stats: state rows + changed count in ONE job
+    // (the separate count + filter-count pair costs a driver round-trip
+    // per iteration; values are identical by construction)
+    def stats(next: DataFrame): (Long, Double) = {
+      val r = next.agg(count(lit(1)),
+        coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1).toDouble)
+    }
+
     val (state, metrics, iters, done) = Superstep.run(
-      spark, "cc", init, step, delta, _ == 0.0, maxIter, ckpt, resume)
+      spark, "cc", init, step, delta, _ == 0.0, maxIter, ckpt, resume,
+      stats = Some(stats))
     edges.unpersist()
     Result(state, metrics, iters, done)
   }

@@ -256,12 +256,15 @@ object GraphStats {
     * is the shared frontier-expansion [[Bfs.distances]], each argmax a
     * distributed TakeOrdered — nothing graph-sized on the driver. */
   def doubleSweep(sym: DataFrame, maxHop: Int = 20): DataFrame = {
-    val start = Edges.degrees(sym)
+    // one materialization serves the degree scan and both BFS sweeps
+    // (each of which persists it for its own hop loop)
+    val e = sym.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    val start = Edges.degrees(e)
       .orderBy(col("degree").desc, col("vid")).limit(1).select(col("vid"))
-    val far1 = Bfs.distances(sym, start, maxHop)
+    val far1 = Bfs.distances(e, start, maxHop)
       .orderBy(col("dist").desc, col("vid")).limit(1)
       .localCheckpoint(eager = true)
-    val far2 = Bfs.distances(sym, far1.select(col("vid")), maxHop)
+    val far2 = Bfs.distances(e, far1.select(col("vid")), maxHop)
       .orderBy(col("dist").desc, col("vid")).limit(1)
     start.select(col("vid").as("start_vid"))
       .crossJoin(far1.select(col("vid").as("far_vid")))
@@ -609,12 +612,15 @@ object GraphStats {
     * integral division; two degree aggregations and two hub anti-joins,
     * the only collect is the 1-row vertex count. */
   def molloyReed(sym: DataFrame, hubPct: Int = 1): DataFrame = {
-    val deg = Edges.degrees(sym).persist()
+    // persisted: consumed by the degree profile AND the attacked view —
+    // a lazy derived caller graph would be derived twice
+    val e = sym.select(col("src"), col("dst")).persist()
+    val deg = Edges.degrees(e).persist()
     val n = deg.count()
     val k = ((n * hubPct + 99L) / 100L).toInt
     val hubs = deg.orderBy(col("degree").desc, col("vid")).limit(k)
       .select(col("vid")).persist()
-    val attacked = sym
+    val attacked = e
       .join(hubs.withColumnRenamed("vid", "src"), Seq("src"), "left_anti")
       .join(hubs.withColumnRenamed("vid", "dst"), Seq("dst"), "left_anti")
     def profile(name: String, d: DataFrame): DataFrame =
@@ -633,7 +639,7 @@ object GraphStats {
     val out = profile("1_full", deg)
       .union(profile("2_hubs_removed", Edges.degrees(attacked)))
       .localCheckpoint(eager = true)
-    deg.unpersist(); hubs.unpersist()
+    e.unpersist(); deg.unpersist(); hubs.unpersist()
     out
   }
 
@@ -696,19 +702,24 @@ object GraphStats {
     * Scale shape: two broadcast-joinable degree lookups on the edge
     * table, then class-pair-sized aggregates — one shuffle, no windows. */
   def degreeMixing(edges: DataFrame): DataFrame = {
-    val sym = Edges.symmetrize(edges)
+    // persisted: consumed by the degree build, the m count and the
+    // observed-pair join — a lazy derived caller graph would be
+    // re-derived three times
+    val e0 = edges.select(col("src"), col("dst")).persist()
+    val sym = Edges.symmetrize(e0)
     val deg = Edges.degrees(sym)
       .select(col("vid"), col("degree"),
         (length(bin(col("degree"))) - lit(1)).cast("long").as("cls"))
-    val m = edges.count()
+      .localCheckpoint(eager = true)
+    val m = e0.count()
     val mass = deg.groupBy(col("cls")).agg(sum(col("degree")).as("s"))
-    val obs = edges
+    val obs = e0
       .join(deg.select(col("vid").as("src"), col("cls").as("ca")), "src")
       .join(deg.select(col("vid").as("dst"), col("cls").as("cb")), "dst")
       .groupBy(least(col("ca"), col("cb")).as("cls_a"),
         greatest(col("ca"), col("cb")).as("cls_b"))
       .agg(count(lit(1)).as("actual"))
-    mass.as("a").join(mass.as("b"), col("a.cls") <= col("b.cls"))
+    val out = mass.as("a").join(mass.as("b"), col("a.cls") <= col("b.cls"))
       .select(col("a.cls").as("cls_a"), col("b.cls").as("cls_b"),
         when(col("a.cls") === col("b.cls"),
           expr(s"(a.s * b.s * 1000) div ${4 * m}"))
@@ -718,6 +729,9 @@ object GraphStats {
       .select(col("cls_a"), col("cls_b"),
         coalesce(col("actual"), lit(0L)).as("actual"),
         col("expected_milli"))
+      .localCheckpoint(eager = true) // class-pair-sized
+    e0.unpersist()
+    out
   }
 
   /** Power-law fit of the degree distribution — integer least-squares

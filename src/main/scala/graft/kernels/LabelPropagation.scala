@@ -57,8 +57,12 @@ object LabelPropagation {
       next.as("n").join(prev.as("p"), "vid")
         .filter(col("n.label") =!= col("p.label")).count().toDouble
 
+    // countRows=false: the state is already materialized eagerly by the
+    // checkpoint, no query consumes LP's rows metric, and the count job
+    // costs a driver round-trip per superstep
     val (state, metrics, iters, done) = Superstep.run(
-      spark, "lp", init, step, delta, _ == 0.0, iterations, ckpt, resume)
+      spark, "lp", init, step, delta, _ == 0.0, iterations, ckpt, resume,
+      countRows = false)
     edges.unpersist()
     Result(state, metrics, iters, done)
   }
@@ -97,7 +101,7 @@ object LabelPropagation {
 
     val (state, metrics, iters, done) = Superstep.run(
       spark, "lpw", init, step, delta, _ == 0.0, iterations,
-      ckpt = None, resume = false)
+      ckpt = None, resume = false, countRows = false)
     edges.unpersist()
     Result(state, metrics, iters, done)
   }

@@ -41,9 +41,13 @@ object Louvain {
     * @return (vid, community) after `rounds` moves */
   def localMove(spark: SparkSession, edges: DataFrame,
                 rounds: Int = 2): DataFrame = {
-    val sym = graft.graph.Edges.symmetrize(edges)
+    // persisted: the canonical table feeds the m count and (via the
+    // symmetric view) the degree table plus every round's candidate
+    // join — a lazy derived caller graph would be re-derived per round
+    val e0 = edges.select(col("src"), col("dst")).persist()
+    val sym = graft.graph.Edges.symmetrize(e0)
     val deg = graft.graph.Edges.degrees(sym).persist()
-    val m = edges.count()
+    val m = e0.count()
     var asg = deg.select(col("vid"), col("vid").as("community"))
     for (_ <- 1 to rounds) {
       val degsum = asg.join(deg, "vid")
@@ -75,7 +79,7 @@ object Louvain {
           struct(col("gain"), -col("cand"))).as("community"))
         .localCheckpoint(eager = true)
     }
-    deg.unpersist()
+    e0.unpersist(); deg.unpersist()
     asg
   }
 

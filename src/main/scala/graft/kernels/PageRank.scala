@@ -68,6 +68,14 @@ object PageRank {
     // SURVEY §1.2): contribution = rank * w / Σ_out w; unweighted = w ≡ 1
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edgesDirected.select(col("src"), col("dst"), w.as("w"))
+    // pre-loop edge cache: the raw edge view is consumed 2-4× below
+    // (out-degree agg, links build, and the vertex union on directed
+    // graphs). Callers handing a LAZY derived graph (the co-occurrence
+    // self-join) would re-derive it per consumer; callers that already
+    // persisted their table (the bench legs) skip the duplicate cache.
+    val eCached = edgesDirected.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    if (!eCached) e.persist()
     // persisted: consumed by the links build, the vertex table, and the
     // dangling checks — without the cache each consumer re-aggregates the
     // full |E|-row input (round-2 pre-loop ran three separate edge passes)
@@ -142,17 +150,29 @@ object PageRank {
     // the PERSISTED link table, so this collect doubles as the pre-loop
     // materialization of the links cache (one pass serves both; round 2
     // ran an extra full aggregation over the raw edge input here)
+    val hubShortcut = symmetric && weightCol.isEmpty
     val hubIds: Array[Long] =
       if (salts <= 1) Array.empty
+      else if (hubShortcut)
+        // symmetric unweighted graph: in-degree == out-degree, so the
+        // hub set falls out of the persisted outDeg table — saves a full
+        // |E|-row aggregation pass over links in the pre-loop (same ids:
+        // odeg is the exact 1.0-per-edge count as a double)
+        outDeg.filter(col("odeg") > hubDegree.toDouble)
+          .orderBy(col("odeg").desc).limit(100000)
+          .select(col("src")).collect().map(_.getLong(0))
       else links.groupBy(col("dst").as("vid"))
         .agg(count(lit(1)).as("indeg"))
         .filter(col("indeg") > hubDegree)
         .orderBy(col("indeg").desc).limit(100000)
         .collect().map(_.getLong(0))
-    // force the link cache in the PRE-LOOP phase even when salts didn't:
-    // superstep 1's metric then measures a superstep, not the cache build,
-    // and the bench can attribute pre-loop wall separately
-    if (salts <= 1) links.count()
+    // force the link cache in the PRE-LOOP phase even when the hub scan
+    // didn't: superstep 1's metric then measures a superstep, not the
+    // cache build, and the bench can attribute pre-loop wall separately
+    if (salts <= 1 || hubShortcut) links.count()
+    // the raw edge view is not read after the pre-loop (links/verts/
+    // outDeg/danglingVids are all persisted or derived from caches)
+    if (!eCached) e.unpersist()
 
     // warm start (incremental recompute): seed from a prior run's ranks
     // where available — e.g. re-running after a catalog drill-down

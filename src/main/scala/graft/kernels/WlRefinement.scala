@@ -29,15 +29,20 @@ object WlRefinement {
     * count — 1 means the vertex is structurally unique at depth
     * `rounds`. */
   def colors(sym: DataFrame, rounds: Int): DataFrame = {
+    // persist the edge view for the loop: the degree init plus every
+    // round's multiset join probe it — a lazy derived caller graph
+    // (the co-occurrence self-join) would otherwise be re-derived
+    // rounds+1 times (the Bfs.distances re-derivation guard)
+    val e = sym.select(col("src"), col("dst")).persist()
     // each round reads the previous colors twice (multiset build + the
     // rehash join) — checkpoint-truncated lineage per round, the same
     // O(1)-lineage discipline as the superstep kernels (without it the
     // final plan re-reads the base edges 2^rounds times)
-    var c = Edges.degrees(sym)
+    var c = Edges.degrees(e)
       .select(col("vid"), col("degree").cast("long").as("color"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val counted = sym
+      val counted = e
         .join(c.withColumnRenamed("vid", "src"), "src")
         .groupBy(col("dst"), col("color"))
         .agg(count(lit(1)).as("n"))
@@ -54,6 +59,7 @@ object WlRefinement {
           .as("color"))
         .localCheckpoint(true)
     }
+    e.unpersist() // c is checkpointed; the final joins never re-read e
     val sizes = c.groupBy(col("color"))
       .agg(count(lit(1)).as("class_size"))
     c.join(sizes, "color")

@@ -399,11 +399,15 @@ object TrainPrep {
                      isTarget: Column, buckets: Int = 4096): DataFrame = {
     def grams(t: Column): Column = concat(
       TextFunctions.wordNgrams(t, 1), TextFunctions.wordNgrams(t, 2))
+    // persisted: the sha-hashed gram stream feeds BOTH the per-bucket
+    // rate table and the final per-doc score join — without the cache
+    // the explode + per-gram sha256 runs twice
     val g = docs
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
         explode(grams(col(textCol))).as("g"))
       .withColumn("b", pmod(Dedup.shaTokenHash60(col("g")),
         lit(buckets.toLong)))
+      .persist()
     // per-bucket gram counts for the target slice and the whole corpus,
     // densified over 0..buckets-1 so add-one smoothing covers unseen
     // buckets; totals folded in as literal scalars (two bounded jobs)
@@ -419,10 +423,14 @@ object TrainPrep {
     val rates = all.select(col("b"),
       expr(s"(tc + 1L) * 1000000000L div ${tTot + buckets}L").as("t_ppb"),
       expr(s"(rc + 1L) * 1000000000L div ${rTot + buckets}L").as("r_ppb"))
-    g.join(broadcast(rates), Seq("b"))
+    // eager narrow result + drop the gram cache (the Dedup discipline)
+    val out = g.join(broadcast(rates), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("t_ppb") - col("r_ppb")).as("score_ppb"))
+      .localCheckpoint(eager = true)
+    g.unpersist()
+    out
   }
 
   /** Vocabulary-coverage / OOV-rate profiling: the top-`vocabSize`
