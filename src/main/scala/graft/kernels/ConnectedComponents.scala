@@ -72,11 +72,22 @@ object ConnectedComponents {
     }
 
     def step(labels: DataFrame): DataFrame = {
+      // FRONTIER messaging: only vertices whose label CHANGED last
+      // superstep send. Sound for hash-min because labels are monotone
+      // non-increasing and every label a vertex ever held has already
+      // been delivered to its neighbors the superstep after it was
+      // acquired — so min over frontier messages equals min over all
+      // messages, every superstep's state (and the iteration count) is
+      // bit-identical to all-vertices messaging, and the per-superstep
+      // shuffle shrinks from |E| to the frontier's incident edges
+      // (hash-min fronts collapse after the first 2-3 supersteps).
+      //
       // SHUFFLE_HASH hints: the state side is the hash build side, so the
       // |E|-row probe side is never sorted (a sort-merge join re-sorts the
       // persisted edge table EVERY superstep — measured 5x slower)
+      val frontier = labels.filter(col("changed"))
       val msgs = edges
-        .join(labels.hint("SHUFFLE_HASH"), edges("src") === labels("vid"))
+        .join(frontier.hint("SHUFFLE_HASH"), edges("src") === frontier("vid"))
         .select(edges("dst").as("vid"), col("component"))
       val mins = msgs.groupBy("vid").agg(min("component").as("m"))
       labels.select(col("vid"), col("component"))

@@ -95,12 +95,18 @@ object PageRank {
     // superstep). grid sets BOTH the block count and the join/agg
     // parallelism of the superstep — use the target core count.
     // grid = 1 keeps the co-partitioned zero-extra-shuffle join.
-    val links0 = e.join(outDeg, "src")
+    // SHUFFLE_HASH build on the |V|-row degree side: a sort-merge join
+    // here sorts the full |E|-row edge view once in the pre-loop, and the
+    // join's own hash(src) output partitioning already IS the layout the
+    // per-superstep state join needs — the former explicit
+    // repartition(src) on top re-exchanged all |E| rows a second time
+    // for the same partitioning (guide §2.4: remove shuffles outright)
+    val links0 = e.join(outDeg.hint("SHUFFLE_HASH"), "src")
       .select(col("src"), col("dst"), (col("w") / col("odeg")).as("share"))
     val links = (if (grid > 1)
         links0.withColumn("blk", pmod(xxhash64(col("dst")), lit(grid.toLong)))
           .repartition(grid, col("blk"))
-      else links0.repartition(col("src")))
+      else links0)
       .persist()
     // loop-invariant replication relation: which blocks does each source
     // feed (≤ min(outdeg, grid) rows per source)
