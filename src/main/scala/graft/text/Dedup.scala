@@ -124,33 +124,85 @@ object Dedup {
     * all-pairs scan; skewed buckets (boilerplate shingle sets) are bounded
     * by `maxBucket`. */
   /** Banded-LSH candidate pairs from a persisted signature table:
-    * (d1, d2, s1, s2) for every id-ordered pair sharing a band slice.
+    * (d1, d2[, s1, s2]) for every id-ordered pair sharing a band slice.
     * The bucket key is the band slice ITSELF (array<long> equality), not
     * a hash of it: hashing the slice admits a ~2^-64 band-key collision
     * that would surface a candidate pair the exact-banding oracle (q26)
     * lacks; the r-long key costs a slightly wider bucket shuffle and
     * removes the failure mode entirely. Hot buckets (near-universal
-    * boilerplate) are capped at `maxBucket` before the pair join. The
-    * shared candidate pipeline of [[minHashLsh]] and
-    * [[minHashCalibration]]. */
+    * boilerplate) are capped at `maxBucket` before the pair join; when
+    * the cap is OFF (Int.MaxValue — the oracle-replay configuration)
+    * the bucket-count pre-pass is skipped outright: singleton buckets
+    * fall out of the a.id < b.id join by themselves, so the counts
+    * aggregation + semi-join bought nothing (guide §2.4).
+    *
+    * Per-pair signature scores are computed via `extra` BEFORE the
+    * cross-band (d1, d2) dedup — the dedup aggregation then shuffles a
+    * few scalar columns, never 2×numHashes signature longs per
+    * candidate row (project early — guide §2.3); every copy of a pair
+    * computes identical values (pure functions of the two signatures),
+    * so min == the old arbitrary dropDuplicates row. The pair join
+    * itself stays a streaming (band, bucket)-keyed self-join — an
+    * in-task collect+expand was measured 2× slower here and cannot be
+    * AQE-skew-split when an uncapped boilerplate bucket lands. The
+    * shared candidate pipeline of [[minHashLsh]], [[containmentLsh]]
+    * and [[minHashCalibration]]. */
   private[graft] def bandedCandidates(sigs: DataFrame, bands: Int, r: Int,
-                               maxBucket: Int): DataFrame = {
+                               maxBucket: Int,
+                               extra: Seq[(String, (Column, Column) => Column)]
+                                 = Seq.empty): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * r + 1, lit(r)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val counts = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-    val inBucket = banded.join(counts, Seq("band", "bucket"), "left_semi")
-    inBucket.as("a")
+    val inBucket =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val counts = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > 1 && col("bn") <= maxBucket)
+        banded.join(counts, Seq("band", "bucket"), "left_semi")
+      }
+    val scored = inBucket.as("a")
       .join(inBucket.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        col("a.sig").as("s1"), col("b.sig").as("s2"))
-      .dropDuplicates("d1", "d2")
+      .select(col("a.id").as("d1") +: col("b.id").as("d2") +:
+        extra.map { case (n, f) => f(col("a.sig"), col("b.sig")).as(n) }: _*)
+    if (extra.nonEmpty)
+      scored.groupBy(col("d1"), col("d2"))
+        .agg(min(col(extra.head._1)).as(extra.head._1),
+          extra.tail.map(e => min(col(e._1)).as(e._1)): _*)
+    else scored.distinct()
   }
+
+  /** Dictionary-encode the distinct (id, g) shingle stream to dense long
+    * gids: (id, gid). row_number over the SORTED vocabulary is
+    * deterministic and injective, so intersection/union SIZES — the only
+    * thing the scoring consumers read — are bit-identical to operating
+    * on the shingle strings; the per-pair intersect then runs the
+    * codegen'd zero-allocation [[graft.functions.SortedIntersectCount]]
+    * merge loop over long arrays instead of builtin `array_intersect`'s
+    * per-row string hash set. The single-partition window is safe
+    * because the char-shingle vocabulary is charset^k-bounded (the
+    * degreeProfile histogram-window discipline); the dictionary is
+    * broadcast for the same reason (the minHashSignatures vocab rule —
+    * pass broadcastVocab=false there when shingling an open vocabulary,
+    * and this helper would take a shuffled join the same way). */
+  private def gidStream(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = sh.select(col("g")).distinct()
+      .select(col("g"),
+        row_number().over(Window.orderBy(col("g"))).cast("long").as("gid"))
+    sh.join(broadcast(dict), "g").select(col("id"), col("gid"))
+  }
+
+  /** (id, gs: sorted gid array, n) per document — the set table the
+    * per-pair intersect consumers probe. */
+  private def gidSets(sh: DataFrame): DataFrame =
+    gidStream(sh).groupBy(col("id"))
+      .agg(sort_array(collect_list(col("gid"))).as("gs"),
+        count(lit(1)).as("n"))
 
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -163,10 +215,15 @@ object Dedup {
     val sigs = minHashSignatures(shingles(docs, idCol, textCol, k),
         numHashes, hashFn)
       .persist()
-    val cands = bandedCandidates(sigs, bands, r, maxBucket)
-    val est = size(filter(zip_with(col("s1"), col("s2"),
-        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
-      .cast("double") / numHashes
+    // matching-component count computed inside the pair expansion (the
+    // dedup shuffle carries one int, not two signatures); est is the
+    // same size(filter(zip_with))/numHashes value as before, evaluated
+    // on the identical signature pair
+    val cands = bandedCandidates(sigs, bands, r, maxBucket,
+      extra = Seq("matches" -> ((a, b) =>
+        size(filter(zip_with(a, b,
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)))))
+    val est = col("matches").cast("double") / numHashes
     // eager narrow result + drop the signature cache (see ngramJaccard)
     val out = cands.select(col("d1"), col("d2"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -213,12 +270,14 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = shingles(docs, idCol, textCol, k).persist()
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = minHashSignatures(sh, numHashes, hashFn)
     val cands = bandedCandidates(sigs, bands, r, maxBucket)
-      .select(col("d1"), col("d2"))
-    val sets = sh.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("g"))).as("gs"),
-        count(lit(1)).as("n"))
+    // dictionary-encoded sorted gid sets + the codegen'd merge-loop
+    // intersect count: bit-identical sizes to intersecting the shingle
+    // strings (injective dictionary), ~none of array_intersect's per-row
+    // string hash-set cost (see [[gidStream]])
+    val sets = gidSets(sh)
     // SHUFFLE_HASH: an id equi-join gains nothing from sorting 30 MB+
     // of array rows per side (same measured choice as the superstep
     // kernels' state joins); the set table exceeds any sane broadcast
@@ -229,7 +288,8 @@ object Dedup {
       .join(sets.select(col("id").as("d2"), col("gs").as("g2"),
         col("n").as("n2")).hint("shuffle_hash"), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("g1"), col("g2"))).cast("long").as("i"),
+        call_function(graft.functions.GraftFunctions.Name,
+          col("g1"), col("g2")).as("i"),
         col("n1"), col("n2"))
     val both = inter.select(col("d1").as("contained"),
         col("d2").as("container"),
@@ -316,29 +376,30 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = shingles(docs, idCol, textCol, k).persist()
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = minHashSignatures(sh, numHashes, hashFn).persist()
-    val cands = bandedCandidates(sigs, bands, r, maxBucket)
-      .withColumn("matches", size(filter(zip_with(col("s1"), col("s2"),
-        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
-        .cast("long"))
+    val cands = bandedCandidates(sigs, bands, r, maxBucket,
+        extra = Seq("matches" -> ((a, b) =>
+          size(filter(zip_with(a, b,
+            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+            .cast("long"))))
       .select(col("d1"), col("d2"),
         expr(s"matches * 1000000L div $numHashes").as("est_ppm"))
       .persist()
     // exact Jaccard per CANDIDATE pair via the same set-fold +
-    // per-row array_intersect plan as [[containmentLsh]] (one array row
-    // per doc, two SHUFFLE_HASH id-joins) — replaces the explode-and-
-    // recount shape; zero-intersection pairs fall out as size 0, so no
-    // outer join / coalesce is needed
-    val sets = sh.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("g"))).as("gs"),
-        count(lit(1)).as("n"))
+    // per-row merge-loop intersect count as [[containmentLsh]] (one
+    // sorted gid array row per doc, two SHUFFLE_HASH id-joins) —
+    // zero-intersection pairs fall out as size 0, so no outer join /
+    // coalesce is needed
+    val sets = gidSets(sh)
     val out = cands
       .join(sets.select(col("id").as("d1"), col("gs").as("g1"),
         col("n").as("na")).hint("shuffle_hash"), "d1")
       .join(sets.select(col("id").as("d2"), col("gs").as("g2"),
         col("n").as("nb")).hint("shuffle_hash"), "d2")
       .withColumn("i",
-        size(array_intersect(col("g1"), col("g2"))).cast("long"))
+        call_function(graft.functions.GraftFunctions.Name,
+          col("g1"), col("g2")))
       .withColumn("jacc_ppm", expr("i * 1000000L div (na + nb - i)"))
       .withColumn("err", abs(col("est_ppm") - col("jacc_ppm")))
       .groupBy(expr("est_ppm div 100000L").as("bucket"))
