@@ -78,6 +78,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object GraftFunctions {
   val Name = "sorted_intersect_count"
   val DotName = "graft_dot"
+  val IDotName = "graft_idot"
+  val SqDistName = "graft_sqdist"
 
   private def two(name: String, mk: (Expression, Expression) => Expression)(
       exprs: Seq[Expression]): Expression = {
@@ -89,7 +91,11 @@ object GraftFunctions {
     Seq(
       (Name, classOf[SortedIntersectCount],
         two(Name, SortedIntersectCount.apply) _),
-      (DotName, classOf[DotProduct], two(DotName, DotProduct.apply) _))
+      (DotName, classOf[DotProduct], two(DotName, DotProduct.apply) _),
+      (IDotName, classOf[LongDotProduct],
+        two(IDotName, LongDotProduct.apply) _),
+      (SqDistName, classOf[SquaredL2Distance],
+        two(SqDistName, SquaredL2Distance.apply) _))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit =
@@ -108,7 +114,11 @@ class GraftSparkExtensions
       (GraftFunctions.Name, classOf[SortedIntersectCount],
         exprs => SortedIntersectCount(exprs.head, exprs(1))),
       (GraftFunctions.DotName, classOf[DotProduct],
-        exprs => DotProduct(exprs.head, exprs(1))))
+        exprs => DotProduct(exprs.head, exprs(1))),
+      (GraftFunctions.IDotName, classOf[LongDotProduct],
+        exprs => LongDotProduct(exprs.head, exprs(1))),
+      (GraftFunctions.SqDistName, classOf[SquaredL2Distance],
+        exprs => SquaredL2Distance(exprs.head, exprs(1))))
       .foreach { case (name, cls, builder) =>
         ext.injectFunction((FunctionIdentifier(name),
           new ExpressionInfo(cls.getName, name), builder))

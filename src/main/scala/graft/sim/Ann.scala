@@ -104,8 +104,8 @@ object Ann {
       .orderBy(xxhash64(col("vid")), col("vid")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
-      val assigned = unit.withColumn("cluster",
-        nearestCentroids(col("v"), centroids, 1).getItem(0))
+      val assigned = nearestByJoin(unit, centroids, 1)
+        .select(col("cids").getItem(0).as("cluster"), col("v"))
       val means = assigned
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
@@ -125,20 +125,35 @@ object Ann {
     centroids
   }
 
-  /** Array of the `nprobe` nearest centroid ids for a vector column —
-    * argmin by squared distance over centroid literals, ties to the lower
-    * centroid id (struct sort on (dist, cid)). */
-  private def nearestCentroids(v: Column, centroids: Array[Array[Double]],
-                               nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val lit2 = typedlit(c.toSeq)
-      struct(
-        aggregate(zip_with(v, lit2, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d).as("dist"),
-        lit(i.toLong).as("cid"))
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
-      s => s.getField("cid"))
+  /** (vid, v, cids: array of the `nprobe` nearest centroid ids) per
+    * vector — argmin by squared distance, ties to the lower centroid id
+    * (struct sort on (dist, cid); identical ordering and IEEE distance
+    * values to the former per-centroid literal expression). Shaped as a
+    * BROADCAST join against the |k|-row centroid table rather than a
+    * k-literal expression tree: the Lloyd loop re-plans this once per
+    * iteration with NEW centroid values, and literal-bearing plans
+    * forced a fresh whole-stage-codegen compile per iteration (the
+    * dominant cost at small scale) — the join plan's generated code is
+    * value-independent, so the codegen cache hits across iterations and
+    * entry points. */
+  private def nearestByJoin(unit: DataFrame,
+                            centroids: Array[Array[Double]],
+                            nprobe: Int): DataFrame = {
+    val spark = unit.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val ctab = broadcast(centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
+    val sc = struct(
+      call_function(graft.functions.GraftFunctions.SqDistName,
+        col("v"), col("cv")).as("dist"),
+      col("cid"))
+    unit.crossJoin(ctab)
+      .select(col("vid"), col("v"), sc.as("sc"))
+      .groupBy(col("vid"))
+      .agg(first(col("v")).as("v"),
+        transform(slice(array_sort(collect_list(col("sc"))), 1, nprobe),
+          s => s.getField("cid")).as("cids"))
   }
 
   /** Approximate top-k via an IVF (inverted-file) index: k-means-lite
@@ -161,13 +176,14 @@ object Ann {
     val unit = vecs.select(col(idCol).as("vid"),
       normalized(col(vecCol)).as("v"))
     // inverted file: vector -> home cluster (1 row per vector)
-    val file = unit.withColumn("cluster",
-      nearestCentroids(col("v"), centroids, 1).getItem(0))
-      .select(col("cluster"), col("vid").as("nn_id"), col("v").as("vb"))
+    val file = nearestByJoin(unit, centroids, 1)
+      .select(col("cids").getItem(0).as("cluster"),
+        col("vid").as("nn_id"), col("v").as("vb"))
       .repartition(col("cluster"))
     // queries fan out to nprobe clusters (nprobe rows per vector)
-    val probes = unit.select(col("vid").as("vec_id"), col("v").as("va"),
-      explode(nearestCentroids(col("v"), centroids, nprobe)).as("cluster"))
+    val probes = nearestByJoin(unit, centroids, nprobe)
+      .select(col("vid").as("vec_id"), col("v").as("va"),
+        explode(col("cids")).as("cluster"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
     probes.join(file, "cluster")
@@ -182,7 +198,7 @@ object Ann {
     * exact, so any engine computing the same quantized vectors agrees
     * bit-for-bit; components ≤ scale·|x|max keep the sum far below 2^63). */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function(graft.functions.GraftFunctions.IDotName, a, b)
 
   /** Deterministic integer quantization of a float/double vector column:
     * floor(x · scale) per component. floor (not round) because it has no
@@ -260,6 +276,7 @@ object Ann {
   def lshTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
                     scale: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dot").desc, col("nn_id"))
     parityCandidateDots(vecs, idCol, vecCol, dim, bands, bitsPerBand, scale)
@@ -318,6 +335,7 @@ object Ann {
   def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, dim: Int, bands: Int = 8,
                     bitsPerBand: Int = 8, scale: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val lab = vecs.select(col(idCol).as("vec_id"),
       col(labelCol).cast("long").as("label"))
     val pd = parityCandidateDots(vecs, idCol, vecCol, dim, bands,
@@ -389,6 +407,7 @@ object Ann {
   def ivfTopKParity(vecs: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int = 16, nprobe: Int = 4,
                     scale: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val qv = vecs.select(col(idCol).as("vid"),
       quantize(col(vecCol), scale).as("q"))
     val centroids = shaCentroids(qv, nlist)
@@ -527,6 +546,7 @@ object Ann {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, thresholdPpm: Long = 380000L,
                scale: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val qv = vecs.select(col(idCol).as("vid"),
       quantize(col(vecCol), scale).as("q"))
     val centroids = shaCentroids(qv, nlist)
@@ -579,6 +599,7 @@ object Ann {
   def kmeansParity(vecs: DataFrame, idCol: String, vecCol: String,
                    k: Int = 8, iters: Int = 2,
                    scale: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vecs.sparkSession)
     val qv = vecs.select(col(idCol).as("vid"),
       quantize(col(vecCol), scale).as("q"))
     var cent = shaCentroids(qv, k)
