@@ -2308,7 +2308,11 @@ object SparkEntry {
     // magnitudes provably oscillates; see DecisionStump)
     "q205_stump" -> ((s, d) => {
       val t = TF.tokens(col("text"))
-      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      // size - size(array_remove) == size(filter(= "the")) (split yields
+      // no nulls), but stays codegen'd: the filter() higher-order
+      // function is CodegenFallback and its per-element interpreted
+      // lambda dominated the label projection (guide #4)
+      val theCnt = (size(t) - size(array_remove(t, "the"))).cast("long")
       val ft = T(s, d, "documents").select(
         (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long").as("y"),
         TF.tokenCount(col("text")).as("f_ntok"),
@@ -2379,7 +2383,11 @@ object SparkEntry {
     // integer floor-log2 count-ratio weights, confusion matrix out
     "q211_nb" -> ((s, d) => {
       val t = TF.tokens(col("text"))
-      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      // size - size(array_remove) == size(filter(= "the")) (split yields
+      // no nulls), but stays codegen'd: the filter() higher-order
+      // function is CodegenFallback and its per-element interpreted
+      // lambda dominated the label projection (guide #4)
+      val theCnt = (size(t) - size(array_remove(t, "the"))).cast("long")
       graft.text.NaiveBayes.confusion(T(s, d, "documents"), "doc_id",
         "text", (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
     }),
@@ -2507,7 +2515,11 @@ object SparkEntry {
     // view (window runs over the tiny score histogram, never over docs)
     "q229_nb_gains" -> ((s, d) => {
       val t = TF.tokens(col("text"))
-      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      // size - size(array_remove) == size(filter(= "the")) (split yields
+      // no nulls), but stays codegen'd: the filter() higher-order
+      // function is CodegenFallback and its per-element interpreted
+      // lambda dominated the label projection (guide #4)
+      val theCnt = (size(t) - size(array_remove(t, "the"))).cast("long")
       graft.text.NaiveBayes.gains(T(s, d, "documents"), "doc_id",
         "text", (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
     }),
@@ -2580,7 +2592,11 @@ object SparkEntry {
     // empirical band accuracy + expected calibration error, integer ppm
     "q237_nb_calibration" -> ((s, d) => {
       val t = TF.tokens(col("text"))
-      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      // size - size(array_remove) == size(filter(= "the")) (split yields
+      // no nulls), but stays codegen'd: the filter() higher-order
+      // function is CodegenFallback and its per-element interpreted
+      // lambda dominated the label projection (guide #4)
+      val theCnt = (size(t) - size(array_remove(t, "the"))).cast("long")
       graft.text.NaiveBayes.calibration(T(s, d, "documents"), "doc_id",
         "text", (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
     }),
@@ -2686,7 +2702,11 @@ object SparkEntry {
     // rule and integer bit arithmetic as q211
     "q254_loo_source_value" -> ((s, d) => {
       val t = TF.tokens(col("text"))
-      val theCnt = size(filter(t, x => x === "the")).cast("long")
+      // size - size(array_remove) == size(filter(= "the")) (split yields
+      // no nulls), but stays codegen'd: the filter() higher-order
+      // function is CodegenFallback and its per-element interpreted
+      // lambda dominated the label projection (guide #4)
+      val theCnt = (size(t) - size(array_remove(t, "the"))).cast("long")
       graft.text.NaiveBayes.looSourceValue(T(s, d, "documents"), "doc_id",
         "text", "source",
         (theCnt * 20L >= TF.tokenCount(col("text"))).cast("long"))
