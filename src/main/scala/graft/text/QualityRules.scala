@@ -74,19 +74,26 @@ object QualityRules {
     * would broadcast the head of the distribution; not needed here). */
   def bigramLmScore(df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
+    // persisted: the exploded bigram stream feeds the bigram-count agg,
+    // the prefix-count agg AND the scoring join — without the cache the
+    // explode + interpreted wordNgrams transform runs three times
     val bg = df.select(col(idCol),
         explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+      .persist()
     val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
     val w1 = substring_index(col("bg"), " ", 1)
     val pc = bg.select(w1.as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("pc"))
-    bg.join(bc, "bg")
+    val out = bg.join(bc, "bg")
       .withColumn("w1", w1)
       .join(pc, "w1")
       .select(col(idCol), expr("bc * 1000000L div pc").as("ppm"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(ppm) div count(1)").as("lm_ppm"))
+      .localCheckpoint(eager = true)
+    bg.unpersist()
+    out
   }
 
   /** Bigram cross-entropy in whole BITS — the log-scale companion of
@@ -103,13 +110,15 @@ object QualityRules {
     *         bigram */
   def bigramSurprisalBits(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
+    // same bigram-stream cache discipline as [[bigramLmScore]]
     val bg = df.select(col(idCol),
         explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+      .persist()
     val bc = bg.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
     val w1 = substring_index(col("bg"), " ", 1)
     val pc = bg.select(w1.as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("pc"))
-    bg.join(bc, "bg")
+    val out = bg.join(bc, "bg")
       .withColumn("w1", w1)
       .join(pc, "w1")
       .select(col(idCol),
@@ -118,6 +127,9 @@ object QualityRules {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("bits")).as("total_bits"),
         expr("sum(bits) * 1000L div count(1)").as("avg_mbits"))
+      .localCheckpoint(eager = true)
+    bg.unpersist()
+    out
   }
 
   /** Email-address pattern — deliberately RE2-compatible (no lookaround,

@@ -89,23 +89,30 @@ object TfIdf {
     * (shard the corpus profile beyond that). */
   def collocationLiftPpm(docs: DataFrame, idCol: String, textCol: String,
                          minCount: Long = 2, k: Int = 20): DataFrame = {
+    // persisted: the vocabulary-bounded bigram-count table feeds the
+    // total scalar, both marginal aggs AND the final join — uncached,
+    // the explode + bigram aggregation over the corpus ran four times
     val bg = docs
       .select(explode(TextFunctions.wordNgrams(col(textCol), 2)).as("g"))
       .select(split(col("g"), " ").as("xy"))
       .select(col("xy").getItem(0).as("x"), col("xy").getItem(1).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .persist()
     val b = bg.agg(sum(col("n_xy"))).first() match {
       case r if r.isNullAt(0) => 0L // no bigrams anywhere -> empty top-k
       case r                  => r.getLong(0)
     }
     val lx = bg.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
     val ry = bg.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
-    bg.filter(col("n_xy") >= minCount)
+    val out = bg.filter(col("n_xy") >= minCount)
       .join(lx, "x").join(ry, "y")
       .withColumn("lift_ppm",
         expr(s"((1000000L * n_xy) div n_x) * ${b}L div n_y"))
       .select(col("x"), col("y"), col("n_xy"), col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("x"), col("y")).limit(k)
+      .localCheckpoint(eager = true)
+    bg.unpersist()
+    out
   }
 
   /** BM25 retrieval scoring (Robertson-Spärck Jones / Okapi) for a fixed
