@@ -189,7 +189,7 @@ object Dedup {
     * broadcast for the same reason (the minHashSignatures vocab rule —
     * pass broadcastVocab=false there when shingling an open vocabulary,
     * and this helper would take a shuffled join the same way). */
-  private def gidStream(sh: DataFrame): DataFrame = {
+  private[graft] def gidStream(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dict = sh.select(col("g")).distinct()
       .select(col("g"),
@@ -199,7 +199,7 @@ object Dedup {
 
   /** (id, gs: sorted gid array, n) per document — the set table the
     * per-pair intersect consumers probe. */
-  private def gidSets(sh: DataFrame): DataFrame =
+  private[graft] def gidSets(sh: DataFrame): DataFrame =
     gidStream(sh).groupBy(col("id"))
       .agg(sort_array(collect_list(col("gid"))).as("gs"),
         count(lit(1)).as("n"))
