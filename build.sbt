@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ContextCleaner frees unreferenced persisted/localCheckpoint blocks
+  // only after a driver GC surfaces their weak references; with a 24g
+  // heap a long query sweep can run for many minutes between full GCs,
+  // so dead blocks from hundreds of finished queries pile up in the
+  // block manager and slow later queries. The default periodic-GC
+  // interval (30min) is longer than a whole sweep — tighten it so
+  // cleanup keeps pace (engine-level session hygiene, not a bench knob).
+  "-Dspark.cleaner.periodicGC.interval=2min",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -1475,10 +1475,17 @@ object SparkEntry {
     // maintenance, the CC complement of q100's warm PageRank); fixpoint
     // — and the oracle — is identical to a cold run
     "q145_cc_warm" -> ((s, d) => {
+      // ONE co-occurrence derivation serves both graphs (the warm
+      // subgraph is the weight>=2 filter of the full table; previously
+      // e2() and cooc() each re-derived it)
+      val cw = cooc(s, d)
+        .select(col("src"), col("dst"), col("weight"))
+        .localCheckpoint(eager = true)
       val warm = ConnectedComponents
-        .run(s, Edges.symmetrize(e2(s, d))).components
+        .run(s, Edges.symmetrize(cw.filter(col("weight") >= 2)
+          .select(col("src"), col("dst")))).components
       ConnectedComponents.run(s,
-        Edges.symmetrize(cooc(s, d).select(col("src"), col("dst"))),
+        Edges.symmetrize(cw.select(col("src"), col("dst"))),
         initState = Some(warm)).components
     }),
 
@@ -2204,14 +2211,16 @@ object SparkEntry {
     // edge enforced via a broadcast — is this co-occurrence link the
     // ONLY path between its endpoints?
     "q194_bridges" -> ((s, d) => {
-      val cand = e2(s, d)
+      // materialized once: consumed by the candidate draw AND the probe
+      val e = e2(s, d).localCheckpoint(eager = true)
+      val cand = e
         .withColumn("h", Dedup.shaTokenHash60(
           concat(lit("br:"), col("src").cast("string"), lit(":"),
             col("dst").cast("string"))))
         .orderBy(col("h"), col("src"), col("dst")).limit(12)
         .select(concat(col("src").cast("string"), lit(":"),
           col("dst").cast("string")).as("cid"), col("src"), col("dst"))
-      graft.kernels.Bridges.probe(s, e2(s, d), cand)
+      graft.kernels.Bridges.probe(s, e, cand)
     }),
 
     // SimRank (2 iterations, C = 0.8, integer ppm, in-loop threshold
@@ -2632,8 +2641,13 @@ object SparkEntry {
 
     // exact midrank-tie AUC of the common-neighbor link predictor
     // against the weight-1 pairs the >= 2 threshold dropped
-    "q243_linkpred_auc" -> ((s, d) =>
-      graft.kernels.LinkPredict.linkAuc(e2(s, d), cooc(s, d))),
+    "q243_linkpred_auc" -> ((s, d) => {
+      // ONE co-occurrence derivation serves the thresholded graph and
+      // the weighted table (e2 is its weight>=2 filter)
+      val cw = cooc(s, d).localCheckpoint(eager = true)
+      graft.kernels.LinkPredict.linkAuc(
+        cw.filter(col("weight") >= 2).select(col("src"), col("dst")), cw)
+    }),
 
     // robust winnowing (MOSS) fingerprint selection: rightmost window
     // minimum over sha-seeded positional 5-gram hashes, w=4
@@ -2691,9 +2705,12 @@ object SparkEntry {
     // maximal matching (3-round replayable prefix), each with its sym
     // degree — the "monitoring set" / cut-coverage primitive; |cover| <=
     // 2 OPT and |matching| <= OPT bound it from both sides
-    "q253_vertex_cover" -> ((s, d) =>
-      graft.kernels.Matching.vertexCover(s, e2(s, d), maxRounds = 3)
-        .join(Edges.degrees(Edges.symmetrize(e2(s, d))), "vid")),
+    "q253_vertex_cover" -> ((s, d) => {
+      // materialized once: consumed by the cover rounds AND the degree join
+      val e = e2(s, d).localCheckpoint(eager = true)
+      graft.kernels.Matching.vertexCover(s, e, maxRounds = 3)
+        .join(Edges.degrees(Edges.symmetrize(e)), "vid")
+    }),
 
     // leave-one-source-out NB data valuation: per held-out source, the
     // confusion matrix of the classifier retrained WITHOUT that source
