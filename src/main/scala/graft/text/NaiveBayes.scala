@@ -36,25 +36,40 @@ object NaiveBayes {
     * shared trunk of [[confusion]] and the gains ledger. */
   def scores(docs: DataFrame, idCol: String, textCol: String,
              labelCol: org.apache.spark.sql.Column): DataFrame = {
+    // per-(doc, token) instance counts instead of the raw instance
+    // stream: every downstream aggregation/join consumes k-weighted
+    // rows — identical integers (sums of k == instance counts), ~25-30%
+    // fewer rows through the checkpoint, the weight join and the score
+    // aggregation (guide §2.3: aggregate before you shuffle)
     val toks = docs.select(col(idCol).as("id"), labelCol.as("y"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("y"), col("tok"))
+      .agg(count(lit(1)).as("k"))
       .localCheckpoint(eager = true)
 
     // class totals: token instances T_c, doc counts N_c, shared vocab V
     val tot = toks.groupBy(col("y")).agg(
-      count(lit(1)).as("t"), countDistinct(col("id")).as("n"))
+      sum(col("k")).as("t"), countDistinct(col("id")).as("n"))
     val v = toks.select(col("tok")).distinct().count()
-    val row = tot.filter(col("y") === 1L)
+    // headOption-guarded scalar pull (ADVICE r5): a label rule that
+    // yields a single class at some scale factor makes the cross join
+    // empty — return an empty score table (schema intact) instead of
+    // crashing; the SQL oracle degrades the same way
+    val rowOpt = tot.filter(col("y") === 1L)
       .crossJoin(tot.filter(col("y") === 0L)
         .select(col("t").as("t0"), col("n").as("n0")))
       .select(col("t").as("t1"), col("n").as("n1"), col("t0"), col("n0"))
-      .head()
+      .collect().headOption
+    if (rowOpt.isEmpty)
+      return toks.select(col("id"), col("y"), col("k").as("score"))
+        .limit(0)
+    val row = rowOpt.get
     val (t1, n1, t0, n0) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
 
     val w = toks.groupBy(col("tok")).agg(
-        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"))
+        sum(when(col("y") === 1L, col("k")).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0L, col("k")).otherwise(0L)).as("c0"))
       .select(col("tok"),
         (bits((col("c1") + 1L) * lit(t0 + v)) -
           bits((col("c0") + 1L) * lit(t1 + v))).as("w"))
@@ -63,7 +78,7 @@ object NaiveBayes {
       java.lang.Long.toBinaryString(n0).length
     toks.join(w, "tok")
       .groupBy(col("id"), col("y"))
-      .agg((sum(col("w")) + lit(prior.toLong)).as("score"))
+      .agg((sum(col("k") * col("w")) + lit(prior.toLong)).as("score"))
   }
 
   /** Train on `labelCol` (0/1) over the token instances of `textCol`,
@@ -174,27 +189,37 @@ object NaiveBayes {
   def looSourceValue(docs: DataFrame, idCol: String, textCol: String,
                      srcCol: String,
                      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    // per-(doc, token) counts — the [[scores]] compression, identical
+    // integers with k-weighted sums
     val toks = docs.select(col(idCol).as("id"), col(srcCol).as("dsrc"),
         labelCol.as("y"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("dsrc"), col("y"), col("tok"))
+      .agg(count(lit(1)).as("k"))
       .localCheckpoint(eager = true)
 
     val tot = toks.groupBy(col("y")).agg(
-      count(lit(1)).as("t"), countDistinct(col("id")).as("n"))
+      sum(col("k")).as("t"), countDistinct(col("id")).as("n"))
     val v = toks.select(col("tok")).distinct().count()
-    val trow = tot.filter(col("y") === 1L)
+    // headOption-guarded like [[scores]] (ADVICE r5): a one-class
+    // corpus yields an empty confusion ledger, not a crash
+    val trowOpt = tot.filter(col("y") === 1L)
       .crossJoin(tot.filter(col("y") === 0L)
         .select(col("t").as("t0"), col("n").as("n0")))
       .select(col("t").as("t1"), col("n").as("n1"), col("t0"), col("n0"))
-      .head()
+      .collect().headOption
+    if (trowOpt.isEmpty)
+      return toks.select(col("dsrc").as("held_out"), col("y"),
+        col("k").as("pred"), col("k").as("n")).limit(0)
+    val trow = trowOpt.get
     val (t1, n1, t0, n0) =
       (trow.getLong(0), trow.getLong(1), trow.getLong(2), trow.getLong(3))
 
     // per-source class totals + exclusive-vocabulary count → the LOO
     // scalar table (|sources| rows, broadcast everywhere below)
     val srcTot = toks.groupBy(col("dsrc").as("hsrc")).agg(
-      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("t1s"),
-      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("t0s"),
+      sum(when(col("y") === 1L, col("k")).otherwise(0L)).as("t1s"),
+      sum(when(col("y") === 0L, col("k")).otherwise(0L)).as("t0s"),
       countDistinct(when(col("y") === 1L, col("id"))).as("n1s"),
       countDistinct(when(col("y") === 0L, col("id"))).as("n0s"))
     val pres = toks.select(col("tok"), col("dsrc")).distinct()
@@ -207,11 +232,11 @@ object NaiveBayes {
         (lit(v) - coalesce(col("vx"), lit(0L))).as("vloo"))
 
     val cnt = toks.groupBy(col("tok")).agg(
-      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"),
-      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"))
+      sum(when(col("y") === 1L, col("k")).otherwise(0L)).as("c1"),
+      sum(when(col("y") === 0L, col("k")).otherwise(0L)).as("c0"))
     val cntS = toks.groupBy(col("tok"), col("dsrc").as("hsrc")).agg(
-      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1s"),
-      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0s"))
+      sum(when(col("y") === 1L, col("k")).otherwise(0L)).as("c1s"),
+      sum(when(col("y") === 0L, col("k")).otherwise(0L)).as("c0s"))
 
     // LOO weight table: vocabulary × sources; a (tok, source) pair absent
     // from cntS subtracts nothing (the token never occurs in that source)
@@ -228,7 +253,7 @@ object NaiveBayes {
     toks.join(w, "tok")
       .filter(col("dsrc") =!= col("hsrc")) // held-out docs leave the eval
       .groupBy(col("id"), col("y"), col("hsrc"), col("prior"))
-      .agg((sum(col("w")) + col("prior")).as("score"))
+      .agg((sum(col("k") * col("w")) + col("prior")).as("score"))
       .groupBy(col("hsrc").as("held_out"), col("y"),
         (col("score") > 0L).cast("long").as("pred"))
       .agg(count(lit(1)).as("n"))
