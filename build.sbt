@@ -33,6 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // block manager and slow later queries. The default periodic-GC
   // interval (30min) is longer than a whole sweep — tighten it so
   // cleanup keeps pace (engine-level session hygiene, not a bench knob).
-  "-Dspark.cleaner.periodicGC.interval=2min",
+  // 10min, NOT 2min: the flag is inherited by Bench's short-lived
+  // (2-4 min) fresh-JVM kernel legs, and a 2min timer could fire a full
+  // GC INSIDE a cold TC/scaling kernel (observed as 70-120 s cold-TC
+  // draws with quiet controls); at 10min the timer never fires within a
+  // leg's lifetime and still fires during the long session's query
+  // sweep, which is where the cleanup is needed.
+  "-Dspark.cleaner.periodicGC.interval=10min",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
